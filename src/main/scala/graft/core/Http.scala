@@ -1,0 +1,117 @@
+package graft.core
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.Duration
+
+/** HTTP layer with the reference's retry/backoff/timeout policy.
+  *
+  * Reference: /root/reference/src/common_crawl_index.cpp:208-304 (retry
+  * loop: 5 attempts, exponential backoff 100→1600 ms, retry only on
+  * 503/504/connection/timeout, wall-clock `timeout` budget),
+  * /root/reference/src/d1_http.cpp:122-226 (30 s D1 request timeout,
+  * Bearer auth), /root/reference/src/r2_http.cpp:50-86 (60 s timeout).
+  *
+  * Error strings are observable behavior (they surface in the
+  * `response.error` struct field) and follow the reference's formats.
+  */
+object Http {
+
+  final case class FetchResult(body: Array[Byte], error: String) {
+    def isError: Boolean = error.nonEmpty
+  }
+
+  final case class Response(status: Int, body: Array[Byte]) {
+    def bodyString: String = new String(body, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  lazy val client: HttpClient = HttpClient.newBuilder()
+    .followRedirects(HttpClient.Redirect.NORMAL)
+    .connectTimeout(Duration.ofSeconds(30))
+    .build()
+
+  /** Single GET, optional Range header and bearer token. */
+  def get(
+      url: String,
+      headers: Map[String, String] = Map.empty,
+      timeoutSeconds: Int = 30): Response = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
+      .GET()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    Response(resp.statusCode(), resp.body())
+  }
+
+  /** Single POST with a JSON body. */
+  def postJson(
+      url: String,
+      json: String,
+      headers: Map[String, String] = Map.empty,
+      timeoutSeconds: Int = 30): Response = {
+    val b = HttpRequest.newBuilder(URI.create(url))
+      .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(json))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    Response(resp.statusCode(), resp.body())
+  }
+
+  private def isRetryable(msg: String): Boolean =
+    msg.contains("503") || msg.contains("504") ||
+      msg.contains("Service Unavailable") || msg.contains("Gateway Timeout") ||
+      msg.contains("connection") || msg.contains("timeout")
+
+  /** Ranged fetch with the reference's retry policy: 5 attempts, backoff
+    * 100/200/400/800/1600 ms, wall-clock budget in seconds measured from
+    * `startNanos`, retry only on 503/504/connection/timeout. Errors are
+    * in-band (`FetchResult.error`), never thrown — a failed body fetch must
+    * not fail the whole scan.
+    */
+  def fetchWithRetry(
+      url: String,
+      rangeStart: Long = -1L,
+      rangeLen: Long = -1L,
+      startNanos: Long,
+      timeoutSeconds: Int): FetchResult = {
+    val maxRetries = 5
+    var retryDelayMs = 100L
+    var lastError = ""
+    var attempt = 0
+    while (attempt < maxRetries) {
+      val elapsedSec = (System.nanoTime() - startNanos) / 1000000000L
+      if (elapsedSec >= timeoutSeconds)
+        return FetchResult(Array.emptyByteArray,
+          s"Timeout after ${elapsedSec}s (limit: ${timeoutSeconds}s)")
+      try {
+        if (attempt > 0) {
+          Thread.sleep(retryDelayMs)
+          retryDelayMs *= 2
+        }
+        val hdrs =
+          if (rangeStart >= 0 && rangeLen > 0)
+            Map("Range" -> s"bytes=$rangeStart-${rangeStart + rangeLen - 1}")
+          else Map.empty[String, String]
+        val resp = get(url, hdrs, timeoutSeconds = 60)
+        if (resp.status == 503 || resp.status == 504) {
+          lastError = s"HTTP ${resp.status}"
+          // retryable — fall through to next attempt
+        } else if (resp.status >= 400) {
+          return FetchResult(Array.emptyByteArray, s"HTTP ${resp.status}")
+        } else if (resp.body.isEmpty) {
+          lastError = "Failed to read data"
+        } else {
+          return FetchResult(resp.body, "")
+        }
+      } catch {
+        case e: Exception =>
+          lastError = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+          if (!isRetryable(lastError) && attempt == 0)
+            return FetchResult(Array.emptyByteArray, lastError)
+      }
+      attempt += 1
+    }
+    FetchResult(Array.emptyByteArray, s"Failed after $maxRetries retries: $lastError")
+  }
+}
