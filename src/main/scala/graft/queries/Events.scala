@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Event-stream analytics over the `events` table (batch shape of the
+  * streaming pipeline in graft.streaming). Timestamps are ns-precision in
+  * the parquet; outputs use truncated/derived values that are stable across
+  * Spark (µs) and DuckDB (ns) readers.
+  */
+object Events {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q33_events_hourly",
+      (s, d) => load(s, d, "events")
+        .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("hour"), col("event_type")),
+      Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |event_type, count(*) AS n, round(sum(value),2) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    QueryDef("q34_events_sessions",
+      (s, d) => {
+        // Sessionization: a >30 min silence starts a new session. Epoch
+        // seconds are floored identically on both engines.
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        load(s, d, "events")
+          .withColumn("sec", col("ts").cast("long"))
+          .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+          .withColumn("new_session",
+            when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+          .orderBy(col("user_id"))
+      },
+      Some("""SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions, count(*) AS n_events
+             |FROM (
+             |  SELECT user_id,
+             |    CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END AS new_session
+             |  FROM (
+             |    SELECT user_id, sec, sec - lag(sec, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+             |    FROM (SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events)
+             |  )
+             |) GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    QueryDef("q35_events_json",
+      (s, d) => load(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .filter(col("k") >= 50)
+        .orderBy(col("event_id"))
+        .limit(300),
+      Some("""SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
+             |ORDER BY event_id LIMIT 300""".stripMargin)),
+
+    QueryDef("q36_events_funnel",
+      (s, d) => {
+        // Per-user funnel: signup -> click -> purchase presence flags.
+        load(s, d, "events")
+          .groupBy(col("user_id"))
+          .agg(
+            max(when(col("event_type") === "signup", 1).otherwise(0)).as("did_signup"),
+            max(when(col("event_type") === "click", 1).otherwise(0)).as("did_click"),
+            max(when(col("event_type") === "purchase", 1).otherwise(0)).as("did_purchase"))
+          .groupBy(col("did_signup"), col("did_click"), col("did_purchase"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("did_signup"), col("did_click"), col("did_purchase"))
+      },
+      Some("""SELECT did_signup, did_click, did_purchase, count(*) AS n_users FROM (
+             |SELECT user_id,
+             |max(CASE WHEN event_type='signup' THEN 1 ELSE 0 END) AS did_signup,
+             |max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS did_click,
+             |max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS did_purchase
+             |FROM events GROUP BY user_id)
+             |GROUP BY 1,2,3 ORDER BY did_signup, did_click, did_purchase""".stripMargin))
+  )
+}

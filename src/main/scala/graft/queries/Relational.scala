@@ -1,0 +1,472 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Host-engine relational surface. The reference delegates all of this to
+  * DuckDB (SURVEY.md §2.3: joins, aggregation, DISTINCT [ON], ORDER
+  * BY/LIMIT/OFFSET, set ops, subqueries, string/date functions, struct/map
+  * access — exercised by test/sql/common_crawl_integration.test:36-80 and
+  * README examples); our engine delegates to Spark SQL/Catalyst. Every
+  * entry has a DuckDB oracle and ends in a deterministic ORDER BY.
+  *
+  * Scale notes (100 TB): all plans here are shuffle-minimal — partial
+  * aggregation before exchange, broadcast for the <10 MB dimension tables
+  * (nation/region/supplier), sort-merge join only on the fact-fact joins,
+  * and every scan prunes columns + pushes filters into the parquet reader
+  * (verified via .explain in BenchSpec).
+  */
+object Relational {
+
+  // Rounding keeps float aggregation order differences (Spark partial
+  // aggs vs DuckDB single-node) below the comparison threshold.
+  private def r2(c: org.apache.spark.sql.Column) = round(c, 2)
+  private def r4(c: org.apache.spark.sql.Column) = round(c, 4)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- aggregation --------------------------------------------------
+    QueryDef("q01_pricing_summary",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        li.filter(col("l_shipdate") <= lit("1998-09-02"))
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            r2(sum(col("l_quantity"))).as("sum_qty"),
+            r2(sum(col("l_extendedprice"))).as("sum_base_price"),
+            r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+            r4(avg(col("l_quantity"))).as("avg_qty"),
+            r4(avg(col("l_discount"))).as("avg_disc"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      Some("""SELECT l_returnflag, l_linestatus,
+             |round(sum(l_quantity),2) AS sum_qty,
+             |round(sum(l_extendedprice),2) AS sum_base_price,
+             |round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+             |round(avg(l_quantity),4) AS avg_qty,
+             |round(avg(l_discount),4) AS avg_disc,
+             |count(*) AS count_order
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+             |GROUP BY l_returnflag, l_linestatus
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q02_global_agg",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        li.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("l_orderkey")).as("n_orders"),
+          r2(sum(col("l_quantity"))).as("total_qty"),
+          r2(min(col("l_extendedprice"))).as("min_price"),
+          r2(max(col("l_extendedprice"))).as("max_price"))
+      },
+      Some("""SELECT count(*) AS n_rows,
+             |count(DISTINCT l_orderkey) AS n_orders,
+             |round(sum(l_quantity),2) AS total_qty,
+             |round(min(l_extendedprice),2) AS min_price,
+             |round(max(l_extendedprice),2) AS max_price
+             |FROM lineitem""".stripMargin)),
+
+    QueryDef("q03_filter_topn",
+      (s, d) => load(s, d, "lineitem")
+        .filter(col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .select(col("l_orderkey"), col("l_linenumber"), r2(col("l_extendedprice")).as("price"))
+        .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+        .limit(100),
+      Some("""SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS price
+             |FROM lineitem
+             |WHERE l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+             |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin)),
+
+    QueryDef("q04_limit_offset",
+      (s, d) => load(s, d, "orders")
+        .orderBy(col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"))
+        .offset(50).limit(20),
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |ORDER BY o_orderkey LIMIT 20 OFFSET 50""".stripMargin)),
+
+    // ---- joins --------------------------------------------------------
+    QueryDef("q05_join_agg",
+      (s, d) => {
+        val o = load(s, d, "orders"); val c = load(s, d, "customer")
+        o.join(c, o("o_custkey") === c("c_custkey"))
+          .groupBy(col("c_mktsegment"))
+          .agg(r2(sum(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n"))
+          .orderBy(col("c_mktsegment"))
+      },
+      Some("""SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue, count(*) AS n
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    QueryDef("q06_join_5way",
+      (s, d) => {
+        val li = load(s, d, "lineitem")
+        val o = load(s, d, "orders")
+        val c = load(s, d, "customer")
+        val n = broadcast(load(s, d, "nation"))
+        val r = broadcast(load(s, d, "region"))
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n, c("c_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy(col("r_name"))
+      },
+      Some("""SELECT r_name, round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+             |count(*) AS n_lines
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN nation ON c_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    QueryDef("q07_left_join",
+      (s, d) => {
+        val c = load(s, d, "customer"); val o = load(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("n_orders"))
+          .orderBy(col("c_custkey"))
+          .limit(200)
+      },
+      Some("""SELECT c_custkey, count(o_orderkey) AS n_orders
+             |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |GROUP BY c_custkey ORDER BY c_custkey LIMIT 200""".stripMargin)),
+
+    QueryDef("q08_semi_join",
+      (s, d) => {
+        val c = load(s, d, "customer"); val o = load(s, d, "orders")
+        c.join(o.select(col("o_custkey")), c("c_custkey") === col("o_custkey"), "left_semi")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("c_nationkey"))
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_customers
+             |FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    QueryDef("q09_anti_join",
+      (s, d) => {
+        val c = load(s, d, "customer"); val o = load(s, d, "orders")
+        c.join(o.select(col("o_custkey")), c("c_custkey") === col("o_custkey"), "left_anti")
+          .select(col("c_custkey"), col("c_name"))
+          .orderBy(col("c_custkey"))
+      },
+      Some("""SELECT c_custkey, c_name FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    QueryDef("q10_full_outer",
+      (s, d) => {
+        val cs = load(s, d, "customer").groupBy(col("c_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_cust"))
+        val sp = load(s, d, "supplier").groupBy(col("s_nationkey").as("nk"))
+          .agg(count(lit(1)).as("n_supp"))
+        cs.join(sp, Seq("nk"), "full_outer")
+          .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+            coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+          .orderBy(col("nk"))
+      },
+      Some("""SELECT COALESCE(a.nk, b.nk) AS nk,
+             |COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+             |FROM (SELECT c_nationkey nk, count(*) n_cust FROM customer GROUP BY 1) a
+             |FULL OUTER JOIN (SELECT s_nationkey nk, count(*) n_supp FROM supplier GROUP BY 1) b
+             |USING (nk) ORDER BY nk""".stripMargin)),
+
+    // ---- distinct / set ops ------------------------------------------
+    QueryDef("q11_distinct",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    QueryDef("q12_distinct_on",
+      (s, d) => {
+        // DISTINCT ON (o_custkey) latest order — Spark idiom:
+        // window row_number over (partition by key order by ...) = 1.
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+        load(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("o_custkey"), col("o_orderkey"), r2(col("o_totalprice")).as("price"))
+          .orderBy(col("o_custkey"))
+          .limit(200)
+      },
+      Some("""SELECT o_custkey, o_orderkey, round(o_totalprice,2) AS price
+             |FROM (SELECT DISTINCT ON (o_custkey) o_custkey, o_orderkey, o_totalprice
+             |      FROM orders ORDER BY o_custkey, o_orderdate DESC, o_orderkey DESC)
+             |ORDER BY o_custkey LIMIT 200""".stripMargin)),
+
+    QueryDef("q13_union_all",
+      (s, d) => {
+        val c = load(s, d, "customer").select(col("c_nationkey").as("nk"))
+        val sp = load(s, d, "supplier").select(col("s_nationkey").as("nk"))
+        c.union(sp).groupBy(col("nk")).agg(count(lit(1)).as("n")).orderBy(col("nk"))
+      },
+      Some("""SELECT nk, count(*) AS n FROM (
+             |SELECT c_nationkey nk FROM customer UNION ALL SELECT s_nationkey FROM supplier)
+             |GROUP BY nk ORDER BY nk""".stripMargin)),
+
+    QueryDef("q14_intersect",
+      (s, d) => {
+        val a = load(s, d, "customer").select(col("c_nationkey").as("nk")).distinct()
+        val b = load(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct()
+        a.intersect(b).orderBy(col("nk"))
+      },
+      Some("""SELECT c_nationkey AS nk FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin)),
+
+    QueryDef("q15_except",
+      (s, d) => {
+        val a = load(s, d, "nation").select(col("n_nationkey").as("nk"))
+        val b = load(s, d, "supplier").select(col("s_nationkey").as("nk")).distinct()
+        a.except(b).orderBy(col("nk"))
+      },
+      Some("""SELECT n_nationkey AS nk FROM nation
+             |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin)),
+
+    // ---- windows ------------------------------------------------------
+    QueryDef("q16_window_topk_per_group",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        load(s, d, "orders")
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("o_custkey"), col("rn"), col("o_orderkey"))
+          .orderBy(col("o_custkey"), col("rn"))
+          .limit(300)
+      },
+      Some("""SELECT o_custkey, rn, o_orderkey FROM (
+             |SELECT o_custkey, o_orderkey,
+             |row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn LIMIT 300""".stripMargin)),
+
+    QueryDef("q17_window_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        load(s, d, "orders")
+          .withColumn("running", r2(sum(col("o_totalprice")).over(w)))
+          .select(col("o_custkey"), col("o_orderkey"), col("running"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+          .limit(300)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running
+             |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin)),
+
+    QueryDef("q18_window_lag_rank",
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+        load(s, d, "orders")
+          .withColumn("prev_price", r2(lag(col("o_totalprice"), 1).over(w)))
+          .withColumn("rnk", rank().over(w))
+          .select(col("o_custkey"), col("o_orderkey"), col("prev_price"), col("rnk"))
+          .orderBy(col("o_custkey"), col("o_orderkey"))
+          .limit(300)
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |round(lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),2) AS prev_price,
+             |rank() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rnk
+             |FROM orders ORDER BY o_custkey, o_orderkey LIMIT 300""".stripMargin)),
+
+    // ---- grouping extensions / conditional agg ------------------------
+    QueryDef("q19_rollup",
+      (s, d) => load(s, d, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("status"), col("n"))
+        .orderBy(col("flag"), col("status")),
+      Some("""SELECT COALESCE(l_returnflag,'(all)') AS flag,
+             |COALESCE(l_linestatus,'(all)') AS status, count(*) AS n
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY flag, status""".stripMargin)),
+
+    QueryDef("q20_having",
+      (s, d) => load(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .filter(col("n") >= 5)
+        .orderBy(col("o_custkey")),
+      Some("""SELECT o_custkey, count(*) AS n, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY o_custkey HAVING count(*) >= 5
+             |ORDER BY o_custkey""".stripMargin)),
+
+    QueryDef("q21_case_pivot",
+      (s, d) => load(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_o"),
+          sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_p"))
+        .orderBy(col("o_orderpriority")),
+      Some("""SELECT o_orderpriority,
+             |CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+             |CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+             |CAST(sum(CASE WHEN o_orderstatus='P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ---- strings ------------------------------------------------------
+    QueryDef("q22_string_funcs",
+      (s, d) => load(s, d, "part")
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          lower(col("p_type")).as("type_lo"),
+          substring(col("p_name"), 1, 8).as("name8"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy(col("p_partkey"))
+        .limit(200),
+      Some("""SELECT p_partkey, upper(p_brand) AS brand_up, lower(p_type) AS type_lo,
+             |substring(p_name,1,8) AS name8, CAST(length(p_name) AS INT) AS name_len,
+             |concat_ws('-', p_brand, p_type) AS brand_type
+             |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin)),
+
+    QueryDef("q23_like_regex",
+      (s, d) => load(s, d, "part")
+        .agg(
+          sum(when(col("p_name").like("%gre%"), 1).otherwise(0)).as("n_like"),
+          sum(when(col("p_name").rlike("^[a-f]"), 1).otherwise(0)).as("n_regex"),
+          sum(when(col("p_name").startsWith("a"), 1).otherwise(0)).as("n_prefix"),
+          sum(when(col("p_name").contains("ol"), 1).otherwise(0)).as("n_contains")),
+      Some("""SELECT
+             |CAST(sum(CASE WHEN p_name LIKE '%gre%' THEN 1 ELSE 0 END) AS BIGINT) AS n_like,
+             |CAST(sum(CASE WHEN regexp_matches(p_name, '^[a-f]') THEN 1 ELSE 0 END) AS BIGINT) AS n_regex,
+             |CAST(sum(CASE WHEN p_name LIKE 'a%' THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix,
+             |CAST(sum(CASE WHEN contains(p_name, 'ol') THEN 1 ELSE 0 END) AS BIGINT) AS n_contains
+             |FROM part""".stripMargin)),
+
+    QueryDef("q24_replace_trim_split",
+      (s, d) => load(s, d, "part")
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          trim(concat(lit("  "), col("p_brand"), lit("  "))).as("brand_t"),
+          size(split(col("p_type"), " ")).as("n_words"))
+        .orderBy(col("p_partkey"))
+        .limit(200),
+      Some("""SELECT p_partkey, replace(p_type, ' ', '_') AS type_u,
+             |trim('  ' || p_brand || '  ') AS brand_t,
+             |CAST(len(string_split(p_type, ' ')) AS INT) AS n_words
+             |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin)),
+
+    // ---- dates --------------------------------------------------------
+    QueryDef("q25_date_parts",
+      (s, d) => load(s, d, "orders")
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), r2(sum(col("o_totalprice"))).as("total"))
+        .orderBy(col("yr"), col("mo")),
+      Some("""SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(month(o_orderdate) AS INT) AS mo,
+             |count(*) AS n, round(sum(o_totalprice),2) AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin)),
+
+    QueryDef("q26_date_range_between",
+      (s, d) => load(s, d, "lineitem")
+        .filter(col("l_shipdate").between(lit("1995-01-01"), lit("1996-12-31")))
+        .groupBy(year(col("l_shipdate")).as("yr"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("yr")),
+      Some("""SELECT CAST(year(l_shipdate) AS INT) AS yr, count(*) AS n FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+             |GROUP BY 1 ORDER BY yr""".stripMargin)),
+
+    QueryDef("q27_datediff",
+      (s, d) => {
+        val li = load(s, d, "lineitem"); val o = load(s, d, "orders")
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .select(col("l_orderkey"), col("l_linenumber"),
+            datediff(col("l_shipdate"), col("o_orderdate")).as("ship_delay"))
+          .orderBy(col("l_orderkey"), col("l_linenumber"))
+          .limit(300)
+      },
+      Some("""SELECT l_orderkey, l_linenumber,
+             |CAST(datediff('day', o_orderdate::DATE, l_shipdate::DATE) AS INT) AS ship_delay
+             |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |ORDER BY l_orderkey, l_linenumber LIMIT 300""".stripMargin)),
+
+    // ---- subqueries ---------------------------------------------------
+    QueryDef("q28_in_subquery",
+      (s, d) => {
+        val o = load(s, d, "orders"); val c = load(s, d, "customer")
+        val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        o.join(rich, o("o_custkey") === rich("c_custkey"), "left_semi")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("o_orderstatus"))
+      },
+      Some("""SELECT o_orderstatus, count(*) AS n FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+             |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    QueryDef("q29_scalar_subquery",
+      (s, d) => {
+        val o = load(s, d, "orders")
+        val avgPrice = o.agg(avg(col("o_totalprice"))).first().getDouble(0)
+        o.filter(col("o_totalprice") > avgPrice)
+          .agg(count(lit(1)).as("n_above_avg"))
+      },
+      Some("""SELECT count(*) AS n_above_avg FROM orders
+             |WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)""".stripMargin)),
+
+    // ---- nested types -------------------------------------------------
+    QueryDef("q30_struct_map",
+      (s, d) => load(s, d, "orders")
+        .select(
+          col("o_orderkey"),
+          struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri")).as("info"),
+          map(lit("status"), col("o_orderstatus")).as("m"))
+        .select(
+          col("o_orderkey"),
+          col("info.st").as("st"),
+          col("info.pri").as("pri"),
+          element_at(col("m"), "status").as("st2"))
+        .orderBy(col("o_orderkey"))
+        .limit(200),
+      Some("""SELECT o_orderkey, info.st AS st, info.pri AS pri,
+             |map_extract(m, 'status')[1] AS st2 FROM (
+             |SELECT o_orderkey,
+             |struct_pack(st := o_orderstatus, pri := o_orderpriority) AS info,
+             |MAP(['status'], [o_orderstatus]) AS m
+             |FROM orders) ORDER BY o_orderkey LIMIT 200""".stripMargin)),
+
+    // ---- misc scalar --------------------------------------------------
+    QueryDef("q31_nullif_coalesce",
+      (s, d) => load(s, d, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("flag2"),
+          when(col("l_discount") === 0.0, null).otherwise(r2(col("l_discount"))).as("disc"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+        .limit(300),
+      Some("""SELECT l_orderkey, l_linenumber,
+             |COALESCE(NULLIF(l_returnflag, 'N'), 'none') AS flag2,
+             |CASE WHEN l_discount = 0.0 THEN NULL ELSE round(l_discount,2) END AS disc
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 300""".stripMargin)),
+
+    QueryDef("q32_cast_arith",
+      (s, d) => load(s, d, "part")
+        .select(col("p_partkey"),
+          col("p_size").cast("string").as("size_str"),
+          floor(col("p_retailprice")).cast("long").as("price_floor"),
+          ceil(col("p_retailprice") / 100.0).cast("long").as("bucket"),
+          (col("p_size") % 7).as("size_mod"))
+        .orderBy(col("p_partkey"))
+        .limit(200),
+      Some("""SELECT p_partkey, CAST(p_size AS VARCHAR) AS size_str,
+             |CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+             |CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS bucket,
+             |p_size % 7 AS size_mod
+             |FROM part ORDER BY p_partkey LIMIT 200""".stripMargin))
+  )
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table — the
+  * training-data-pipeline surface (token counting, quality scoring,
+  * language-ID heuristic, fingerprinting, exact + n-gram dedup).
+  *
+  * Scale notes: every operator is a single groupBy/self-join over hashed
+  * or tokenized columns — no driver-side collection; pairwise similarity
+  * is always bounded by a blocking key (here a doc_id range / length
+  * bucket) so the join never goes quadratic on the full corpus.
+  */
+object TextAnalysis {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q40_doc_tokens",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          length(col("text")).as("n_chars_computed"))
+        .orderBy(col("doc_id"))
+        .limit(500),
+      Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+             |CAST(length(text) AS INT) AS n_chars_computed
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    QueryDef("q41_doc_quality",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"), col("text"),
+          size(split(col("text"), " ")).as("words"),
+          size(array_distinct(split(col("text"), " "))).as("uniq_words"))
+        .select(col("doc_id"), col("words"),
+          round(col("uniq_words").cast("double") / col("words"), 4).as("uniq_ratio"),
+          round((length(col("text")) - col("words") + 1).cast("double") / col("words"), 4)
+            .as("avg_word_len"))
+        .orderBy(col("doc_id"))
+        .limit(500),
+      Some("""SELECT doc_id, words,
+             |round(CAST(uniq_words AS DOUBLE) / words, 4) AS uniq_ratio,
+             |round(CAST(length(text) - words + 1 AS DOUBLE) / words, 4) AS avg_word_len
+             |FROM (SELECT doc_id, text,
+             |  CAST(len(string_split(text,' ')) AS INT) AS words,
+             |  CAST(len(list_distinct(string_split(text,' '))) AS INT) AS uniq_words
+             |  FROM documents)
+             |ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    QueryDef("q42_langid_heuristic",
+      (s, d) => {
+        // Marker-word language ID: deterministic heuristic, identical in
+        // both engines (stand-in for an n-gram model; the synthetic corpus
+        // is English-ish so markers dominate).
+        val padded = concat(lit(" "), col("text"), lit(" "))
+        load(s, d, "documents")
+          .select(col("doc_id"),
+            when(padded.contains(" the ") || padded.contains(" a "), "en")
+              .when(padded.contains(" der ") || padded.contains(" und "), "de")
+              .when(padded.contains(" le ") || padded.contains(" la "), "fr")
+              .otherwise("unk").as("lang_pred"))
+          .groupBy(col("lang_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("lang_pred"))
+      },
+      Some("""SELECT lang_pred, count(*) AS n FROM (
+             |SELECT doc_id, CASE
+             |  WHEN contains(' ' || text || ' ', ' the ') OR contains(' ' || text || ' ', ' a ') THEN 'en'
+             |  WHEN contains(' ' || text || ' ', ' der ') OR contains(' ' || text || ' ', ' und ') THEN 'de'
+             |  WHEN contains(' ' || text || ' ', ' le ') OR contains(' ' || text || ' ', ' la ') THEN 'fr'
+             |  ELSE 'unk' END AS lang_pred
+             |FROM documents) GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
+
+    QueryDef("q43_fingerprint",
+      (s, d) => load(s, d, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .orderBy(col("doc_id"))
+        .limit(500),
+      Some("""SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    QueryDef("q44_dedup_exact",
+      (s, d) => load(s, d, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .orderBy(col("keeper")),
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+             |ORDER BY keeper""".stripMargin)),
+
+    QueryDef("q45_dedup_exact_summary",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        docs.agg(count(lit(1)).as("n_docs"),
+          countDistinct(md5(col("text"))).as("n_unique"))
+          .select(col("n_docs"), col("n_unique"),
+            (col("n_docs") - col("n_unique")).as("n_dupes"))
+      },
+      Some("""SELECT count(*) AS n_docs, count(DISTINCT md5(text)) AS n_unique,
+             |count(*) - count(DISTINCT md5(text)) AS n_dupes FROM documents""".stripMargin)),
+
+    QueryDef("q46_ngram_jaccard",
+      (s, d) => {
+        // Near-dup detection via word-set Jaccard on a blocked candidate
+        // set (doc_id < 200 block keeps the oracle cheap; the scale path
+        // is the MinHash-LSH variant in q47).
+        val docs = load(s, d, "documents").filter(col("doc_id") < 200)
+          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
+        val a = docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
+        val b = docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+              size(array_union(col("toks_a"), col("toks_b"))), 4).as("jaccard"))
+          .filter(col("jaccard") >= 0.8)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT id_a, id_b, jaccard FROM (
+             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             |      len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+             |FROM (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents WHERE doc_id < 200) a
+             |JOIN (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents WHERE doc_id < 200) b
+             |ON a.doc_id < b.doc_id)
+             |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin))
+  )
+}

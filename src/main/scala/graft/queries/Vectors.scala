@@ -1,0 +1,80 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  * Brute-force cosine top-k is the exact baseline; the LSH-bucketed
+  * variant (graft.operators.SimilaritySearch) is the 100 TB path.
+  *
+  * All dot products run inside whole-stage codegen via
+  * `aggregate(zip_with(...))` higher-order functions — no UDFs. Vectors
+  * are cast float→double before arithmetic so the math matches DuckDB's
+  * double-precision list functions.
+  */
+object Vectors {
+
+  /** sum(a[i]*b[i]) as a codegen-friendly HOF expression. */
+  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: org.apache.spark.sql.Column) =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q50_cosine_topk",
+      (s, d) => {
+        val emb = load(s, d, "embeddings")
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val target = broadcast(emb.filter(col("vec_id") === 0)
+          .select(col("v").as("t")))
+        emb.filter(col("vec_id") =!= 0)
+          .crossJoin(target)
+          .select(col("vec_id"),
+            round(dot(col("v"), col("t")) / (norm(col("v")) * norm(col("t"))), 4).as("cos_sim"))
+          .orderBy(col("cos_sim").desc, col("vec_id"))
+          .limit(20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |t AS (SELECT v AS tv FROM e WHERE vec_id = 0)
+             |SELECT vec_id,
+             |round(list_dot_product(v, tv) /
+             |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(tv, tv))), 4) AS cos_sim
+             |FROM e, t WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, vec_id LIMIT 20""".stripMargin)),
+
+    QueryDef("q51_norms_by_label",
+      (s, d) => load(s, d, "embeddings")
+        .select(col("label"), transform(col("embedding"), _.cast("double")).as("v"))
+        .select(col("label"), norm(col("v")).as("nrm"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
+        .orderBy(col("label")),
+      Some("""SELECT label, count(*) AS n,
+             |round(avg(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))), 4) AS avg_norm
+             |FROM embeddings GROUP BY label ORDER BY label""".stripMargin)),
+
+    QueryDef("q52_embedding_near_dup",
+      (s, d) => {
+        // Embedding-cosine near-dup pairs on a blocked candidate set.
+        val emb = load(s, d, "embeddings").filter(col("vec_id") < 100)
+          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+        val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4).as("cos_sim"))
+          .filter(col("cos_sim") > 0.3)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 100)
+             |SELECT id_a, id_b, cos_sim FROM (
+             |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             |  round(list_dot_product(a.v, b.v) /
+             |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
+             |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |WHERE cos_sim > 0.3
+             |ORDER BY id_a, id_b""".stripMargin))
+  )
+}

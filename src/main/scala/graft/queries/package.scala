@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+package object queries {
+  /** One correctness-gate entry: Spark-side plan + optional DuckDB oracle
+    * SQL over the same parquet tables. Queries with no SQL-expressible
+    * oracle get a rows-only check from the driver.
+    */
+  final case class QueryDef(
+      name: String,
+      fn: (SparkSession, String) => DataFrame,
+      oracle: Option[String])
+
+  /** Load one test table. Paths follow TESTDATA.md:
+    * `<dir>/<table>.parquet`.
+    *
+    * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
+    * (max precision is µs). We read nanos as raw longs and truncate to a
+    * µs TimestampType column — the engine-level bridge for ns sources.
+    */
+  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+    if (table == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = spark.read.parquet(s"$dir/$table.parquet")
+      raw.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$table.parquet")
+  }
+}
