@@ -20,5 +20,6 @@ object Bench {
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    sys.exit(0) // don't let stray non-daemon threads hold the JVM open
   }
 }

@@ -39,5 +39,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    sys.exit(0) // don't let stray non-daemon threads hold the JVM open
   }
 }

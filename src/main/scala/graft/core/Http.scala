@@ -30,12 +30,22 @@ object Http {
     .connectTimeout(Duration.ofSeconds(30))
     .build()
 
+  /** Percent-encode the characters java.net.URI rejects but that appear
+    * raw in CDX filter expressions (curl, used by the reference, accepts
+    * them as-is; the canonical URL string we display stays raw).
+    */
+  def encodeUrl(url: String): String =
+    url.replace(" ", "%20").replace("|", "%7C").replace("^", "%5E")
+      .replace("{", "%7B").replace("}", "%7D").replace("\"", "%22")
+      .replace("<", "%3C").replace(">", "%3E").replace("`", "%60")
+      .replace("\\", "%5C")
+
   /** Single GET, optional Range header and bearer token. */
   def get(
       url: String,
       headers: Map[String, String] = Map.empty,
       timeoutSeconds: Int = 30): Response = {
-    val b = HttpRequest.newBuilder(URI.create(url))
+    val b = HttpRequest.newBuilder(URI.create(encodeUrl(url)))
       .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
       .GET()
     headers.foreach { case (k, v) => b.header(k, v) }

@@ -1,0 +1,214 @@
+package graft.fixtures
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets.UTF_8
+import scala.collection.concurrent.TrieMap
+
+/** In-process HTTP stub for exercising the connectors offline (the
+  * environment has zero egress). Serves canned CDX / D1 / R2 payloads and
+  * records every request for pushdown assertions.
+  *
+  * This is a test/verification fixture, not part of the engine; it lives
+  * in main so the driver-run Verify queries can spin it up.
+  */
+final class Stub {
+  private var server: HttpServer = _
+  val requests = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]() // (path?query, body)
+  private val routes = TrieMap.empty[String, HttpExchange => (Int, Array[Byte])]
+
+  def start(): Stub = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val pathQ = ex.getRequestURI.toString
+      requests.add((pathQ, body))
+      ex.setAttribute("body", body)
+      val handler = routes.collectFirst {
+        case (prefix, h) if ex.getRequestURI.getPath.startsWith(prefix) => h
+      }
+      val (status, bytes) = handler match {
+        case Some(h) => try h(ex) catch { case e: Exception =>
+          (500, s"stub error: ${e.getMessage}".getBytes(UTF_8)) }
+        case None => (404, "not found".getBytes(UTF_8))
+      }
+      ex.sendResponseHeaders(status, if (bytes.isEmpty) -1 else bytes.length)
+      if (bytes.nonEmpty) ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    // daemon threads: the stub must never keep the JVM alive after main
+    // returns (the driver's Verify run would otherwise hang)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(8,
+      (r: Runnable) => { val t = new Thread(r); t.setDaemon(true); t }))
+    server.start()
+    this
+  }
+
+  def port: Int = server.getAddress.getPort
+  def base: String = s"http://127.0.0.1:$port"
+
+  def route(pathPrefix: String)(h: HttpExchange => (Int, Array[Byte])): Stub = {
+    routes.put(pathPrefix, h); this
+  }
+
+  def routeText(pathPrefix: String)(f: HttpExchange => String): Stub =
+    route(pathPrefix)(ex => (200, f(ex).getBytes(UTF_8)))
+
+  def stop(): Unit = if (server != null) server.stop(0)
+}
+
+/** Canned payloads shared by tests and the Verify connector queries —
+  * shapes follow FIXTURES.md (derived from the reference's test corpus).
+  */
+object Fixtures {
+
+  /** Wayback CDX CSV (space-delimited, fl order urlkey,timestamp,
+    * original,mimetype,statuscode,digest,length).
+    */
+  val waybackCsvFull: String =
+    """com,example)/ 20240115103000 https://example.com/ text/html 200 ABCDEF123 1234
+      |com,example)/about 20240116120000 https://example.com/about text/html 200 BCDEF1234 2345
+      |com,example)/missing 20230601000000 https://example.com/missing text/html 404 CDEF12345 512
+      |""".stripMargin
+
+  /** Serve the subset of columns requested via fl=, in canonical order. */
+  def waybackCsv(flParam: String): String = {
+    val all = Seq("urlkey", "timestamp", "original", "mimetype", "statuscode", "digest", "length")
+    val rows = waybackCsvFull.split("\n").filter(_.nonEmpty).map(_.split(" "))
+    val wanted = if (flParam.isEmpty) all else flParam.split(",").toSeq
+    val idx = wanted.map(all.indexOf)
+    rows.map(r => idx.map(r.apply).mkString(" ")).mkString("\n") + "\n"
+  }
+
+  /** Common Crawl CDX NDJSON. */
+  val ccNdjson: String =
+    """{"url": "https://example.com/", "timestamp": "20240115103000", "mime": "text/html", "status": "200", "digest": "SHA1AAA", "filename": "crawl-data/CC-MAIN-2024-46/warc/part-0.warc.gz", "offset": "100", "length": "%LEN%"}
+      |{"url": "https://example.com/p2", "timestamp": "20240116120000", "mime": "text/plain", "status": "200", "digest": "SHA1BBB", "filename": "crawl-data/CC-MAIN-2024-46/warc/part-0.warc.gz", "offset": "5000", "length": "%LEN%"}
+      |""".stripMargin
+
+  val collinfoJson: String =
+    """[
+      |{"id":"CC-MAIN-2024-46","name":"November 2024 Index","from":"2024-11-01T00:00:00","to":"2024-11-14T00:00:00"},
+      |{"id":"CC-MAIN-2024-42","name":"October 2024 Index","from":"2024-10-01T00:00:00","to":"2024-10-14T00:00:00"}
+      |]""".stripMargin
+
+  /** One gzip'd WARC record fixture. */
+  lazy val warcGz: Array[Byte] = {
+    val rec = "WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: https://example.com/\r\n\r\n" +
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\nServer: stub\r\n\r\n<html>hello graft</html>"
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(rec.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)); gz.close()
+    bos.toByteArray
+  }
+
+  /** D1 fixture database: users/orders tables per FIXTURES.md §3. */
+  def d1Response(sql: String): String = {
+    val s = sql.trim
+    def result(rows: String, changes: Int = 0): String =
+      s"""{"success":true,"errors":[],"result":[{"results":[$rows],"meta":{"changes":$changes,"last_row_id":0,"rows_read":0,"rows_written":0}}]}"""
+    if (s.startsWith("PRAGMA table_list"))
+      result(
+        """{"schema":"main","name":"users","type":"table","ncol":4,"wr":1,"strict":0},
+          |{"schema":"main","name":"orders","type":"table","ncol":4,"wr":1,"strict":0},
+          |{"schema":"main","name":"_cf_KV","type":"table","ncol":2,"wr":1,"strict":0},
+          |{"schema":"main","name":"sqlite_schema","type":"table","ncol":5,"wr":0,"strict":0}""".stripMargin)
+    else if (s.startsWith("PRAGMA table_info(users)"))
+      result(
+        """{"cid":0,"name":"id","type":"INTEGER","notnull":0,"dflt_value":null,"pk":1},
+          |{"cid":1,"name":"name","type":"TEXT","notnull":0,"dflt_value":null,"pk":0},
+          |{"cid":2,"name":"active","type":"BOOLEAN","notnull":0,"dflt_value":null,"pk":0},
+          |{"cid":3,"name":"balance","type":"REAL","notnull":0,"dflt_value":null,"pk":0}""".stripMargin)
+    else if (s.startsWith("PRAGMA table_info(orders)"))
+      result(
+        """{"cid":0,"name":"id","type":"INTEGER","notnull":0,"dflt_value":null,"pk":1},
+          |{"cid":1,"name":"user_id","type":"INTEGER","notnull":0,"dflt_value":null,"pk":0},
+          |{"cid":2,"name":"status","type":"TEXT","notnull":0,"dflt_value":null,"pk":0},
+          |{"cid":3,"name":"total","type":"REAL","notnull":0,"dflt_value":null,"pk":0}""".stripMargin)
+    else if (s.startsWith("SELECT * FROM users")) {
+      val all = Seq(
+        """{"id":1,"name":"alice","active":true,"balance":10.5}""",
+        """{"id":2,"name":"bob","active":false,"balance":0}""",
+        """{"id":3,"name":"carol","active":true,"balance":7.25}""",
+        """{"id":4,"name":null,"active":null,"balance":null}""")
+      // honor pushed-down WHERE active = 1 / LIMIT n for the fixture
+      val filtered = if (s.contains("WHERE") && s.contains("active = 1")) {
+        Seq(all(0), all(2))
+      } else all
+      val limited = "LIMIT (\\d+)".r.findFirstMatchIn(s) match {
+        case Some(m) => filtered.take(m.group(1).toInt)
+        case None => filtered
+      }
+      result(limited.mkString(","))
+    } else if (s.startsWith("SELECT * FROM orders"))
+      result(
+        """{"id":10,"user_id":1,"status":"shipped","total":99.9},
+          |{"id":11,"user_id":3,"status":"pending","total":5.0}""".stripMargin)
+    else if (s.startsWith("SELECT name, balance FROM users WHERE active = 1"))
+      result("""{"name":"alice","balance":10.5},{"name":"carol","balance":7.25}""")
+    else if (s.startsWith("INSERT") || s.startsWith("UPDATE") || s.startsWith("DELETE") ||
+             s.startsWith("CREATE") || s.startsWith("DROP"))
+      result("", changes = 1)
+    else if (s.startsWith("SELECT count"))
+      result("""{"cnt":4}""")
+    else
+      result("")
+  }
+
+  val d1DatabasesJson: String =
+    """{"success":true,"errors":[],"result":[
+      |{"uuid":"11111111-2222-3333-4444-555555555555","name":"my-database","created_at":"2024-01-01T00:00:00Z","version":"production","file_size":4096,"num_tables":2,"created_in_region":"WNAM"},
+      |{"uuid":"66666666-7777-8888-9999-000000000000","name":"other-db","created_at":"2024-02-01T00:00:00Z","version":"production","file_size":8192,"num_tables":5,"created_in_region":"EEUR"}
+      |]}""".stripMargin
+
+  val r2QueryResponse: String =
+    """{"results":[{"order_id":1,"amount":42.5}],"metadata":{"rows":1}}"""
+
+  /** Start a stub serving the whole fixture surface: wayback CDX + pages,
+    * CC index + collinfo + WARC data, D1 API, R2 SQL.
+    */
+  def startAll(): Stub = {
+    val stub = new Stub().start()
+    stub.routeText("/cdx/search/cdx") { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      val fl = q.split("&").find(_.startsWith("fl=")).map(_.drop(3)).getOrElse("")
+      waybackCsv(fl)
+    }
+    stub.route("/web/") { _ => (200, "<html>archived page</html>".getBytes(UTF_8)) }
+    stub.routeText("/collinfo.json")(_ => collinfoJson)
+    stub.route("/CC-MAIN-") { _ =>
+      (200, ccNdjson.replace("%LEN%", warcGz.length.toString).getBytes(UTF_8))
+    }
+    stub.route("/crawl-data/") { ex =>
+      // honor Range header over the WARC fixture
+      val range = Option(ex.getRequestHeaders.getFirst("Range"))
+      range match {
+        case Some(r) =>
+          // bytes=start-end over a virtual file where our record sits at
+          // any offset: always serve the full gzip member (the reader
+          // gunzips whatever the range returns).
+          (206, warcGz)
+        case None => (200, warcGz)
+      }
+    }
+    stub.route("/client/v4/accounts/") { ex =>
+      val path = ex.getRequestURI.getPath
+      val body = Option(ex.getAttribute("body")).map(_.toString).getOrElse("")
+      if (path.endsWith("/d1/database")) (200, d1DatabasesJson.getBytes(UTF_8))
+      else {
+        val sql = "\"sql\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(body)
+          .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
+        if (body.trim.startsWith("[")) {
+          // batch: one result per statement
+          val stmts = "\"sql\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
+            .map(_.group(1)).toSeq
+          val results = stmts.map(_ =>
+            """{"success":true,"results":[],"meta":{"changes":1}}""").mkString(",")
+          (200, s"""{"success":true,"errors":[],"result":[$results]}""".getBytes(UTF_8))
+        } else (200, d1Response(sql).getBytes(UTF_8))
+      }
+    }
+    stub.route("/api/v1/accounts/") { _ => (200, r2QueryResponse.getBytes(UTF_8)) }
+    stub
+  }
+}

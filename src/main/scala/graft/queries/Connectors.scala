@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.fixtures.Fixtures
+import graft.core.Secrets
+
+/** Connector-surface correctness entries. Each query drives a real DSv2
+  * scan against the in-process fixture stub (zero egress) and yields a
+  * deterministic result, verified against a literal-VALUES DuckDB oracle —
+  * full-strength hash checks for the federated sources.
+  */
+object Connectors {
+
+  /** One stub JVM-wide; endpoints are resolved at plan time and the
+    * server lives until JVM exit (Verify/Bench are one-shot JVMs).
+    */
+  lazy val stub: graft.fixtures.Stub = Fixtures.startAll()
+
+  private def d1Opts(r: org.apache.spark.sql.DataFrameReader) = r
+    .option("api_base", s"${stub.base}/client/v4")
+    .option("account_id", "fixture-acct").option("api_token", "fixture-tok")
+    .option("database_id", "11111111-2222-3333-4444-555555555555")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Golden URL generation — the reference's tier-2 test surface.
+    QueryDef("qc01_wayback_cdx_url",
+      (s, _) => s.read.format("wayback").option("debug", "true").load()
+        .filter(col("url") === "example.com" && col("statuscode") === 200)
+        .limit(5)
+        .select(col("cdx_url")),
+      Some("SELECT 'https://web.archive.org/cdx/search/cdx?url=example.com&output=csv" +
+        "&limit=5&filter=statuscode:200' AS cdx_url")),
+
+    QueryDef("qc02_wayback_fastlatest_url",
+      (s, _) => s.read.format("wayback").option("debug", "true")
+        .option("cdx_endpoint", s"${stub.base}/cdx/search/cdx").load()
+        .filter(col("url") === "example.com")
+        .orderBy(col("timestamp").desc).limit(10)
+        // port varies per run: compare only the query-string part; all
+        // rows share one cdx_url so distinct yields a single row (an
+        // outer limit(1) would merge into the TopN and change the URL)
+        .select(substring_index(col("cdx_url"), "?", -1).as("cdx_query"))
+        .distinct(),
+      Some("SELECT 'url=example.com&output=csv&fl=timestamp&fastLatest=true&limit=-10'" +
+        " AS cdx_query")),
+
+    QueryDef("qc03_wayback_scan",
+      (s, _) => s.read.format("wayback")
+        .option("cdx_endpoint", s"${stub.base}/cdx/search/cdx")
+        .option("url", "example.com").load()
+        .select(col("url"), col("statuscode"), col("year"), col("month"))
+        .orderBy(col("url")),
+      Some("""SELECT * FROM (VALUES
+             |('https://example.com/', 200, 2024, 1),
+             |('https://example.com/about', 200, 2024, 1),
+             |('https://example.com/missing', 404, 2023, 6))
+             |t(url, statuscode, year, month) ORDER BY url""".stripMargin)),
+
+    QueryDef("qc04_cc_scan_warc",
+      (s, _) => s.read.format("commoncrawl")
+        .option("index_endpoint", stub.base)
+        .option("data_endpoint", stub.base)
+        .option("crawl", "CC-MAIN-2024-46")
+        .option("url_like", "%.example.com/%").load()
+        .select(col("url"), col("crawl_id"), col("mimetype"),
+          col("warc.version").as("warc_version"),
+          col("response.body").cast("string").as("body"),
+          element_at(col("response.headers"), "Content-Type").as("content_type"))
+        .orderBy(col("url")),
+      Some("""SELECT * FROM (VALUES
+             |('https://example.com/', 'CC-MAIN-2024-46', 'text/html', '1.0', '<html>hello graft</html>', 'text/html'),
+             |('https://example.com/p2', 'CC-MAIN-2024-46', 'text/plain', '1.0', '<html>hello graft</html>', 'text/html'))
+             |t(url, crawl_id, mimetype, warc_version, body, content_type) ORDER BY url""".stripMargin)),
+
+    QueryDef("qc05_cc_fanout",
+      (s, _) => s.read.format("commoncrawl")
+        .option("index_endpoint", stub.base)
+        .option("data_endpoint", stub.base)
+        .option("url_like", "example.com/%").load()
+        .filter(col("crawl_id").isin("CC-MAIN-2024-46", "CC-MAIN-2024-42"))
+        .groupBy(col("crawl_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("crawl_id")),
+      Some("""SELECT * FROM (VALUES
+             |('CC-MAIN-2024-42', CAST(2 AS BIGINT)), ('CC-MAIN-2024-46', CAST(2 AS BIGINT)))
+             |t(crawl_id, n) ORDER BY crawl_id""".stripMargin)),
+
+    QueryDef("qc06_d1_scan",
+      (s, _) => d1Opts(s.read.format("d1")).option("table", "users").load()
+        .orderBy(col("id")),
+      Some("""SELECT * FROM (VALUES
+             |(CAST(1 AS BIGINT), 'alice', true, 10.5),
+             |(CAST(2 AS BIGINT), 'bob', false, 0.0),
+             |(CAST(3 AS BIGINT), 'carol', true, 7.25),
+             |(CAST(4 AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS BOOLEAN), CAST(NULL AS DOUBLE)))
+             |t(id, name, active, balance) ORDER BY id""".stripMargin)),
+
+    QueryDef("qc07_d1_pushdown",
+      (s, _) => d1Opts(s.read.format("d1")).option("table", "users").load()
+        .filter(col("active") === true)
+        .select(col("id"), col("name"))
+        .orderBy(col("id")),
+      Some("""SELECT * FROM (VALUES
+             |(CAST(1 AS BIGINT), 'alice'), (CAST(3 AS BIGINT), 'carol'))
+             |t(id, name) ORDER BY id""".stripMargin)),
+
+    QueryDef("qc08_d1_query_passthrough",
+      (s, _) => d1Opts(s.read.format("d1query"))
+        .option("query", "SELECT * FROM orders").load()
+        .orderBy(col("id")),
+      Some("""SELECT * FROM (VALUES
+             |('10', '1', 'shipped', '99.9'), ('11', '3', 'pending', '5.0'))
+             |t(id, user_id, status, total) ORDER BY id""".stripMargin)),
+
+    QueryDef("qc09_d1_tables",
+      (s, _) => {
+        Secrets.register(Secrets.Secret("__default_d1", "d1", "fixture-acct", "fixture-tok"))
+        graft.sources.d1.D1.tables(s, "11111111-2222-3333-4444-555555555555",
+          apiBase = s"${stub.base}/client/v4")
+          .orderBy(col("name"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |('main', 'orders', 'table', 4, true, false),
+             |('main', 'users', 'table', 4, true, false))
+             |t(schema, name, type, ncol, writable, strict) ORDER BY name""".stripMargin)),
+
+    QueryDef("qc10_d1_databases",
+      (s, _) => {
+        Secrets.register(Secrets.Secret("__default_d1", "d1", "fixture-acct", "fixture-tok"))
+        graft.sources.d1.D1.databases(s, apiBase = s"${stub.base}/client/v4")
+          .select(col("uuid"), col("name"), col("num_tables"), col("region"))
+          .orderBy(col("name"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |('11111111-2222-3333-4444-555555555555', 'my-database', 2, 'WNAM'),
+             |('66666666-7777-8888-9999-000000000000', 'other-db', 5, 'EEUR'))
+             |t(uuid, name, num_tables, region) ORDER BY name""".stripMargin)),
+
+    QueryDef("qc11_d1_catalog",
+      (s, _) => {
+        Secrets.register(Secrets.Secret("__default_d1", "d1", "fixture-acct", "fixture-tok"))
+        s.conf.set("spark.sql.catalog.d1fix", "graft.sources.d1.D1Catalog")
+        s.conf.set("spark.sql.catalog.d1fix.database_id", "11111111-2222-3333-4444-555555555555")
+        s.conf.set("spark.sql.catalog.d1fix.api_base", s"${stub.base}/client/v4")
+        s.sql("SELECT count(*) AS n_active FROM d1fix.main.users WHERE active = true")
+      },
+      Some("SELECT CAST(2 AS BIGINT) AS n_active")),
+
+    QueryDef("qc12_r2_passthrough",
+      (s, _) => {
+        Secrets.register(Secrets.Secret("r2fix", "r2_sql", "fixture-acct", "fixture-tok"))
+        s.read.format("r2sql")
+          .option("secret", "r2fix").option("bucket", "bkt")
+          .option("api_base", stub.base)
+          .option("query", "SELECT * FROM orders").load()
+      },
+      Some("""SELECT '{"results":[{"order_id":1,"amount":42.5}],"metadata":{"rows":1}}'""" +
+        " AS response")),
+
+    QueryDef("qc13_wayback_collapse_url",
+      (s, _) => s.read.format("wayback").option("debug", "true")
+        .option("collapse", "timestamp:8").load()
+        .filter(col("url") === "example.com" && col("year") >= 2020 && col("year") <= 2023)
+        .limit(50)
+        .select(col("cdx_url")),
+      Some("SELECT 'https://web.archive.org/cdx/search/cdx?url=example.com&output=csv" +
+        "&from=2020&to=2023&limit=50&collapse=timestamp:8' AS cdx_url"))
+  )
+}

@@ -1,0 +1,442 @@
+package graft.sources.cdx
+
+import java.util
+import com.fasterxml.jackson.databind.ObjectMapper
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{CdxUrls, Codecs, CollInfo, Http, Warc}
+
+/** Common Crawl CDX index connector.
+  *
+  * Spark-native re-expression of the reference's `common_crawl_index()`
+  * table function (/root/reference/src/common_crawl_index.cpp).
+  *
+  * Usage: `spark.read.format("commoncrawl").option("url_like",
+  * "%.example.com/%").load()`.
+  *
+  * Pushdown matrix (reference :889-1460):
+  *  - url = / prefix / suffix / contains → CDX `url=` wildcard pattern
+  *    (`%`→`*`, `_`→`?`), consumed
+  *  - statuscode/mimetype =/!= → `&filter==status:N` / `=mime:v` (`!` for
+  *    negation; field renames status/mime)
+  *  - statuscode/mimetype IN → `~status:(a|b|c)` regex alternation
+  *  - statuscode/mimetype prefix → `~field:^v.*` (regex-escaped)
+  *  - crawl_id = → index shard selection; crawl_id IN → parallel fan-out,
+  *    one partition per crawl (the reference's std::async becomes REAL
+  *    cluster parallelism), pushed LIMIT divided across crawls
+  *    (:1510-1513)
+  *  - timestamp ranges → `&from=`/`&to=` + crawl-id discovery via
+  *    collinfo overlap; filters KEPT in the plan for exact re-filtering
+  *    (:1333,1384 — the wayback/CC asymmetry)
+  *  - LIMIT → `&limit=N`, node eliminated
+  *
+  * Scale design: partition-per-crawl fan-out; WARC bodies are fetched on
+  * executors with ranged GETs + gunzip, lazily per row batch, bounded by
+  * the retry/backoff policy — a full-archive scan distributes across as
+  * many executors as there are crawl shards (x offset pages).
+  */
+class CommonCrawlSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "commoncrawl"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    CommonCrawlTable.schema(options.getBoolean("debug", false))
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new CommonCrawlTable(new CaseInsensitiveStringMap(properties))
+}
+
+object CommonCrawlTable {
+  val headersType: MapType = MapType(StringType, StringType)
+  val warcType: StructType = StructType(Seq(
+    StructField("version", StringType), StructField("headers", headersType)))
+  val responseType: StructType = StructType(Seq(
+    StructField("body", BinaryType), StructField("headers", headersType),
+    StructField("http_version", StringType), StructField("error", StringType)))
+
+  def schema(debug: Boolean): StructType = {
+    val base = StructType(Seq(
+      StructField("url", StringType),
+      StructField("timestamp", TimestampType),
+      StructField("mimetype", StringType),
+      StructField("statuscode", IntegerType),
+      StructField("digest", StringType),
+      StructField("filename", StringType),
+      StructField("offset", LongType),
+      StructField("length", LongType),
+      StructField("crawl_id", StringType),
+      StructField("warc", warcType),
+      StructField("response", responseType)))
+    if (debug) base.add(StructField("cdx_url", StringType)) else base
+  }
+
+  val cdxFields: Set[String] =
+    Set("url", "timestamp", "mimetype", "statuscode", "digest", "filename", "offset", "length")
+}
+
+class CommonCrawlTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+  override def name(): String = "common_crawl_index"
+  override def schema(): StructType = CommonCrawlTable.schema(options.getBoolean("debug", false))
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap): ScanBuilder = {
+    val merged = new util.HashMap[String, String](options)
+    merged.putAll(caseInsensitiveOptions)
+    new CommonCrawlScanBuilder(new CaseInsensitiveStringMap(merged))
+  }
+}
+
+case class CommonCrawlRequest(
+    indexEndpoint: String,
+    dataEndpoint: String,
+    crawlId: String,           // one crawl per partition after fan-out
+    urlFilter: String,
+    fieldsNeeded: Seq[String], // CC column names (pre-rename)
+    cdxFilters: Seq[String],
+    fromCdxTs: String,
+    toCdxTs: String,
+    maxResults: Long,
+    debug: Boolean,
+    cdxUrlOnly: Boolean,
+    fetchResponse: Boolean,
+    timeoutSeconds: Int,
+    prunedColumns: Seq[String]) extends Serializable {
+
+  def cdxUrl: String = CdxUrls.buildCommonCrawlUrl(indexEndpoint, crawlId, urlFilter,
+    fieldsNeeded, cdxFilters, maxResults, fromCdxTs, toCdxTs)
+}
+
+class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
+
+  private val debug = options.getBoolean("debug", false)
+
+  private var urlFilter: String =
+    Option(options.get("url_like")).map(Codecs.convertSqlWildcardsToCdx)
+      .orElse(Option(options.get("url"))).getOrElse("*")
+  private var indexName: String = Option(options.get("crawl")).getOrElse("")
+  private var crawlIds: Vector[String] =
+    Option(options.get("crawls")).toVector.flatMap(_.split(",")).filter(_.nonEmpty)
+  private var cdxFilters: Vector[String] = Vector.empty
+  private var fromMicros: Long = 0L
+  private var toMicros: Long = 0L
+  private var hasTsFilter = false
+  private var maxResults: Long = options.getLong("max_results", 100L)
+  private var limitFromPushdown = false
+  private var pushed: Vector[Filter] = Vector.empty
+  private var prunedSchema: StructType = CommonCrawlTable.schema(debug)
+
+  private val regexCols = Set("mimetype", "statuscode")
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] =
+    filters.filterNot(tryConsume)
+
+  override def pushedFilters(): Array[Filter] = pushed.toArray
+
+  private def micros(v: Any): Long = v match {
+    case t: java.sql.Timestamp => t.getTime * 1000L
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case d: java.sql.Date => d.getTime * 1000L
+    case s: String =>
+      try {
+        val norm = s.trim.replace(' ', 'T')
+        val withTime = if (norm.length == 10) norm + "T00:00:00" else norm
+        java.time.LocalDateTime.parse(withTime.takeWhile(_ != '.').stripSuffix("Z"))
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+      } catch { case _: Exception => 0L }
+    case _ => 0L
+  }
+
+  private def cdxTs(v: Any): String = v match {
+    case i: java.time.Instant => Codecs.toCdxTimestamp(
+      java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC).toString)
+    case other => Codecs.toCdxTimestamp(other.toString)
+  }
+
+  private def intOf(v: Any): Int = v match {
+    case i: Int => i
+    case l: Long => l.toInt
+    case s: Short => s.toInt
+    case other => other.toString.toInt
+  }
+
+  private def tryConsume(f: Filter): Boolean = {
+    val consumed = f match {
+      // ---- url: all shapes → CDX wildcard pattern ---------------------
+      case EqualTo("url", v: String) =>
+        urlFilter = Codecs.convertSqlWildcardsToCdx(v); true
+      case StringStartsWith("url", v) => urlFilter = v + "*"; true
+      case StringEndsWith("url", v) => urlFilter = "*" + v; true
+      case StringContains("url", v) => urlFilter = "*" + v + "*"; true
+      case Not(StringStartsWith("url", v)) =>
+        cdxFilters :+= ("!~url:^" + Codecs.escapeRegexSpecialChars(v) + ".*$"); true
+      case Not(StringContains("url", v)) =>
+        cdxFilters :+= ("!~url:" + Codecs.sqlRegexToRegex("%" + v + "%")); true
+
+      // ---- crawl_id ---------------------------------------------------
+      case EqualTo("crawl_id", v: String) => indexName = v; true
+      case In("crawl_id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[String]) =>
+        crawlIds = vs.map(_.asInstanceOf[String]).toVector; true
+
+      // ---- statuscode / mimetype --------------------------------------
+      case EqualTo("statuscode", v) =>
+        cdxFilters :+= ("=status:" + intOf(v)); true
+      case Not(EqualTo("statuscode", v)) =>
+        cdxFilters :+= ("!status:" + intOf(v)); true
+      case EqualTo("mimetype", v: String) =>
+        cdxFilters :+= ("=mime:" + v); true
+      case Not(EqualTo("mimetype", v: String)) =>
+        cdxFilters :+= ("!mime:" + v); true
+      case In(c, vs) if regexCols(c) && vs.nonEmpty =>
+        val parts = if (c == "statuscode") vs.map(intOf).map(_.toString)
+                    else vs.collect { case s: String => s }
+        if (parts.length == vs.length) {
+          cdxFilters :+= ("~" + CdxUrls.ccColumnToField(c) + ":(" + parts.mkString("|") + ")")
+          true
+        } else false
+      case StringStartsWith(c, v) if regexCols(c) =>
+        cdxFilters :+= ("~" + CdxUrls.ccColumnToField(c) + ":^" +
+          Codecs.escapeRegexSpecialChars(v) + ".*"); true
+
+      // ---- timestamp: set from/to + crawl discovery, but KEEP filter --
+      case GreaterThan("timestamp", v) =>
+        fromMicros = micros(v); hasTsFilter = true; false
+      case GreaterThanOrEqual("timestamp", v) =>
+        fromMicros = micros(v); hasTsFilter = true; false
+      case LessThan("timestamp", v) =>
+        toMicros = micros(v); hasTsFilter = true; false
+      case LessThanOrEqual("timestamp", v) =>
+        toMicros = micros(v); hasTsFilter = true; false
+
+      case And(l, r) =>
+        val lc = tryConsume(l); val rc = tryConsume(r)
+        lc && rc
+
+      // see WaybackScanBuilder: IsNotNull is Catalyst bookkeeping; scalar
+      // CDX columns are never null here.
+      case IsNotNull(c) if c != "response" && c != "warc" => true
+
+      case _ => false
+    }
+    if (consumed) pushed :+= f
+    consumed
+  }
+
+  override def pushLimit(limit: Int): Boolean = {
+    maxResults = limit.toLong
+    limitFromPushdown = true
+    true
+  }
+
+  override def pruneColumns(requiredSchema: StructType): Unit = prunedSchema = requiredSchema
+
+  override def build(): Scan = {
+    val cols = prunedSchema.fieldNames.toSeq
+    val needResponse = cols.contains("warc") || cols.contains("response")
+    val needWarcFields = needResponse ||
+      cols.exists(c => c == "filename" || c == "offset" || c == "length")
+    var fields = cols.filter(CommonCrawlTable.cdxFields.contains)
+    if (needWarcFields)
+      fields = (fields ++ Seq("filename", "offset", "length")).distinct
+    var cdxUrlOnly = debug && fields.isEmpty && !needResponse
+    if (fields.isEmpty) fields = Seq("url")
+
+    new CommonCrawlScan(
+      indexEndpoint = Option(options.get("index_endpoint")).getOrElse(CdxUrls.CommonCrawlIndexEndpoint),
+      dataEndpoint = Option(options.get("data_endpoint")).getOrElse(CdxUrls.CommonCrawlDataEndpoint),
+      collinfoEndpoint = Option(options.get("collinfo_endpoint"))
+        .getOrElse(CdxUrls.CommonCrawlIndexEndpoint + "/collinfo.json"),
+      urlFilter = urlFilter, indexName = indexName, crawlIds = crawlIds,
+      fieldsNeeded = fields, cdxFilters = cdxFilters,
+      fromMicros = fromMicros, toMicros = toMicros, hasTsFilter = hasTsFilter,
+      maxResults = maxResults, divideLimit = limitFromPushdown && crawlIds.nonEmpty,
+      debug = debug, cdxUrlOnly = cdxUrlOnly, fetchResponse = needResponse,
+      timeoutSeconds = options.getInt("timeout", 180),
+      prunedSchema = prunedSchema)
+  }
+}
+
+class CommonCrawlScan(
+    indexEndpoint: String, dataEndpoint: String, collinfoEndpoint: String,
+    urlFilter: String, indexName: String, crawlIds: Vector[String],
+    fieldsNeeded: Seq[String], cdxFilters: Seq[String],
+    fromMicros: Long, toMicros: Long, hasTsFilter: Boolean,
+    maxResults: Long, divideLimit: Boolean, debug: Boolean, cdxUrlOnly: Boolean,
+    fetchResponse: Boolean, timeoutSeconds: Int, prunedSchema: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = prunedSchema
+  override def toBatch: Batch = this
+  override def description(): String = s"common_crawl_index url=$urlFilter"
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.empty()
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(maxResults)
+  }
+
+  /** Crawl-id resolution (driver side, reference init :434-456):
+    * explicit → timestamp-overlap via collinfo → latest.
+    */
+  private def resolveCrawls(): Seq[String] = {
+    if (crawlIds.nonEmpty) crawlIds
+    else if (indexName.nonEmpty) Seq(indexName)
+    else {
+      val cache = new CollInfo.Cache(collinfoEndpoint)
+      if (hasTsFilter) {
+        val ids = cache.crawlIdsForRange(fromMicros, toMicros)
+        if (ids.nonEmpty) ids else Seq(cache.latestCrawlId())
+      } else Seq(cache.latestCrawlId())
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (urlFilter == "*" || urlFilter.isEmpty)
+      throw new IllegalArgumentException(
+        "common_crawl_index() requires a URL filter. Use WHERE url LIKE '%.example.com/%' " +
+          "or WHERE url LIKE 'https://example.com/%'")
+    val crawls = if (cdxUrlOnly && crawlIds.isEmpty && indexName.isEmpty) Seq("CC-MAIN-latest")
+                 else resolveCrawls()
+    // Reference divides a pushed LIMIT across explicit crawl_id fan-out
+    // (:1510-1513); timestamp-resolved crawls each get the full limit.
+    val perCrawlLimit =
+      if (divideLimit && crawls.size > 1) (maxResults + crawls.size - 1) / crawls.size
+      else maxResults
+    val from = if (fromMicros != 0) cdxTsOf(fromMicros) else ""
+    val to = if (toMicros != 0) cdxTsOf(toMicros) else ""
+    crawls.map { c =>
+      CommonCrawlPartition(CommonCrawlRequest(indexEndpoint, dataEndpoint, c, urlFilter,
+        fieldsNeeded, cdxFilters, from, to, perCrawlLimit, debug, cdxUrlOnly,
+        fetchResponse, timeoutSeconds, prunedSchema.fieldNames.toSeq))
+    }.toArray
+  }
+
+  private def cdxTsOf(m: Long): String = {
+    val dt = java.time.LocalDateTime.ofEpochSecond(m / 1000000L, 0, java.time.ZoneOffset.UTC)
+    Codecs.toCdxTimestamp(dt.toString.replace("T", " "))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new CommonCrawlReaderFactory()
+}
+
+case class CommonCrawlPartition(req: CommonCrawlRequest) extends InputPartition
+
+class CommonCrawlReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new CommonCrawlPartitionReader(partition.asInstanceOf[CommonCrawlPartition].req)
+}
+
+/** Executor-side reader: CDX NDJSON fetch at open, lazy batched WARC
+  * fetches (ranged GET + gunzip + parse — reference :592-613).
+  */
+class CommonCrawlPartitionReader(req: CommonCrawlRequest) extends PartitionReader[InternalRow] {
+
+  case class Rec(url: String, timestamp: String, mime: String, status: Int, digest: String,
+                 filename: String, offset: Long, length: Long)
+
+  private val mapper = new ObjectMapper()
+  private val startNanos = System.nanoTime()
+  private lazy val records: IndexedSeq[Rec] = fetchRecords()
+  private var pos = -1
+  private var warcs: Map[Int, Warc.WarcResponse] = Map.empty
+
+  private def jstr(node: com.fasterxml.jackson.databind.JsonNode, key: String): String =
+    Option(node.get(key)).map(_.asText("")).getOrElse("")
+
+  private def fetchRecords(): IndexedSeq[Rec] = {
+    if (req.cdxUrlOnly) return IndexedSeq(Rec("", "20250101000000", "", 0, "", "", 0L, 0L))
+    val resp = Http.get(req.cdxUrl, timeoutSeconds = 60)
+    if (resp.status >= 400)
+      throw new java.io.IOException(s"Error querying CDX API: HTTP ${resp.status}")
+    val text = Codecs.sanitizeUtf8(resp.body)
+    text.split("\n").iterator.filter(l => l.nonEmpty && l.startsWith("{")).flatMap { line =>
+      try {
+        val n = mapper.readTree(line)
+        val url = jstr(n, "url")
+        if (url.isEmpty) None
+        else Some(Rec(url, jstr(n, "timestamp"), jstr(n, "mime"),
+          { val s = jstr(n, "status"); if (s.isEmpty) 0 else try s.toInt catch { case _: Exception => 0 } },
+          jstr(n, "digest"), jstr(n, "filename"),
+          { val s = jstr(n, "offset"); if (s.isEmpty) 0L else try s.toLong catch { case _: Exception => 0L } },
+          { val s = jstr(n, "length"); if (s.isEmpty) 0L else try s.toLong catch { case _: Exception => 0L } }))
+      } catch { case _: Exception => None }
+    }.toIndexedSeq
+  }
+
+  private val PrefetchBatch = 64
+
+  private def warcOf(idx: Int): Warc.WarcResponse = {
+    warcs.getOrElse(idx, {
+      val end = math.min(idx + PrefetchBatch, records.length)
+      import java.util.concurrent.CompletableFuture
+      val futs = (idx until end).map { i =>
+        CompletableFuture.supplyAsync(() => i -> fetchWarc(records(i)))
+      }
+      warcs ++= futs.map(_.join())
+      warcs(idx)
+    })
+  }
+
+  private def fetchWarc(rec: Rec): Warc.WarcResponse = {
+    if (rec.filename.isEmpty || rec.offset == 0 || rec.length == 0) return Warc.WarcResponse()
+    val fr = Http.fetchWithRetry(s"${req.dataEndpoint}/${rec.filename}",
+      rangeStart = rec.offset, rangeLen = rec.length,
+      startNanos = startNanos, timeoutSeconds = req.timeoutSeconds)
+    if (fr.isError) Warc.WarcResponse(error = fr.error)
+    else Warc.decompressGzip(fr.body) match {
+      case Left(err) => Warc.WarcResponse(error = err)
+      case Right(data) => Warc.parseWarcResponse(data)
+    }
+  }
+
+  private def mapData(m: Map[String, String]): ArrayBasedMapData = {
+    val keys = new GenericArrayData(m.keys.map(k => UTF8String.fromString(Codecs.sanitizeUtf8(k))).toArray[Any])
+    val vals = new GenericArrayData(m.values.map(v => UTF8String.fromString(Codecs.sanitizeUtf8(v))).toArray[Any])
+    new ArrayBasedMapData(keys, vals)
+  }
+
+  override def next(): Boolean = { pos += 1; pos < records.length }
+
+  override def get(): InternalRow = {
+    val rec = records(pos)
+    lazy val w = warcOf(pos)
+    val values: Array[Any] = req.prunedColumns.map {
+      case "url"        => UTF8String.fromString(Codecs.sanitizeUtf8(rec.url))
+      case "timestamp"  => java.lang.Long.valueOf(Codecs.parseCdxTimestampMicros(rec.timestamp))
+      case "mimetype"   => UTF8String.fromString(Codecs.sanitizeUtf8(rec.mime))
+      case "statuscode" => java.lang.Integer.valueOf(rec.status)
+      case "digest"     => UTF8String.fromString(Codecs.sanitizeUtf8(rec.digest))
+      case "filename"   => UTF8String.fromString(Codecs.sanitizeUtf8(rec.filename))
+      case "offset"     => java.lang.Long.valueOf(rec.offset)
+      case "length"     => java.lang.Long.valueOf(rec.length)
+      case "crawl_id"   => UTF8String.fromString(req.crawlId)
+      case "warc" =>
+        if (req.fetchResponse && !req.cdxUrlOnly) {
+          new GenericInternalRow(Array[Any](
+            UTF8String.fromString(w.warcVersion), mapData(w.warcHeaders)))
+        } else null
+      case "response" =>
+        if (req.fetchResponse && !req.cdxUrlOnly) {
+          val err = if (w.error.isEmpty) null else UTF8String.fromString(w.error)
+          new GenericInternalRow(Array[Any](
+            w.body, mapData(w.httpHeaders),
+            UTF8String.fromString(w.httpVersion), err))
+        } else null
+      case "cdx_url" => UTF8String.fromString(req.cdxUrl)
+      case _ => null
+    }.toArray
+    new GenericInternalRow(values)
+  }
+
+  override def close(): Unit = {}
+}

@@ -1,0 +1,83 @@
+package graft.sources.d1
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.core.{D1Client, Secrets}
+
+/** Metadata/introspection + imperative surface of the D1 extension:
+  *  - `D1.databases(spark, ...)` — reference `d1_databases()`
+  *    (src/d1_functions.cpp:200-287): uuid/name/created_at/version/
+  *    file_size/num_tables/region
+  *  - `D1.tables(spark, ...)` — reference `d1_tables()` (:310-415):
+  *    schema/name/type/ncol/writable/strict, internal tables filtered
+  *  - `D1.execute(...)` — reference `d1_execute()` scalar (:423-450):
+  *    returns meta.changes
+  *  - `D1.registerExecuteUdf(spark)` — SQL-surface parity for
+  *    `SELECT d1_execute(sql, secret, database_id)`
+  *
+  * Metadata results are driver-collected (they are O(#tables)) and
+  * returned as DataFrames for composability.
+  */
+object D1 {
+
+  val databasesSchema: StructType = StructType(Seq(
+    StructField("uuid", StringType), StructField("name", StringType),
+    StructField("created_at", StringType), StructField("version", StringType),
+    StructField("file_size", LongType), StructField("num_tables", IntegerType),
+    StructField("region", StringType)))
+
+  val tablesSchema: StructType = StructType(Seq(
+    StructField("schema", StringType), StructField("name", StringType),
+    StructField("type", StringType), StructField("ncol", IntegerType),
+    StructField("writable", BooleanType), StructField("strict", BooleanType)))
+
+  private def configOf(secretName: Option[String], databaseId: String,
+                       apiBase: String): D1Client.Config = {
+    val conf: String => Option[String] = k =>
+      try org.apache.spark.sql.SparkSession.active.conf.getOption(k)
+      catch { case _: Exception => None }
+    val secret = Secrets.resolveD1(secretName, conf).getOrElse(
+      throw new IllegalArgumentException("no d1 secret available"))
+    Secrets.d1Config(secret, databaseId, apiBase)
+  }
+
+  def databases(spark: SparkSession, secret: Option[String] = None,
+                apiBase: String = "https://api.cloudflare.com/client/v4"): DataFrame = {
+    val cfg = configOf(secret, "", apiBase)
+    val rows = D1Client.listDatabases(cfg).map(d =>
+      Row(d.uuid, d.name, d.createdAt, d.version, d.fileSize, d.numTables, d.region))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), databasesSchema)
+  }
+
+  def tables(spark: SparkSession, databaseId: String, secret: Option[String] = None,
+             apiBase: String = "https://api.cloudflare.com/client/v4"): DataFrame = {
+    val cfg = configOf(secret, databaseId, apiBase)
+    val rows = D1Client.listTables(cfg).map(t =>
+      Row(t.schema, t.name, t.tpe, t.ncol, t.writable, t.strict))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), tablesSchema)
+  }
+
+  /** Execute DML/DDL; returns affected-row count (meta.changes). */
+  def execute(sql: String, secret: Option[String], databaseId: String,
+              apiBase: String = "https://api.cloudflare.com/client/v4"): Long = {
+    val cfg = configOf(secret, databaseId, apiBase)
+    val res = D1Client.executeQuery(cfg, sql)
+    if (!res.success) throw new java.io.IOException(s"D1 execute failed: ${res.error}")
+    res.meta.changes
+  }
+
+  def batchSession(secret: Option[String], databaseId: String,
+                   apiBase: String = "https://api.cloudflare.com/client/v4"): D1BatchSession =
+    new D1BatchSession(configOf(secret, databaseId, apiBase))
+
+  /** UDF parity for the reference's scalar `d1_execute(sql, secret,
+    * database_id) → BIGINT`. Each input row triggers one remote call.
+    */
+  def registerExecuteUdf(spark: SparkSession,
+                         apiBase: String = "https://api.cloudflare.com/client/v4"): Unit = {
+    spark.udf.register("d1_execute",
+      (sql: String, secretName: String, databaseId: String) =>
+        execute(sql, Some(secretName), databaseId, apiBase))
+  }
+}
