@@ -157,6 +157,15 @@ object Connectors {
       Some("""SELECT '{"results":[{"order_id":1,"amount":42.5}],"metadata":{"rows":1}}'""" +
         " AS response")),
 
+    QueryDef("qc14_collapse_rule",
+      (s, _) => s.read.format("wayback").option("debug", "true").load()
+        .filter(col("url") === "example.com")
+        .select(col("year"), col("cdx_url"))
+        .dropDuplicates("year")
+        .select(col("year"), substring_index(col("cdx_url"), "?", -1).as("cdx_query")),
+      Some("SELECT 2025 AS year, 'url=example.com&output=csv&fl=timestamp&limit=100" +
+        "&collapse=timestamp:4' AS cdx_query")),
+
     QueryDef("qc13_wayback_collapse_url",
       (s, _) => s.read.format("wayback").option("debug", "true")
         .option("collapse", "timestamp:8").load()

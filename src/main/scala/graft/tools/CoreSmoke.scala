@@ -67,5 +67,6 @@ object CoreSmoke {
 
     println("[smoke] OK")
     spark.stop()
+    sys.exit(0)
   }
 }

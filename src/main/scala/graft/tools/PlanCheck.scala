@@ -12,11 +12,30 @@ object PlanCheck {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    println("==== collapse rule: dropDuplicates(year) over wayback ====")
+    spark.read.format("wayback").option("debug", "true").load()
+      .filter(col("url") === "example.com")
+      .select(col("year"), col("cdx_url")).dropDuplicates("year")
+      .select(col("cdx_url")).show(truncate = false)
+    println("==== collapse rule probe: month without year errors ====")
+    try {
+      spark.read.format("wayback").option("debug", "true").load()
+        .filter(col("url") === "example.com")
+        .select(col("month"), col("cdx_url")).dropDuplicates("month").collect()
+    } catch { case e: Exception =>
+      def root(t: Throwable): Throwable = if (t.getCause == null) t else root(t.getCause)
+      println("error: " + root(e).getMessage.linesIterator.next()) }
+    println("==== collapse rule probe: non-wayback dedup untouched ====")
+    val plainDedup = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .dropDuplicates("o_orderstatus")
+    println("rows: " + plainDedup.count())
 
     println("==== parquet scan: filter+column pushdown ====")
     spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
@@ -56,5 +75,6 @@ object PlanCheck {
       println("error: " + Option(e.getCause).getOrElse(e).getMessage.linesIterator.next()) }
 
     spark.stop()
+    sys.exit(0)
   }
 }

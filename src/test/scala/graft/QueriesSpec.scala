@@ -8,12 +8,7 @@ import org.apache.spark.sql.SparkSession
   * tools/oracle_check.py).
   */
 class QueriesSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = graft.TestSpark.spark
 
   val dir = "/root/testdata/sf0.001"
 
