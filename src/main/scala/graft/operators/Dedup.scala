@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, each designed for
+  * the 100 TB shape:
+  *
+  *  - exact:       one hash-groupBy shuffle on a 16-byte key, no text
+  *                 movement after the hash.
+  *  - minhashLsh:  shingle → signature (executor-local) → band explode →
+  *                 bucket groupBy → candidate pairs (bounded per bucket) →
+  *                 exact-Jaccard verify join. The only quadratic work is
+  *                 inside LSH buckets; everything shuffles on narrow keys.
+  *  - simhash:     64-bit signature; pigeonhole banding on 4×16-bit
+  *                 chunks finds all pairs within hamming distance ≤ 3 with
+  *                 one equi-join per chunk (exactness by pigeonhole), then
+  *                 an exact popcount check.
+  *  - ngramJaccard: exact pairwise within a blocking key (for small
+  *                 candidate sets / validation of the approximate paths).
+  *  - embeddingCosine: see [[SimilaritySearch.cosineNearDupPairs]].
+  */
+object Dedup {
+
+  // ---- exact ----------------------------------------------------------
+
+  /** Exact dedup on normalized text: keep the lowest-id row per content
+    * hash. Returns the surviving rows of `df`.
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val h = md5(col(textCol))
+    val keepers = df.select(h.as("__h"), col(idCol).as("__id"))
+      .groupBy(col("__h")).agg(min(col("__id")).as("__keep"))
+    df.join(keepers, md5(df(textCol)) === keepers("__h") && df(idCol) === keepers("__keep"),
+      "left_semi")
+  }
+
+  /** Exact-dup groups (hash, keeper id, count) — the audit view. */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  // ---- minhash + LSH --------------------------------------------------
+
+  /** Word k-shingles of normalized text; documents shorter than k words
+    * yield an empty set (no partial shingles).
+    */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    when(size(words) >= k,
+      array_distinct(
+        transform(sequence(lit(0), size(words) - k),
+          i => concat_ws(" ", slice(words, i + 1, lit(k))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** MinHash signatures over murmur3 shingle hashes. One pass per row,
+    * executor-local, primitive arithmetic (deterministic seeded
+    * permutations h_i(x) = (a_i*x + b_i) mod p).
+    */
+  private def signatureUdf(numPerm: Int) = {
+    val prime = 4294967311L // > 2^32
+    val rnd = new scala.util.Random(42)
+    val as = Array.fill(numPerm)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Array.fill(numPerm)(rnd.nextInt(Int.MaxValue).toLong)
+    udf((hashes: Seq[Int]) => {
+      val sig = Array.fill(numPerm)(Long.MaxValue)
+      hashes.foreach { h =>
+        val x = h.toLong & 0xffffffffL
+        var i = 0
+        while (i < numPerm) {
+          val v = (as(i) * x + bs(i)) % prime
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+      }
+      sig
+    })
+  }
+
+  /** Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
+    *
+    * @param threshold verified Jaccard threshold on shingle sets
+    * @param numPerm   signature length (bands × rowsPerBand)
+    * @param bands     LSH bands; candidate recall at j:
+    *                  1-(1-j^(numPerm/bands))^bands
+    */
+  def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.8, numPerm: Int = 128,
+                      bands: Int = 32, shingleK: Int = 3): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    val sigUdf = signatureUdf(numPerm)
+
+    val withSig = df
+      .select(col(idCol).as("id"), shingles(col(textCol), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", sigUdf(transform(col("sh"), s => hash(s))))
+
+    // band key = (band index, hash of the band's signature slice)
+    val banded = withSig.select(
+      col("id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+
+    // candidate pairs within a bucket (dedup across bands via distinct)
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val candidates = left.join(right, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+
+    // exact verification
+    candidates
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Corpus after MinHash-LSH dedup: drops every verified near-dup that is
+    * not the minimum id of its duplicate set (union-find collapsed to
+    * min-id via iterative propagation is unnecessary here: dropping any
+    * row that appears as the larger id of a pair removes all non-keepers).
+    */
+  def minhashLshDedup(df: DataFrame, textCol: String, idCol: String,
+                      threshold: Double = 0.8, numPerm: Int = 128,
+                      bands: Int = 32): DataFrame = {
+    val dupIds = minhashLshPairs(df, textCol, idCol, threshold, numPerm, bands)
+      .select(col("id_b").as("__drop")).distinct()
+    df.join(dupIds, df(idCol) === dupIds("__drop"), "left_anti")
+  }
+
+  // ---- simhash --------------------------------------------------------
+
+  /** 64-bit SimHash over word tokens (murmur3-based, deterministic). */
+  private val simhashUdf = udf((words: Seq[String]) => {
+    val acc = new Array[Int](64)
+    words.foreach { w =>
+      // two 32-bit murmur-ish hashes combined to 64 bits, seeded
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  })
+
+  def simhash(text: Column): Column = simhashUdf(split(lower(trim(text)), "\\s+"))
+
+  /** Pairs within hamming distance ≤ maxDistance of the 64-bit simhash.
+    * Banding into (maxDistance+1) chunks guarantees every qualifying pair
+    * shares at least one exact chunk (pigeonhole) — each chunk is one
+    * narrow equi-join, no cross product.
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxDistance: Int = 3): DataFrame = {
+    val chunks = maxDistance + 1
+    val bits = 64 / chunks
+    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until chunks).map(c =>
+        shiftright(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1))): _*)))
+      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
+    val l = banded.select(col("chunk"), col("piece"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("chunk"), col("piece"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("chunk", "piece"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDistance)
+  }
+
+  // ---- exact n-gram jaccard (blocked) ---------------------------------
+
+  /** Exact pairwise shingle-Jaccard within a blocking column — the
+    * validation / small-candidate-set path. Never call without a blocking
+    * key at scale.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        blockCol: Column, threshold: Double, k: Int = 3): DataFrame = {
+    val base = df.select(col(idCol).as("id"), shingles(col(textCol), k).as("sh"),
+      blockCol.as("blk"))
+    val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`/`array<double>`).
+  *
+  * Scale design:
+  *  - bruteForceTopK: exact baseline — one codegen'd pass (HOF dot
+  *    product, no UDF) + TakeOrdered; the query vector broadcasts as a
+  *    literal. O(N·d), embarrassingly parallel.
+  *  - Random-hyperplane LSH: 100 TB path. Signatures computed
+  *    executor-local from seeded hyperplanes (identical on every
+  *    executor, no shared state); table-probing is an equi-join on
+  *    (table, signature) — candidates per bucket are bounded, so the
+  *    verify step never goes quadratic. `cosineNearDupPairs` is the
+  *    embedding near-dup dedup entry.
+  */
+object SimilaritySearch {
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine against one query vector. */
+  def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,
+                     query: Array[Double], k: Int): DataFrame = {
+    val q = typedLit(query)
+    df.select(col(idCol),
+      round(cosine(transform(col(embCol), _.cast("double")), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Deterministic seeded hyperplanes: nBits×dim gaussians. */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit LSH signature of an embedding (one Int per table). */
+  private def signatureUdf(planes: Array[Array[Double]]) =
+    udf((v: Seq[Double]) => {
+      var sig = 0
+      var i = 0
+      while (i < planes.length) {
+        var s = 0.0
+        val p = planes(i)
+        var j = 0
+        val n = math.min(p.length, v.length)
+        while (j < n) { s += p(j) * v(j); j += 1 }
+        if (s > 0) sig |= (1 << i)
+        i += 1
+      }
+      sig
+    })
+
+  /** Add `nTables` LSH bucket columns (exploded long form: one row per
+    * (id, table, sig)).
+    */
+  def lshBuckets(df: DataFrame, embCol: String, idCol: String,
+                 nBits: Int = 12, nTables: Int = 4, dim: Int = 64,
+                 seed: Long = 7L): DataFrame = {
+    val sigUdfs = (0 until nTables).map(t => signatureUdf(hyperplanes(nBits, dim, seed + t)))
+    val v = transform(col(embCol), _.cast("double"))
+    val sigCols = sigUdfs.zipWithIndex.map { case (u, t) => u(v).as(s"sig_$t") }
+    val wide = df.select((col(idCol).as("id") +: v.as("v") +: sigCols): _*)
+    wide.select(col("id"), col("v"),
+      posexplode(array((0 until nTables).map(t => col(s"sig_$t")): _*)))
+      .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
+  }
+
+  /** ANN top-k: probe the query's buckets across tables, verify exact
+    * cosine on candidates only.
+    */
+  def annTopK(df: DataFrame, embCol: String, idCol: String,
+              query: Array[Double], k: Int,
+              nBits: Int = 12, nTables: Int = 4, seed: Long = 7L): DataFrame = {
+    val dim = query.length
+    val buckets = lshBuckets(df, embCol, idCol, nBits, nTables, dim, seed)
+    val planes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t))
+    val querySigs = planes.zipWithIndex.map { case (ps, t) =>
+      var sig = 0
+      ps.zipWithIndex.foreach { case (p, i) =>
+        if (p.zip(query).map { case (a, b) => a * b }.sum > 0) sig |= (1 << i)
+      }
+      (t, sig)
+    }
+    val probe = querySigs.map { case (t, s) => col("table") === t && col("sig") === s }
+      .reduce(_ || _)
+    val q = typedLit(query)
+    buckets.filter(probe)
+      .select(col("id"), col("v")).dropDuplicates("id")
+      .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs via LSH blocking + exact
+    * verification — the embedding variant of MinHash dedup.
+    */
+  def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
+                         threshold: Double, nBits: Int = 10, nTables: Int = 6,
+                         dim: Int = 64, seed: Long = 7L): DataFrame = {
+    val buckets = lshBuckets(df, embCol, idCol, nBits, nTables, dim, seed)
+    val l = buckets.select(col("table"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = buckets.select(col("table"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
+    l.join(r, Seq("table", "sig"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+}

@@ -1,0 +1,13 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` Column↔Expression converters (Spark 4
+  * removed the public `new Column(expr)` constructor). Lives in the
+  * org.apache.spark.sql package solely to cross that visibility boundary;
+  * the public surface is graft.functions.
+  */
+object GraftColumnShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

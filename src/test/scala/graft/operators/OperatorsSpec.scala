@@ -1,0 +1,130 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+class OperatorsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.TestSpark.spark
+  import spark.implicits._
+
+  // planted corpus: 0/1 near-dups, 2/3 exact dups, rest distinct
+  lazy val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (2L, "completely different content about spark and distributed query engines"),
+    (3L, "completely different content about spark and distributed query engines"),
+    (4L, "unrelated text regarding machine learning data pipelines at scale"),
+    (5L, "short doc"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup keeps lowest id per content hash") {
+    val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 2L, 4L, 5L)) // 3 dropped (dup of 2)
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 1 && groups.head.getAs[Long]("keeper") == 2L)
+  }
+
+  test("minhash LSH finds planted near-dup and survives verification") {
+    val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5,
+      numPerm = 128, bands = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), s"missing planted near-dup: $pairs")
+    assert(pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val kept = Dedup.minhashLshDedup(docs, "text", "doc_id", threshold = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 4L, 5L))
+  }
+
+  test("simhash pairs finds exact and near duplicates within distance") {
+    val pairs3 = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val exactPair = pairs3.find(p => p._1 == 2L && p._2 == 3L)
+    assert(exactPair.exists(_._3 == 0L)) // identical text -> distance 0
+
+    // pigeonhole exactness: whatever the true distance of the planted
+    // near-dup pair, banding at that radius must surface it
+    val sigs = docs.filter(col("doc_id") < 2)
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trueDist = java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    assert(trueDist < 32, s"near-dup unexpectedly far: $trueDist")
+    val pairsAt = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = trueDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairsAt.contains((0L, 1L)), s"dist=$trueDist pairs=${pairsAt.mkString(",")}")
+  }
+
+  test("shingles empty for docs shorter than k") {
+    val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
+      .filter(col("sh").isNotNull).collect()
+    val shortDoc = docs.filter(col("doc_id") === 5L)
+      .select(size(Dedup.shingles(col("text"), 3))).head().getInt(0)
+    assert(shortDoc == 0)
+    assert(sh.length == docs.count())
+  }
+
+  test("brute-force vs ANN topk: ANN results are a subset with high recall") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast("double"))).head().getSeq[Double](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSet
+    val ann = SimilaritySearch.annTopK(corpus, "embedding", "vec_id", query, 10,
+      nBits = 6, nTables = 12)
+      .collect().map(_.getLong(0)).toSet
+    val recall = exact.intersect(ann).size.toDouble / exact.size
+    assert(recall >= 0.5, s"ANN recall too low: $recall (exact=$exact ann=$ann)")
+  }
+
+  test("multimodal decode + features + frames plumbing") {
+    val payload = Array.tabulate(1000)(i => (i % 251).toByte)
+    val df = Seq((1L, Multimodal.encodeFakeImage(640, 480, 3, payload)),
+      (2L, "not an image".getBytes("UTF-8")), (3L, null))
+      .toDF("id", "img")
+    val meta = Multimodal.decodeImageMeta(df, "img")
+      .select(col("id"), col("image_meta.*")).orderBy(col("id")).collect()
+    assert(meta(0).getInt(1) == 640 && meta(0).getInt(2) == 480 && meta(0).isNullAt(5))
+    assert(meta(1).getString(5) == "unsupported format")
+    assert(meta(2).getString(5) == "null payload")
+
+    val feats = Multimodal.extractFeatures(df.filter(col("id") === 1L), "img")
+      .select(size(col("features"))).head().getInt(0)
+    assert(feats == 8)
+
+    val frames = Multimodal.sampleFrames(df.filter(col("id") === 1L), "img", "id",
+      frameSize = 100, stride = 2)
+    // 1000 payload + 15 header bytes = 1015 -> 11 chunks -> every 2nd = 6
+    assert(frames.count() == 6)
+  }
+
+  test("rolling hash expression matches reference loop and is codegen'd") {
+    val expected = {
+      var h = 0L
+      "hello world".getBytes("UTF-8").foreach(b => h = h * 31L + (b & 0xffL))
+      h
+    }
+    val got = Seq("hello world").toDF("t")
+      .select(TextFunctions.rollingHash(col("t"))).head().getLong(0)
+    assert(got == expected)
+    // also via SQL registration
+    TextFunctions.registerAll(spark)
+    val viaSql = spark.sql("SELECT rolling_hash('hello world')").head().getLong(0)
+    assert(viaSql == expected)
+  }
+
+  test("langId picks marker-dominant language deterministically") {
+    val preds = Seq(
+      ("the cat and the dog of a house", "en"),
+      ("der hund und die katze und das haus", "de"),
+      ("le chat et la maison et les chiens", "fr"),
+      ("xyz qrs tuv", "unk"))
+      .toDF("text", "expected")
+      .select(TextFunctions.langId(col("text")).as("got"), col("expected"))
+      .collect()
+    preds.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+}
