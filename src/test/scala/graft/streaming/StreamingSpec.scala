@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.TestSpark.spark
+  import spark.implicits._
+
+  def ts(s: String): java.sql.Timestamp = java.sql.Timestamp.valueOf(s)
+
+  test("hourlyCounts windows and counts with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = input.toDF().toDF("ts", "event_type", "value")
+    val agg = EventsStream.hourlyCounts(df)
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("hourly_test").start()
+    input.addData(
+      (ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 10:45:00"), "click", 2.0),
+      (ts("2024-01-01 11:10:00"), "view", 3.0),
+      // advance watermark far enough to close both windows
+      (ts("2024-01-01 13:00:00"), "view", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("hourly_test")
+      .select(date_format(col("hour"), "HH").as("h"), col("event_type"), col("n"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(rows.contains(("10", "click", 2L)))
+    assert(rows.contains(("11", "view", 1L)))
+  }
+
+  test("sessionize emits closed sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val sessions = EventsStream.sessionize(input.toDS())
+    val q = sessions.writeStream.outputMode("append").format("memory")
+      .queryName("sessions_test").start()
+    input.addData(
+      EventsStream.Event(1, ts("2024-01-01 10:00:00"), 7L, "click", 1.0),
+      EventsStream.Event(2, ts("2024-01-01 10:10:00"), 7L, "click", 1.0),
+      // 40 min gap closes session 1 (2 events, 600s)
+      EventsStream.Event(3, ts("2024-01-01 10:50:00"), 7L, "view", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sessions_test").as[EventsStream.SessionOut].collect()
+    assert(rows.exists(s => s.user_id == 7L && s.n_events == 2 && s.duration_sec == 600L),
+      rows.mkString(","))
+  }
+
+  test("batch parquet drives the streaming pipeline to the same hourly counts") {
+    val streamed = EventsStream.runBatchAsStream(spark, "/root/testdata/sf0.001", "events_stream_test")
+    // compare against the batch q33 aggregation (modulo watermark-dropped
+    // trailing window)
+    val batch = graft.queries.load(spark, "/root/testdata/sf0.001", "events")
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val s = streamed.select(col("hour"), col("event_type"), col("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toMap2
+    val b = batch.collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toMap2
+    // every streamed window must match the batch count exactly
+    assert(s.nonEmpty)
+    s.foreach { case (k, v) => assert(b.get(k).contains(v), s"window $k: $v vs ${b.get(k)}") }
+  }
+
+  implicit class Tup3Ops(a: Array[(java.sql.Timestamp, String, Long)]) {
+    def toMap2: Map[(java.sql.Timestamp, String), Long] =
+      a.map(t => (t._1, t._2) -> t._3).toMap
+  }
+}
