@@ -15,8 +15,8 @@ import graft.queries._
 object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
-    Relational.defs ++ Events.defs ++ TextAnalysis.defs ++ Vectors.defs ++
-      Pipeline.defs ++ Connectors.defs
+    Relational.defs ++ Extended.defs ++ Events.defs ++ TextAnalysis.defs ++
+      Vectors.defs ++ Pipeline.defs ++ Connectors.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -159,5 +159,8 @@ object CollapseRule extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => CollapseRule)
+    // CdxFilterRule must see Like/RLike BEFORE LikeSimplification rewrites
+    // them — resolution phase, not optimizer
+    e.injectResolutionRule(_ => CdxFilterRule)
   }
 }

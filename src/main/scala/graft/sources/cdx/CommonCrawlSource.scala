@@ -128,7 +128,10 @@ class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
   private var indexName: String = Option(options.get("crawl")).getOrElse("")
   private var crawlIds: Vector[String] =
     Option(options.get("crawls")).toVector.flatMap(_.split(",")).filter(_.nonEmpty)
-  private var cdxFilters: Vector[String] = Vector.empty
+  // filters injected by graft.plans.CdxFilterRule (generic NOT LIKE /
+  // regex shapes) arrive as an option
+  private var cdxFilters: Vector[String] =
+    Option(options.get("extra_filters")).toVector.flatMap(_.split(";")).filter(_.nonEmpty)
   private var fromMicros: Long = 0L
   private var toMicros: Long = 0L
   private var hasTsFilter = false

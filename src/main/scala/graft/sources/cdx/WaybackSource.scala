@@ -151,7 +151,10 @@ class WaybackScanBuilder(options: CaseInsensitiveStringMap)
     Option(options.get("url_like")).map(_.replace('%', '*'))
       .orElse(Option(options.get("url"))).getOrElse("*")
   private var matchType: String = Option(options.get("match_type")).getOrElse("exact")
-  private var cdxFilters: Vector[String] = Vector.empty
+  // filters injected by graft.plans.CdxFilterRule (shapes v1 Filters
+  // can't express: generic NOT LIKE, regexes) arrive as an option
+  private var cdxFilters: Vector[String] =
+    Option(options.get("extra_filters")).toVector.flatMap(_.split(";")).filter(_.nonEmpty)
   private var fromDate: String = Option(options.get("from")).getOrElse("")
   private var toDate: String = Option(options.get("to")).getOrElse("")
   private var maxResults: Long = options.getLong("max_results", 100L)
@@ -332,12 +335,18 @@ class WaybackScanBuilder(options: CaseInsensitiveStringMap)
       if (fieldsNeeded.forall(collapseBases.contains)) cdxUrlOnly = true
     }
 
+    // Spark pushes the COMBINED limit (limit+offset) before pushOffset;
+    // the remote applies offset first, so the effective limit is the
+    // difference (reference emits limit=<n>&offset=<o>).
+    val effectiveMax =
+      if (offsetVal > 0 && maxResults > offsetVal) maxResults - offsetVal else maxResults
+
     val req = WaybackRequest(
       cdxEndpoint = Option(options.get("cdx_endpoint")).getOrElse(CdxUrls.WaybackEndpoint),
       pageEndpoint = Option(options.get("page_endpoint")).getOrElse("https://web.archive.org/web"),
       urlFilter = urlFilter, matchType = matchType,
       fieldsNeeded = fieldsNeeded, cdxFilters = cdxFilters,
-      fromDate = fromDate, toDate = toDate, maxResults = maxResults,
+      fromDate = fromDate, toDate = toDate, maxResults = effectiveMax,
       collapses = collapses, fastLatest = fastLatest, offset = offsetVal,
       debug = debug, cdxUrlOnly = cdxUrlOnly, fetchResponse = fetchResponse,
       timeoutSeconds = options.getInt("timeout", 180),
