@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** As-of join — an operator Spark SQL lacks natively (DuckDB ships it as
+  * `ASOF JOIN`). For every left row, attach the latest right row whose
+  * time key is <= the left's, within the same `by` partition.
+  *
+  * Implementation is the scalable union+window form (preference (a) from
+  * the build guide: compose built-ins before custom plan nodes):
+  * union-tag both sides, sort within (by, ts) once, and carry the last
+  * right payload forward with `last(ignoreNulls)` over an unbounded-
+  * preceding window. ONE shuffle on the `by` key, no range join, no
+  * per-row probing — at 100 TB this is a single sort-merge pass, and a
+  * skewed `by` key can be salted upstream.
+  */
+object AsOfJoin {
+
+  /** @param left      left (probe) side
+    * @param right     right (reference) side
+    * @param byCol     equi-partition key name present on both sides
+    * @param leftTs    left time column name
+    * @param rightTs   right time column name
+    * @param rightCols right payload columns to attach (null when no right
+    *                  row is at-or-before the left's time)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, byCol: String,
+               leftTs: String, rightTs: String,
+               rightCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+
+    // the whole right payload rides in ONE struct so the carried values
+    // always come from the same (latest) right row, even when individual
+    // payload columns are null
+    val rightStructType = org.apache.spark.sql.types.StructType(
+      rightCols.map(c => right.schema(c)))
+
+    val l = left.select(
+      (col(byCol).as("__by") +: col(leftTs).as("__ts") +: lit(1).as("__is_left") +:
+        lit(null).cast(rightStructType).as("__r") +:
+        leftCols.map(c => left(c).as(s"__l_$c"))): _*)
+    val r = right.select(
+      (col(byCol).as("__by") +: col(rightTs).as("__ts") +: lit(0).as("__is_left") +:
+        struct(rightCols.map(c => right(c).as(c)): _*).as("__r") +:
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))): _*)
+
+    // right rows sort before left rows at equal ts so an exact-tie right
+    // row is visible to the left row (ASOF <= semantics)
+    val w = Window.partitionBy(col("__by"))
+      .orderBy(col("__ts"), col("__is_left"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val carried = l.unionByName(r)
+      .withColumn("__r_carried", last(col("__r"), ignoreNulls = true).over(w))
+
+    carried.filter(col("__is_left") === 1)
+      .select(leftCols.map(c => col(s"__l_$c").as(c)) ++
+        rightCols.map(c => col(s"__r_carried.$c").as(s"asof_$c")): _*)
+  }
+}

@@ -114,6 +114,29 @@ object Extended {
              |FROM lineitem WHERE l_orderkey <= 100
              |GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin)),
 
+    QueryDef("q64_asof_join",
+      (s, d) => {
+        // custom operator Spark lacks: for each purchase, the most recent
+        // signup at-or-before it (same user) — DuckDB expresses this as
+        // ASOF LEFT JOIN, our engine as graft.operators.AsOfJoin
+        val events = load(s, d, "events")
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val signups = events.filter(col("event_type") === "signup")
+          .select(col("event_id").as("signup_id"), col("user_id"), col("ts"))
+        graft.operators.AsOfJoin.asofJoin(purchases, signups,
+            byCol = "user_id", leftTs = "ts", rightTs = "ts",
+            rightCols = Seq("signup_id"))
+          .select(col("event_id"), col("user_id"), col("asof_signup_id"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT p.event_id, p.user_id, s.event_id AS asof_signup_id
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+             |ON p.user_id = s.user_id AND s.ts <= p.ts
+             |ORDER BY p.event_id LIMIT 500""".stripMargin)),
+
     QueryDef("q63_percentile",
       (s, d) => load(s, d, "orders")
         .groupBy(col("o_orderstatus"))
