@@ -47,8 +47,10 @@ import graft.core.{CdxUrls, Codecs, CollInfo, Http, Warc}
   */
 class CommonCrawlSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "commoncrawl"
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    CdxOptions.validate("common_crawl_index", options, CdxOptions.ccAllowed)
     CommonCrawlTable.schema(options.getBoolean("debug", false))
+  }
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new CommonCrawlTable(new CaseInsensitiveStringMap(properties))

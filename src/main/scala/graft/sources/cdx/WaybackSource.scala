@@ -54,8 +54,10 @@ import graft.core.{CdxUrls, Codecs, Http, Warc}
 class WaybackSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "wayback"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    CdxOptions.validate("wayback_machine", options, CdxOptions.waybackAllowed)
     WaybackTable.schema(options.getBoolean("debug", false))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =

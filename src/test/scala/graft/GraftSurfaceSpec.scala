@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+
+/** The reference-user migration surface: registered names + SQL queries
+  * shaped like the reference's test corpus, plus unknown-parameter
+  * binder-error parity.
+  */
+class GraftSurfaceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.TestSpark.spark
+
+  test("registerAll exposes the reference's table names to SQL") {
+    Graft.registerAll(spark)
+    val cols = spark.sql("SELECT * FROM common_crawl_index LIMIT 0").schema.fieldNames
+    assert(cols.contains("warc") && cols.contains("crawl_id"))
+    val u = spark.sql(
+      """SELECT cdx_url FROM wayback_machine_debug
+        |WHERE url = 'example.com' AND statuscode = 200 LIMIT 5""".stripMargin)
+      .collect().head.getString(0)
+    assert(u == "https://web.archive.org/cdx/search/cdx?url=example.com&output=csv" +
+      "&limit=5&filter=statuscode:200")
+    assert(spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0) != 0L)
+  }
+
+  test("unknown option errors like the reference's Invalid named parameter") {
+    val e = intercept[Exception] {
+      spark.read.format("wayback").option("unknown_param", "10").load()
+    }
+    assert(e.getMessage.contains("Invalid named parameter 'unknown_param' for wayback_machine"),
+      e.getMessage)
+    val e2 = intercept[Exception] {
+      spark.read.format("commoncrawl").option("unknown_param", "10").load()
+    }
+    assert(e2.getMessage.contains("Invalid named parameter 'unknown_param' for common_crawl_index"))
+  }
+}
