@@ -69,9 +69,10 @@ object Warc {
     headers
   }
 
-  private def findDouble(s: Array[Byte], from: Int): (Int, Int) = {
-    // returns (index, newlineSize) of first \r\n\r\n else \n\n, else (-1, 0)
-    val text = new String(s, StandardCharsets.ISO_8859_1)
+  // returns (index, newlineSize) of first \r\n\r\n else \n\n, else (-1, 0);
+  // operates on the single ISO-8859-1 view built by the caller (the WARC
+  // payload is materialized exactly once per record)
+  private def findDouble(text: String, from: Int): (Int, Int) = {
     val i4 = text.indexOf("\r\n\r\n", from)
     if (i4 >= 0) (i4, 4)
     else {
@@ -85,7 +86,7 @@ object Warc {
     */
   def parseWarcResponse(data: Array[Byte]): WarcResponse = {
     val text = new String(data, StandardCharsets.ISO_8859_1)
-    val (warcHeadersEnd, nlSize) = findDouble(data, 0)
+    val (warcHeadersEnd, nlSize) = findDouble(text, 0)
     if (warcHeadersEnd < 0) return WarcResponse()
 
     val warcSection = text.substring(0, warcHeadersEnd)
@@ -102,7 +103,7 @@ object Warc {
     }
 
     val httpStart = warcHeadersEnd + nlSize
-    val (httpHeadersEnd, httpNlSize) = findDouble(data, httpStart)
+    val (httpHeadersEnd, httpNlSize) = findDouble(text, httpStart)
     if (httpHeadersEnd < 0)
       return WarcResponse(warcVersion, warcHeaders)
 

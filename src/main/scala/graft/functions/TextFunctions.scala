@@ -81,7 +81,12 @@ object TextFunctions {
     spark.udf.register("graft_token_count", (s: String) =>
       if (s == null) 0 else s.split("\\s+").length)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "rolling_hash", exprs => RollingHashExpr(exprs.head), "built-in")
+      "rolling_hash", exprs => {
+        if (exprs.length != 1)
+          throw new IllegalArgumentException(
+            s"rolling_hash expects exactly 1 argument, got ${exprs.length}")
+        RollingHashExpr(exprs.head)
+      }, "built-in")
   }
 }
 
@@ -94,6 +99,15 @@ object TextFunctions {
 case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash requires a string argument, got ${child.dataType.simpleString}")
+  }
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

@@ -31,7 +31,9 @@ object Dedup {
     val h = md5(col(textCol))
     val keepers = df.select(h.as("__h"), col(idCol).as("__id"))
       .groupBy(col("__h")).agg(min(col("__id")).as("__keep"))
-    df.join(keepers, md5(df(textCol)) === keepers("__h") && df(idCol) === keepers("__keep"),
+    // null-safe on the hash: NULL-text rows form their own group and keep
+    // one representative instead of silently vanishing
+    df.join(keepers, md5(df(textCol)) <=> keepers("__h") && df(idCol) === keepers("__keep"),
       "left_semi")
   }
 

@@ -154,14 +154,30 @@ object CdxFilterRule extends Rule[LogicalPlan] {
         case None => f
         case Some(kind) =>
           val conjuncts = splitConjuncts(cond)
-          val (consumed, kept) = conjuncts.partition(c => translate(kind, c).isDefined)
+          // at most ONE url-pattern conjunct may be consumed (the scan has
+          // a single url= slot); further url conjuncts stay in the plan.
+          // Seeded from the relation: the analyzer runs this rule to
+          // FIXPOINT, and a second pass must not consume the residual url
+          // conjunct a previous pass deliberately kept.
+          var urlTaken = rel.options.containsKey("pushed_url")
+          val consumed = scala.collection.mutable.ArrayBuffer.empty[Expression]
+          val kept = scala.collection.mutable.ArrayBuffer.empty[Expression]
+          conjuncts.foreach { c =>
+            translate(kind, c) match {
+              case Some((Some(_), _)) if urlTaken => kept += c
+              case Some((u, _)) => if (u.isDefined) urlTaken = true; consumed += c
+              case None => kept += c
+            }
+          }
           if (consumed.isEmpty) f
           else {
             val translations = consumed.flatMap(c => translate(kind, c))
-            val urlOpt = translations.flatMap(_._1).lastOption
+            val urlOpt = translations.flatMap(_._1).headOption
             val filters = translations.flatMap(_._2)
             val merged = new java.util.HashMap[String, String](rel.options)
-            urlOpt.foreach(u => merged.put("url", u))
+            // dedicated key: takes precedence over user url/url_like in the
+            // scan builders (plain "url" would be shadowed by url_like)
+            urlOpt.foreach(u => merged.put("pushed_url", u))
             if (filters.nonEmpty) {
               val existing = Option(rel.options.get("extra_filters")).toSeq
                 .flatMap(_.split(";")).filter(_.nonEmpty)

@@ -84,7 +84,12 @@ object CollapseRule extends Rule[LogicalPlan] {
   }
 
   private def collapsesFor(keys: Seq[Expression], projections: List[Project]): Seq[String] = {
-    val targets = keys.flatMap(resolveTarget(_, projections))
+    val resolved = keys.map(resolveTarget(_, projections))
+    // a partially-resolved key set must NOT collapse: the remote would
+    // drop rows that are distinct on the unresolved keys, and the kept
+    // Deduplicate cannot resurrect them
+    if (resolved.exists(_.isEmpty)) return Nil
+    val targets = resolved.flatten
     if (targets.isEmpty) return Nil
     val names = targets.map(_.column).toSet
     val hasYear = names.contains("year")

@@ -10,7 +10,7 @@ import scala.jdk.CollectionConverters._
   */
 object CdxOptions {
 
-  private val internal = Set("path", "paths", "extra_filters")
+  private val internal = Set("path", "paths", "extra_filters", "pushed_url")
 
   val waybackAllowed: Set[String] = internal ++ Set(
     "url", "url_like", "match_type", "max_results", "collapse", "debug",

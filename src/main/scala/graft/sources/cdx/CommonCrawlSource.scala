@@ -125,7 +125,8 @@ class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
   private val debug = options.getBoolean("debug", false)
 
   private var urlFilter: String =
-    Option(options.get("url_like")).map(Codecs.convertSqlWildcardsToCdx)
+    Option(options.get("pushed_url")) // CdxFilterRule injection wins
+      .orElse(Option(options.get("url_like")).map(Codecs.convertSqlWildcardsToCdx))
       .orElse(Option(options.get("url"))).getOrElse("*")
   private var indexName: String = Option(options.get("crawl")).getOrElse("")
   private var crawlIds: Vector[String] =

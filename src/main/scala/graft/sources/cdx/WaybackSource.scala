@@ -150,7 +150,8 @@ class WaybackScanBuilder(options: CaseInsensitiveStringMap)
 
   // ---- mutable pushdown state (mirrors the reference's bind_data) ----
   private var urlFilter: String =
-    Option(options.get("url_like")).map(_.replace('%', '*'))
+    Option(options.get("pushed_url")) // CdxFilterRule injection wins
+      .orElse(Option(options.get("url_like")).map(_.replace('%', '*')))
       .orElse(Option(options.get("url"))).getOrElse("*")
   private var matchType: String = Option(options.get("match_type")).getOrElse("exact")
   // filters injected by graft.plans.CdxFilterRule (shapes v1 Filters
@@ -377,9 +378,13 @@ class WaybackScan(req: WaybackRequest, prunedSchema: StructType, numPartitions: 
     if (numPartitions <= 1 || req.cdxUrlOnly) Array(WaybackPartition(req))
     else {
       // Offset-paged sharding for cluster-parallel pulls of large scans.
+      // Shard limits must sum EXACTLY to the pushed limit (the LIMIT node
+      // was deleted — nothing downstream re-trims).
       val chunk = (req.maxResults + numPartitions - 1) / numPartitions
-      (0 until numPartitions).map { i =>
-        WaybackPartition(req.copy(maxResults = chunk, offset = req.offset + i * chunk))
+      (0 until numPartitions).flatMap { i =>
+        val thisChunk = math.min(chunk, req.maxResults - i * chunk)
+        if (thisChunk <= 0) None
+        else Some(WaybackPartition(req.copy(maxResults = thisChunk, offset = req.offset + i * chunk)))
       }.toArray
     }
   }
@@ -493,12 +498,16 @@ class WaybackPartitionReader(req: WaybackRequest) extends PartitionReader[Intern
             Array[Any](fr.body, err))
         } else null
       case "year" =>
+        // malformed (non-numeric) remote timestamps yield NULL, like the
+        // '-' guards on statuscode/length — never a task failure
         if (rec.timestamp.length >= 4)
-          java.lang.Integer.valueOf(rec.timestamp.substring(0, 4).toInt)
+          try java.lang.Integer.valueOf(rec.timestamp.substring(0, 4).toInt)
+          catch { case _: NumberFormatException => null }
         else null
       case "month" =>
         if (rec.timestamp.length >= 6)
-          java.lang.Integer.valueOf(rec.timestamp.substring(4, 6).toInt)
+          try java.lang.Integer.valueOf(rec.timestamp.substring(4, 6).toInt)
+          catch { case _: NumberFormatException => null }
         else null
       case "cdx_url" => UTF8String.fromString(req.cdxUrl)
       case _ => null

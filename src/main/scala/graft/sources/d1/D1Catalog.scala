@@ -81,9 +81,13 @@ class D1Catalog extends TableCatalog with SupportsNamespaces {
   }
 
   override def loadTable(ident: Identifier): Table = {
-    try new D1ScanTable(config, ident.name()) {
-      // force schema resolution so missing tables fail at load, not later
-      this.schema()
+    try {
+      val t = new D1ScanTable(config, ident.name())
+      // force schema resolution so missing tables fail at load, not later;
+      // PRAGMA table_info on a nonexistent table succeeds with ZERO rows,
+      // so an empty schema is the real missing-table signal
+      if (t.schema().isEmpty) throw new NoSuchTableException(ident)
+      t
     } catch {
       case _: java.io.IOException => throw new NoSuchTableException(ident)
     }

@@ -55,7 +55,12 @@ class D1DataWriter(config: D1Client.Config, tableName: String, schema: StructTyp
           java.time.ZoneOffset.UTC).toString.replace('T', ' ') + "'"
       case DateType =>
         "'" + java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong).toString + "'"
-      case _ => v.toString
+      case BinaryType =>
+        "X'" + v.asInstanceOf[Array[Byte]].map("%02x".format(_)).mkString + "'"
+      case _: org.apache.spark.sql.types.NumericType => v.toString
+      case other =>
+        throw new UnsupportedOperationException(
+          s"d1 writer does not support column type ${other.simpleString}")
     }
   }
 

@@ -34,8 +34,12 @@ object EventsStream {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("total_value"))
 
-  /** Gap-based sessionization with explicit state. Emits closed sessions
-    * (>30 min silence) as they happen; open sessions flush on timeout.
+  /** Gap-based sessionization with explicit state. Emits a session only
+    * when a >30 min silence CLOSES it; each user's trailing open session
+    * stays in state (it has not ended). A production stream that must
+    * flush quiet users would add an event-time watermark +
+    * `EventTimeTimeout` (processing-time timeouts make batch-as-stream
+    * smoke runs spin on empty timeout batches).
     */
   def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._

@@ -27,6 +27,15 @@ class OperatorsSpec extends AnyFunSuite {
     assert(groups.length == 1 && groups.head.getAs[Long]("keeper") == 2L)
   }
 
+  test("exact dedup keeps NULL-text rows (null-safe hash join)") {
+    val withNulls = docs.union(Seq((6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val kept = Dedup.exact(withNulls, "text", "doc_id").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    // NULL-text rows form one group; keeper 6 stays, 7 drops
+    assert(kept.contains(6L) && !kept.contains(7L), kept.toString)
+  }
+
   test("minhash LSH finds planted near-dup and survives verification") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5,
       numPerm = 128, bands = 32)
