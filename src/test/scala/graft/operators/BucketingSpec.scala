@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Evidence for the SCALE.md claim: co-bucketed fact tables join without
+  * any Exchange (the shuffle is paid once at ingest, not per query).
+  */
+class BucketingSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.TestSpark.spark
+
+  test("co-bucketed fact-fact join plans with zero exchanges") {
+    // clear any stale managed-table state from aborted runs
+    spark.sql("DROP TABLE IF EXISTS li_bucketed")
+    spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    Seq("li_bucketed", "o_bucketed").foreach { t =>
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
+    val dir = "/root/testdata/sf0.001"
+    val li = graft.queries.load(spark, dir, "lineitem")
+    val o = graft.queries.load(spark, dir, "orders")
+    Bucketing.writeBucketed(li, "li_bucketed", "l_orderkey", numBuckets = 8)
+    Bucketing.writeBucketed(o, "o_bucketed", "o_orderkey", numBuckets = 8)
+
+    // pin a sort-merge join: at this fixture size AQE would broadcast,
+    // which hides the property under test (real fact-fact joins are far
+    // above any broadcast threshold)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Bucketing.bucketedJoin(spark, "li_bucketed", "o_bucketed",
+        "l_orderkey", "o_orderkey")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+      val viaBuckets = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      // post-execution: the adaptive plan is final; AQE appends the
+      // pre-adaptive "Initial Plan" section below — exclude it
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      val smj = plan.indexOf("SortMergeJoin")
+      assert(smj >= 0, "expected a sort-merge join:\n" + plan.take(2000))
+      // the join's subtree must be exchange-free: the only exchange in the
+      // whole plan is the one feeding the final aggregation, which sits
+      // ABOVE the join in the plan string
+      val joinSection = plan.substring(smj)
+      assert(!joinSection.contains("Exchange"),
+        "bucketed join still shuffles:\n" + plan.take(2000))
+      val direct = li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaBuckets == direct)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS o_bucketed")
+    }
+  }
+}
