@@ -19,21 +19,15 @@ object Graft {
   def registerAll(spark: SparkSession,
                   waybackOptions: Map[String, String] = Map.empty,
                   commonCrawlOptions: Map[String, String] = Map.empty): Unit = {
-    var wb = spark.read.format("wayback")
-    waybackOptions.foreach { case (k, v) => wb = wb.option(k, v) }
-    wb.load().createOrReplaceTempView("wayback_machine")
-
-    var wbd = spark.read.format("wayback").option("debug", "true")
-    waybackOptions.foreach { case (k, v) => wbd = wbd.option(k, v) }
-    wbd.load().createOrReplaceTempView("wayback_machine_debug")
-
-    var cc = spark.read.format("commoncrawl")
-    commonCrawlOptions.foreach { case (k, v) => cc = cc.option(k, v) }
-    cc.load().createOrReplaceTempView("common_crawl_index")
-
-    var ccd = spark.read.format("commoncrawl").option("debug", "true")
-    commonCrawlOptions.foreach { case (k, v) => ccd = ccd.option(k, v) }
-    ccd.load().createOrReplaceTempView("common_crawl_index_debug")
+    spark.read.format("wayback").options(waybackOptions)
+      .load().createOrReplaceTempView("wayback_machine")
+    // debug applied AFTER user options: the _debug view is debug by name
+    spark.read.format("wayback").options(waybackOptions).option("debug", "true")
+      .load().createOrReplaceTempView("wayback_machine_debug")
+    spark.read.format("commoncrawl").options(commonCrawlOptions)
+      .load().createOrReplaceTempView("common_crawl_index")
+    spark.read.format("commoncrawl").options(commonCrawlOptions).option("debug", "true")
+      .load().createOrReplaceTempView("common_crawl_index_debug")
 
     graft.functions.TextFunctions.registerAll(spark)
     graft.sources.d1.D1.registerExecuteUdf(spark)

@@ -103,11 +103,17 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
     import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-    if (child.dataType == org.apache.spark.sql.types.StringType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"rolling_hash requires a string argument, got ${child.dataType.simpleString}")
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.NullType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"rolling_hash requires a string argument, got ${other.simpleString}")
+    }
   }
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    if (child.dataType == org.apache.spark.sql.types.NullType) null
+    else super.eval(input)
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
@@ -118,6 +124,11 @@ case class RollingHashExpr(child: Expression) extends UnaryExpression {
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    if (child.dataType == org.apache.spark.sql.types.NullType) {
+      import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+      return ev.copy(code =
+        code"boolean ${ev.isNull} = true; long ${ev.value} = -1L;")
+    }
     nullSafeCodeGen(ctx, ev, c => {
       val bytes = ctx.freshName("bytes")
       val i = ctx.freshName("i")

@@ -37,13 +37,19 @@ object AsOfJoin {
     val rightStructType = org.apache.spark.sql.types.StructType(
       rightCols.map(c => right.schema(c)))
 
+    // ASOF semantics: a right row with NULL time or NULL key can never
+    // satisfy `right.ts <= left.ts AND by = by` — exclude it up front
+    // (otherwise NULLS-FIRST sorting would carry its payload to every
+    // left row, and NULL keys would spuriously match each other).
+    val rightClean = right.filter(right(rightTs).isNotNull && right(byCol).isNotNull)
+
     val l = left.select(
       (col(byCol).as("__by") +: col(leftTs).as("__ts") +: lit(1).as("__is_left") +:
         lit(null).cast(rightStructType).as("__r") +:
         leftCols.map(c => left(c).as(s"__l_$c"))): _*)
-    val r = right.select(
+    val r = rightClean.select(
       (col(byCol).as("__by") +: col(rightTs).as("__ts") +: lit(0).as("__is_left") +:
-        struct(rightCols.map(c => right(c).as(c)): _*).as("__r") +:
+        struct(rightCols.map(c => rightClean(c).as(c)): _*).as("__r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))): _*)
 
     // right rows sort before left rows at equal ts so an exact-tie right

@@ -156,22 +156,25 @@ object CdxFilterRule extends Rule[LogicalPlan] {
           val conjuncts = splitConjuncts(cond)
           // at most ONE url-pattern conjunct may be consumed (the scan has
           // a single url= slot); further url conjuncts stay in the plan.
-          // Seeded from the relation: the analyzer runs this rule to
-          // FIXPOINT, and a second pass must not consume the residual url
-          // conjunct a previous pass deliberately kept.
-          var urlTaken = rel.options.containsKey("pushed_url")
-          val consumed = scala.collection.mutable.ArrayBuffer.empty[Expression]
+          // Seeded from the relation options: (a) the analyzer runs this
+          // rule to FIXPOINT and a second pass must not consume the
+          // residual a previous pass kept; (b) a user-supplied url/url_like
+          // option must not be silently replaced — the predicate then stays
+          // in the plan and Spark evaluates it on top of the option scan.
+          var urlTaken = rel.options.containsKey("pushed_url") ||
+            rel.options.containsKey("url") || rel.options.containsKey("url_like")
+          val consumed = scala.collection.mutable.ArrayBuffer.empty[(Expression, (Option[String], Option[String]))]
           val kept = scala.collection.mutable.ArrayBuffer.empty[Expression]
           conjuncts.foreach { c =>
             translate(kind, c) match {
               case Some((Some(_), _)) if urlTaken => kept += c
-              case Some((u, _)) => if (u.isDefined) urlTaken = true; consumed += c
+              case Some(t) => if (t._1.isDefined) urlTaken = true; consumed += ((c, t))
               case None => kept += c
             }
           }
           if (consumed.isEmpty) f
           else {
-            val translations = consumed.flatMap(c => translate(kind, c))
+            val translations = consumed.map(_._2)
             val urlOpt = translations.flatMap(_._1).headOption
             val filters = translations.flatMap(_._2)
             val merged = new java.util.HashMap[String, String](rel.options)

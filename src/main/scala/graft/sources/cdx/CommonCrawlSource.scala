@@ -145,6 +145,9 @@ class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
 
   private val regexCols = Set("mimetype", "statuscode")
 
+  // see WaybackScanBuilder: rule-claimed url slot must not be overwritten
+  private val urlSlotFrozen = options.containsKey("pushed_url")
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] =
     filters.filterNot(tryConsume)
 
@@ -180,6 +183,8 @@ class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
   private def tryConsume(f: Filter): Boolean = {
     val consumed = f match {
       // ---- url: all shapes → CDX wildcard pattern ---------------------
+      case EqualTo("url", _) | StringStartsWith("url", _) | StringEndsWith("url", _) |
+           StringContains("url", _) if urlSlotFrozen => false
       case EqualTo("url", v: String) =>
         urlFilter = Codecs.convertSqlWildcardsToCdx(v); true
       case StringStartsWith("url", v) => urlFilter = v + "*"; true

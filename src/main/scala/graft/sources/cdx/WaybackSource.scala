@@ -170,10 +170,30 @@ class WaybackScanBuilder(options: CaseInsensitiveStringMap)
 
   private val cdxRegexColumns = Set("urlkey", "mimetype", "statuscode")
 
+  // When CdxFilterRule already claimed the url= slot (it deleted a complex
+  // LIKE from the plan), v1 url predicates must stay residual rather than
+  // overwrite the pushed pattern — Spark then re-evaluates them locally.
+  private val urlSlotFrozen = options.containsKey("pushed_url")
+
   // ---- filter pushdown ----------------------------------------------
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val residual = filters.filterNot(tryConsume)
-    residual
+    // IsNotNull(year|month) is decided AFTER the range filters: a pushed
+    // year/timestamp bound guarantees parseable timestamps (non-null
+    // year/month), so the bookkeeping IsNotNull that Catalyst attaches to
+    // a year comparison can be consumed; standalone `year IS NOT NULL`
+    // without a range stays residual (year CAN be null on malformed
+    // remote timestamps).
+    val (yearMonthNotNull, rest) = filters.partition {
+      case IsNotNull("year") | IsNotNull("month") => true
+      case _ => false
+    }
+    val residual = rest.filterNot(tryConsume)
+    val ymResidual =
+      if (fromDate.nonEmpty || toDate.nonEmpty) {
+        pushed ++= yearMonthNotNull
+        Array.empty[Filter]
+      } else yearMonthNotNull
+    residual ++ ymResidual
   }
 
   override def pushedFilters(): Array[Filter] = pushed.toArray
@@ -182,6 +202,8 @@ class WaybackScanBuilder(options: CaseInsensitiveStringMap)
   private def tryConsume(f: Filter): Boolean = {
     val consumed = f match {
       // ---- url --------------------------------------------------------
+      case EqualTo("url", _) | StringStartsWith("url", _) | StringEndsWith("url", _)
+          if urlSlotFrozen => false
       case EqualTo("url", v: String) =>
         urlFilter = v; matchType = "exact"; true
       case StringStartsWith("url", v) =>
@@ -251,7 +273,9 @@ class WaybackScanBuilder(options: CaseInsensitiveStringMap)
       // from/to range already excludes), so consume it — leaving it
       // residual would force the column into the scan and defeat the
       // no-network cdx_url-only path and limit pushdown.
-      case IsNotNull(c) if c != "response" => true
+      // year/month CAN be null (malformed remote timestamps) — their
+      // IsNotNull stays residual
+      case IsNotNull(c) if c != "response" && c != "year" && c != "month" => true
 
       case _ => false
     }
