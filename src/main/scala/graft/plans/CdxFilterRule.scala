@@ -72,9 +72,16 @@ object CdxFilterRule extends Rule[LogicalPlan] {
 
   /** Translate one conjunct → (urlOption, extraFilter). Returns None when
     * not translatable (predicate stays in the plan).
+    *
+    * `extra_filters` is a ';'-joined list (re-split by the scan builders),
+    * so a pattern whose translation contains ';' cannot be represented —
+    * consuming it would split one filter into garbage fragments AFTER the
+    * predicate was deleted from the plan. Such conjuncts are refused here
+    * (None) and stay in the plan as ordinary residual filters.
     */
   private def translate(kind: Kind, e: Expression): Option[(Option[String], Option[String])] = {
-    def some(url: Option[String] = None, f: Option[String] = None) = Some((url, f))
+    def some(url: Option[String] = None, f: Option[String] = None): Option[(Option[String], Option[String])] =
+      if (f.exists(_.contains(";"))) None else Some((url, f))
     (kind, e) match {
       // ---- positive LIKE ------------------------------------------------
       case (WaybackKind, Like(a, p, _)) if attrName(a).contains("url") =>

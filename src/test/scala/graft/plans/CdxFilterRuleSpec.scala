@@ -99,6 +99,27 @@ class CdxFilterRuleSpec extends AnyFunSuite {
     assert(u.contains("filter=~mime:^text/.*"), u)
   }
 
+  test("pattern containing ';' is refused (stays a residual filter)") {
+    // extra_filters is a ';'-joined list; a regex like '[;,]x' cannot be
+    // represented and must stay in the plan instead of being split into
+    // garbage CDX filters after deletion.
+    import org.apache.spark.sql.catalyst.expressions.RLike
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+    val df = wb
+      .filter(col("url") === "example.com/*" && col("urlkey").rlike("[;,]x"))
+      .select(col("cdx_url"))
+    val analyzed = df.queryExecution.analyzed
+    val rels = analyzed.collect { case r: DataSourceV2Relation => r }
+    assert(rels.nonEmpty)
+    assert(rels.forall(r => !r.options.containsKey("extra_filters")),
+      rels.map(_.options).mkString)
+    val residualRlikes = analyzed.collect {
+      case f: Filter => f.condition.collect { case r: RLike => r }
+    }.flatten
+    assert(residualRlikes.nonEmpty, analyzed.treeString)
+  }
+
   test("commoncrawl mimetype generic LIKE with inner %% -> ~mime regex with anchors") {
     val df = spark.read.format("commoncrawl").option("debug", "true")
       .option("crawl", "CC-MAIN-2024-46")
