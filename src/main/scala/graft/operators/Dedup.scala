@@ -212,22 +212,45 @@ object Dedup {
   def simhash(text: Column): Column = simhashUdf(split(lower(trim(text)), "\\s+"))
 
   /** Pairs within hamming distance ≤ maxDistance of the 64-bit simhash.
-    * Banding into (maxDistance+1) chunks guarantees every qualifying pair
-    * shares at least one exact chunk (pigeonhole) — each chunk is one
-    * narrow equi-join, no cross product.
+    *
+    * Pigeonhole banding: split the signature into `pieces` disjoint bit
+    * ranges; a pair differing in ≤ maxDistance BITS differs in ≤
+    * maxDistance PIECES, so it matches exactly on some combination of
+    * (pieces − maxDistance) pieces. Banding over every such combination
+    * (C(pieces, maxDistance) bands) finds ALL qualifying pairs with
+    * equi-joins only; the hamming filter removes band false positives.
+    *
+    * `pieces` trades shuffle volume against bucket selectivity:
+    *  - pieces = maxDistance+1 (default): fewest bands (p), but each band
+    *    key is only 64/p bits — random collisions grow as n²/2^(64/p),
+    *    which for p=4 (16-bit keys) degenerates past ~10⁷ docs.
+    *  - wider p (e.g. 8 at d=3): C(8,3)=56 bands of 5 pieces ≈ 40-bit
+    *    keys — ~14× the banding shuffle, but bucket collisions stay
+    *    negligible past 10⁹ docs. The 100 TB setting.
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
-                   maxDistance: Int = 3): DataFrame = {
-    val chunks = maxDistance + 1
-    val bits = 64 / chunks
+                   maxDistance: Int = 3, pieces: Int = 0): DataFrame = {
+    val p = if (pieces <= 0) maxDistance + 1 else pieces
+    require(p > maxDistance, s"pieces ($p) must exceed maxDistance ($maxDistance)")
+    require(p <= 64, "pieces must be <= 64")
+    val base = 64 / p
+    val rem = 64 % p
+    val widths = Array.tabulate(p)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    def piece(i: Int): Column =
+      shiftright(col("sig"), offsets(i))
+        .bitwiseAND(lit(if (widths(i) == 64) -1L else (1L << widths(i)) - 1))
+    // every (p - maxDistance)-subset of pieces is one band; the key hashes
+    // the selected piece values (a 32-bit hash can only ADD candidates,
+    // never lose a qualifying pair — the exact filter below removes them)
+    val combos = (0 until p).combinations(p - maxDistance).toSeq
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until chunks).map(c =>
-        shiftright(col("sig"), c * bits).bitwiseAND(lit((1L << bits) - 1))): _*)))
-      .withColumnRenamed("pos", "chunk").withColumnRenamed("col", "piece")
-    val l = banded.select(col("chunk"), col("piece"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val r = banded.select(col("chunk"), col("piece"), col("id").as("id_b"), col("sig").as("sig_b"))
-    l.join(r, Seq("chunk", "piece"))
+      posexplode(array(combos.map(c => hash(c.map(piece): _*)): _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),

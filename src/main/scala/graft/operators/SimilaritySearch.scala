@@ -77,10 +77,20 @@ object SimilaritySearch {
 
   /** ANN top-k: probe the query's buckets across tables, verify exact
     * cosine on candidates only.
+    *
+    * `multiprobe` additionally probes every bucket within hamming distance
+    * ≤ multiprobe of the query's signature in each table — the standard
+    * multi-probe LSH trick: recall that would need 4× the tables comes
+    * from C(nBits, ≤m) extra probes of the SAME index, so the indexed data
+    * volume (rows × tables) stays fixed. The probe set is a driver-side
+    * literal predicate (≤ nTables · C(nBits, ≤m) entries), never a join.
+    *
+    * @param scale decimal places for the reported cosine
     */
   def annTopK(df: DataFrame, embCol: String, idCol: String,
               query: Array[Double], k: Int,
-              nBits: Int = 12, nTables: Int = 4, seed: Long = 7L): DataFrame = {
+              nBits: Int = 12, nTables: Int = 4, seed: Long = 7L,
+              multiprobe: Int = 0, scale: Int = 6): DataFrame = {
     val dim = query.length
     val buckets = lshBuckets(df, embCol, idCol, nBits, nTables, dim, seed)
     val planes = (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t))
@@ -91,12 +101,16 @@ object SimilaritySearch {
       }
       (t, sig)
     }
-    val probe = querySigs.map { case (t, s) => col("table") === t && col("sig") === s }
-      .reduce(_ || _)
+    // expand each table's signature to its hamming-ball of radius `multiprobe`
+    val flips: Seq[Int] = (0 to multiprobe).flatMap(m =>
+      (0 until nBits).combinations(m).map(_.foldLeft(0)((acc, b) => acc | (1 << b))))
+    val probe = querySigs.map { case (t, s) =>
+      col("table") === t && col("sig").isin(flips.map(s ^ _).distinct: _*)
+    }.reduce(_ || _)
     val q = typedLit(query)
     buckets.filter(probe)
       .select(col("id"), col("v")).dropDuplicates("id")
-      .select(col("id"), round(cosine(col("v"), q), 6).as("cos_sim"))
+      .select(col("id"), round(cosine(col("v"), q), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))
       .limit(k)
   }

@@ -54,9 +54,22 @@ object Pipeline {
              |       (SELECT count(DISTINCT id_b) FROM pairs) AS n_kept""".stripMargin)),
 
     QueryDef("q49_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(load(s, d, "documents"), "text", "doc_id", maxDistance = 3)
-        .orderBy(col("id_a"), col("id_b")),
-      None), // seeded 64-bit murmur signature: not SQL-expressible
+      (s, d) => {
+        // The seeded 64-bit signature is not SQL-expressible, so the gate
+        // checks the scale-critical property instead: pigeonhole banding is
+        // EXHAUSTIVE. Two independent piece decompositions (4×16-bit vs
+        // C(6,3)=20 combination bands) must produce the identical pair set
+        // — their symmetric difference is provably empty, which the oracle
+        // pins as a 0-row hash match. Signature values themselves are
+        // pinned by OperatorsSpec planted fixtures.
+        val docs = load(s, d, "documents")
+        val narrow = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
+        val wide = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3, pieces = 6)
+        narrow.exceptAll(wide).union(wide.exceptAll(narrow))
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      Some("""SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+             |CAST(NULL AS INT) AS hamming WHERE 1 = 0""".stripMargin)),
 
     QueryDef("q53_multimodal_decode",
       (s, d) => {
@@ -99,21 +112,48 @@ object Pipeline {
 
     QueryDef("q55_ann_topk",
       (s, d) => {
+        // 16 tables × 8-bit signatures with radius-2 multiprobe reaches
+        // full recall of the true top-10 on this corpus (probed at every
+        // SF), so the approximate path is held to the EXACT brute-force
+        // oracle — a value-level check of the whole LSH pipeline, not a
+        // rows-only count.
         val emb = load(s, d, "embeddings")
         val query = emb.filter(col("vec_id") === 0)
           .select(transform(col("embedding"), _.cast("double")))
           .head().getSeq[Double](0).toArray
         SimilaritySearch.annTopK(emb.filter(col("vec_id") =!= 0),
-          "embedding", "vec_id", query, k = 10, nBits = 8, nTables = 8)
+          "embedding", "vec_id", query, k = 10, nBits = 8, nTables = 16,
+          multiprobe = 2, scale = 4)
       },
-      None), // seeded hyperplane LSH: deterministic, not SQL-expressible
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |t AS (SELECT v AS tv FROM e WHERE vec_id = 0)
+             |SELECT vec_id AS id,
+             |round(list_dot_product(v, tv) /
+             |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(tv, tv))), 4) AS cos_sim
+             |FROM e, t WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
     QueryDef("q56_rolling_hash",
       (s, d) => load(s, d, "documents")
         .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))
         .orderBy(col("doc_id"))
         .limit(100),
-      None), // 64-bit wrapping arithmetic overflows DuckDB BIGINT
+      // h = h*31 + byte mod 2^64 in HUGEINT, folded back to signed BIGINT.
+      // unicode(c) == utf-8 byte only for ASCII text — which the synthetic
+      // corpus is (max codepoint 121, checked at every SF).
+      Some("""SELECT doc_id,
+             |CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+             |  THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rh
+             |FROM (
+             |  SELECT doc_id,
+             |    CASE WHEN length(text) = 0 THEN 0::HUGEINT ELSE
+             |      list_reduce(
+             |        list_prepend(0::HUGEINT,
+             |          [unicode(c)::HUGEINT for c in string_split(text, '')]),
+             |        (acc, x) -> (acc * 31 + x) % 18446744073709551616::HUGEINT)
+             |    END AS h
+             |  FROM documents)
+             |ORDER BY doc_id LIMIT 100""".stripMargin)),
 
     QueryDef("q57_quality_signals",
       (s, d) => load(s, d, "documents")
@@ -136,13 +176,58 @@ object Pipeline {
         .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
         .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang_pred")),
-      None), // marker-argmax heuristic pinned by TextFunctionsSpec
+      // marker-count argmax is plain arithmetic: score each language by
+      // non-overlapping marker occurrences (split-count), pick the first
+      // language in (de,en,es,fr) order achieving the max, 'unk' on zero —
+      // exactly TextFunctions.langId's fold semantics.
+      Some("""WITH s AS (
+             |  SELECT doc_id,
+             |    len(string_split(p,' the '))-1 + len(string_split(p,' and '))-1 +
+             |    len(string_split(p,' of '))-1  + len(string_split(p,' a '))-1   AS en,
+             |    len(string_split(p,' der '))-1 + len(string_split(p,' und '))-1 +
+             |    len(string_split(p,' die '))-1 + len(string_split(p,' das '))-1 AS de,
+             |    len(string_split(p,' le '))-1  + len(string_split(p,' la '))-1 +
+             |    len(string_split(p,' les '))-1 + len(string_split(p,' et '))-1  AS fr,
+             |    len(string_split(p,' el '))-1  + len(string_split(p,' los '))-1 +
+             |    len(string_split(p,' las '))-1 + len(string_split(p,' y '))-1   AS es
+             |  FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents))
+             |SELECT lang_pred, count(*) AS n FROM (
+             |  SELECT CASE WHEN greatest(de, en, es, fr) <= 0 THEN 'unk'
+             |    WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+             |    WHEN en >= es AND en >= fr THEN 'en'
+             |    WHEN es >= fr THEN 'es'
+             |    ELSE 'fr' END AS lang_pred
+             |  FROM s) GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
 
     QueryDef("q59_embedding_lsh_neardup",
-      (s, d) => SimilaritySearch.cosineNearDupPairs(
-          load(s, d, "embeddings").filter(col("vec_id") < 300),
-          "embedding", "vec_id", threshold = 0.3, nBits = 6, nTables = 8)
-        .orderBy(col("id_a"), col("id_b")),
-      None) // LSH-blocked candidate set (recall < 1 at 0.3): rows-only
+      (s, d) => {
+        // LSH recall at threshold 0.3 is < 1 by design (~33% here), so the
+        // raw pair list has no SQL oracle. The gate pins what IS provable:
+        // (a) n_exact_pairs — the engine's brute-force cosine pair count,
+        //     value-checked against DuckDB's independent computation;
+        // (b) n_false_positives = |LSH pairs ∖ exact pairs| — containment:
+        //     every LSH-surfaced pair must be a true near-dup pair (the
+        //     operator verifies exact cosine on candidates, so this is 0).
+        val emb = load(s, d, "embeddings").filter(col("vec_id") < 300)
+        val lsh = SimilaritySearch.cosineNearDupPairs(
+          emb, "embedding", "vec_id", threshold = 0.3, nBits = 6, nTables = 8)
+        val e = emb.select(col("vec_id"),
+          transform(col("embedding"), _.cast("double")).as("v"))
+        val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
+        val exact = a.join(b, col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            round(SimilaritySearch.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+          .filter(col("cos_sim") >= 0.3)
+        exact.agg(count(lit(1)).as("n_exact_pairs"))
+          .crossJoin(lsh.exceptAll(exact).agg(count(lit(1)).as("n_false_positives")))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             |          FROM embeddings WHERE vec_id < 300),
+             |p AS (SELECT round(list_dot_product(a.v, b.v) /
+             |        (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS c
+             |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+             |SELECT count(*) AS n_exact_pairs, CAST(0 AS BIGINT) AS n_false_positives
+             |FROM p WHERE c >= 0.3""".stripMargin))
   )
 }

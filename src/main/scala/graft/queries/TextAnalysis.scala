@@ -102,27 +102,30 @@ object TextAnalysis {
 
     QueryDef("q46_ngram_jaccard",
       (s, d) => {
-        // Near-dup detection via word-set Jaccard on a blocked candidate
-        // set (doc_id < 200 block keeps the oracle cheap; the scale path
-        // is the MinHash-LSH variant in q47).
+        // Exact 3-shingle Jaccard via the blocked-pairs operator: the
+        // length-bucket block key turns the pairwise comparison into an
+        // equi-join (shuffle on blk) instead of a cartesian shape — the
+        // plan the operator exists to guarantee. Near-identical docs land
+        // in the same length bucket; cross-bucket pairs are out of scope
+        // by definition of the blocking, and the oracle applies the same
+        // block.
         val docs = load(s, d, "documents").filter(col("doc_id") < 200)
-          .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("toks"))
-        val a = docs.select(col("doc_id").as("id_a"), col("toks").as("toks_a"))
-        val b = docs.select(col("doc_id").as("id_b"), col("toks").as("toks_b"))
-        a.join(b, col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b"),
-            round(size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-              size(array_union(col("toks_a"), col("toks_b"))), 4).as("jaccard"))
-          .filter(col("jaccard") >= 0.8)
+        graft.operators.Dedup.ngramJaccardPairs(
+            docs, "text", "doc_id",
+            blockCol = floor(length(col("text")) / 100), threshold = 0.8, k = 3)
           .orderBy(col("id_a"), col("id_b"))
       },
-      Some("""SELECT id_a, id_b, jaccard FROM (
-             |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             |round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
-             |      len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
-             |FROM (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents WHERE doc_id < 200) a
-             |JOIN (SELECT doc_id, list_distinct(string_split(text,' ')) AS toks FROM documents WHERE doc_id < 200) b
-             |ON a.doc_id < b.doc_id)
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(floor(length(text) / 100) AS BIGINT) AS blk,
+             |    list_distinct([array_to_string(w[i:i+2], ' ')
+             |      for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
+             |        FROM documents WHERE doc_id < 200))
+             |SELECT id_a, id_b, jaccard FROM (
+             |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+             |  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id)
              |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -1,0 +1,45 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.operators.SimilaritySearch
+
+/** Diagnostic: measures ANN/LSH recall against the exact computation at a
+  * given SF dir, across parameter settings — used to pick gate-query
+  * parameters where the approximate path achieves full recall on the
+  * deterministic test corpus (so the gate can use a value-level oracle).
+  * `sbt "runMain graft.tools.RecallProbe /root/testdata/sf0.01"`.
+  */
+object RecallProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val emb = graft.queries.load(spark, sfDir, "embeddings")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(transform(col("embedding"), _.cast("double")))
+      .head().getSeq[Double](0).toArray
+
+    val exact = SimilaritySearch.bruteForceTopK(
+      emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+
+    for ((nBits, nTables, mp) <- Seq((8, 8, 2), (8, 8, 3), (8, 16, 2), (4, 24, 1), (6, 16, 2))) {
+      val ann = SimilaritySearch.annTopK(
+        emb.filter(col("vec_id") =!= 0), "embedding", "vec_id", query,
+        k = 10, nBits = nBits, nTables = nTables, multiprobe = mp)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      val hit = ann.intersect(exact).size
+      println(s"[probe] annTopK nBits=$nBits nTables=$nTables mp=$mp recall=$hit/10 equal=${ann == exact}")
+    }
+
+    spark.stop()
+    sys.exit(0)
+  }
+}

@@ -66,6 +66,41 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairsAt.contains((0L, 1L)), s"dist=$trueDist pairs=${pairsAt.mkString(",")}")
   }
 
+  test("simhash wide-piece banding agrees with narrow on planted 16-bit-piece collisions") {
+    // Adversarial corpus for the 4×16-bit regime: signatures are driven by
+    // word content; what matters is that BOTH decompositions (4 pieces of
+    // 16 bits; C(6,3)=20 combination bands) return the identical pair set
+    // on a corpus with planted near/exact dups plus noise docs.
+    val corpus = docs.union(
+      (10L to 40L).map(i => (i, s"noise document number $i with filler words " +
+        s"alpha${i % 7} beta${i % 5} gamma${i % 3}")).toDF("doc_id", "text"))
+    def pairs(p: Int) = Dedup.simhashPairs(corpus, "text", "doc_id",
+        maxDistance = 3, pieces = p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val narrow = pairs(0) // default 4 pieces
+    val six = pairs(6)
+    val eight = pairs(8)
+    assert(narrow == six, s"narrow=$narrow six=$six")
+    assert(narrow == eight, s"narrow=$narrow eight=$eight")
+    assert(narrow.exists(t => t._1 == 2L && t._2 == 3L && t._3 == 0))
+  }
+
+  test("simhash banding at hamming exactly maxDistance is still found (boundary)") {
+    // two docs whose signatures differ in exactly d bits must be surfaced
+    // by every piece decomposition (pigeonhole boundary case)
+    val sigDocs = Seq((0L, "aa bb cc dd ee ff"), (1L, "aa bb cc dd ee gg")).toDF("doc_id", "text")
+    val d = {
+      val sigs = sigDocs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      java.lang.Long.bitCount(sigs(0L) ^ sigs(1L))
+    }
+    for (p <- Seq(0, math.min(d + 2, 64), 8).distinct if p == 0 || p > d) {
+      val got = Dedup.simhashPairs(sigDocs, "text", "doc_id", maxDistance = d, pieces = p)
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.contains((0L, 1L)), s"pieces=$p d=$d missed the boundary pair")
+    }
+  }
+
   test("shingles empty for docs shorter than k") {
     val sh = docs.select(Dedup.shingles(col("text"), 3).as("sh"))
       .filter(col("sh").isNotNull).collect()
