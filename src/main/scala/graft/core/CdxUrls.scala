@@ -79,7 +79,8 @@ object CdxUrls {
       cdxFilters: Seq[String],
       maxResults: Long,
       fromCdxTs: String,
-      toCdxTs: String): String = {
+      toCdxTs: String,
+      offset: Long = 0L): String = {
     val fieldList = fieldsNeeded.map(ccColumnToField).mkString(",")
     val sb = new StringBuilder(endpoint)
     sb += '/'
@@ -90,6 +91,7 @@ object CdxUrls {
     sb ++= fieldList
     sb ++= "&limit="
     sb ++= maxResults.toString
+    if (offset > 0) { sb ++= "&offset="; sb ++= offset.toString }
     if (fromCdxTs.nonEmpty) { sb ++= "&from="; sb ++= fromCdxTs }
     if (toCdxTs.nonEmpty) { sb ++= "&to="; sb ++= toCdxTs }
     cdxFilters.foreach { f => sb ++= "&filter="; sb ++= f }

@@ -18,7 +18,7 @@ object CdxOptions {
 
   val ccAllowed: Set[String] = internal ++ Set(
     "url", "url_like", "crawl", "crawls", "max_results", "debug", "timeout",
-    "index_endpoint", "data_endpoint", "collinfo_endpoint")
+    "index_endpoint", "data_endpoint", "collinfo_endpoint", "partitions")
 
   def validate(fn: String, options: CaseInsensitiveStringMap, allowed: Set[String]): Unit = {
     options.keySet().asScala.foreach { k =>

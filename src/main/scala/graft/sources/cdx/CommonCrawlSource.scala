@@ -40,10 +40,11 @@ import graft.core.{CdxUrls, Codecs, CollInfo, Http, Warc}
   *    (:1333,1384 — the wayback/CC asymmetry)
   *  - LIMIT → `&limit=N`, node eliminated
   *
-  * Scale design: partition-per-crawl fan-out; WARC bodies are fetched on
-  * executors with ranged GETs + gunzip, lazily per row batch, bounded by
-  * the retry/backoff policy — a full-archive scan distributes across as
-  * many executors as there are crawl shards (x offset pages).
+  * Scale design: partition-per-crawl fan-out, times `partitions=N`
+  * offset-paged shards WITHIN each crawl (shard limits sum exactly to the
+  * pushed limit) — a broad single-crawl pull is not confined to one task.
+  * WARC bodies are fetched on executors with ranged GETs + gunzip, lazily
+  * per row batch, bounded by the retry/backoff policy.
   */
 class CommonCrawlSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "commoncrawl"
@@ -110,10 +111,11 @@ case class CommonCrawlRequest(
     cdxUrlOnly: Boolean,
     fetchResponse: Boolean,
     timeoutSeconds: Int,
-    prunedColumns: Seq[String]) extends Serializable {
+    prunedColumns: Seq[String],
+    offset: Long = 0L) extends Serializable {
 
   def cdxUrl: String = CdxUrls.buildCommonCrawlUrl(indexEndpoint, crawlId, urlFilter,
-    fieldsNeeded, cdxFilters, maxResults, fromCdxTs, toCdxTs)
+    fieldsNeeded, cdxFilters, maxResults, fromCdxTs, toCdxTs, offset)
 }
 
 class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
@@ -274,7 +276,8 @@ class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
       maxResults = maxResults, divideLimit = limitFromPushdown && crawlIds.nonEmpty,
       debug = debug, cdxUrlOnly = cdxUrlOnly, fetchResponse = needResponse,
       timeoutSeconds = options.getInt("timeout", 180),
-      prunedSchema = prunedSchema)
+      prunedSchema = prunedSchema,
+      numPartitions = options.getInt("partitions", 1))
   }
 }
 
@@ -284,7 +287,8 @@ class CommonCrawlScan(
     fieldsNeeded: Seq[String], cdxFilters: Seq[String],
     fromMicros: Long, toMicros: Long, hasTsFilter: Boolean,
     maxResults: Long, divideLimit: Boolean, debug: Boolean, cdxUrlOnly: Boolean,
-    fetchResponse: Boolean, timeoutSeconds: Int, prunedSchema: StructType)
+    fetchResponse: Boolean, timeoutSeconds: Int, prunedSchema: StructType,
+    numPartitions: Int = 1)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = prunedSchema
@@ -325,10 +329,24 @@ class CommonCrawlScan(
       else maxResults
     val from = if (fromMicros != 0) cdxTsOf(fromMicros) else ""
     val to = if (toMicros != 0) cdxTsOf(toMicros) else ""
-    crawls.map { c =>
-      CommonCrawlPartition(CommonCrawlRequest(indexEndpoint, dataEndpoint, c, urlFilter,
+    crawls.flatMap { c =>
+      val base = CommonCrawlRequest(indexEndpoint, dataEndpoint, c, urlFilter,
         fieldsNeeded, cdxFilters, from, to, perCrawlLimit, debug, cdxUrlOnly,
-        fetchResponse, timeoutSeconds, prunedSchema.fieldNames.toSeq))
+        fetchResponse, timeoutSeconds, prunedSchema.fieldNames.toSeq)
+      if (numPartitions <= 1 || cdxUrlOnly) Seq(CommonCrawlPartition(base))
+      else {
+        // Offset-paged sharding WITHIN a crawl (mirrors WaybackScan): a
+        // broad single-crawl pull is no longer confined to one task. Shard
+        // limits must sum EXACTLY to the per-crawl limit — the LIMIT node
+        // was deleted, nothing downstream re-trims.
+        val chunk = (perCrawlLimit + numPartitions - 1) / numPartitions
+        (0 until numPartitions).flatMap { i =>
+          val thisChunk = math.min(chunk, perCrawlLimit - i * chunk)
+          if (thisChunk <= 0) None
+          else Some(CommonCrawlPartition(
+            base.copy(maxResults = thisChunk, offset = i * chunk)))
+        }
+      }
     }.toArray
   }
 

@@ -170,6 +170,47 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(reqs.forall(_.contains("filter==mime:text/html")))
   }
 
+  private def scanPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.getNumPartitions
+    }.get
+
+  test("commoncrawl partitions=N shards one crawl into offset pages, limits sum exactly") {
+    stub.requests.clear()
+    val df = spark.read.format("commoncrawl")
+      .option("index_endpoint", stub.base)
+      .option("data_endpoint", stub.base)
+      .option("crawl", "CC-MAIN-2024-46")
+      .option("url_like", "example.com/%")
+      .option("partitions", "3")
+      .load()
+      .limit(8)
+      .select(col("url"))
+    assert(scanPartitions(df) == 3) // one crawl, three offset shards
+    df.collect()
+    val reqs = stub.requests.toArray.map(_.toString).filter(_.contains("-index?"))
+    assert(reqs.length == 3, reqs.mkString(";"))
+    // ceil(8/3)=3 → shard limits 3,3,2 at offsets 0,3,6 — summing to 8
+    assert(reqs.exists(r => r.contains("limit=3") && !r.contains("offset=")), reqs.mkString(";"))
+    assert(reqs.exists(r => r.contains("limit=3") && r.contains("offset=3")), reqs.mkString(";"))
+    assert(reqs.exists(r => r.contains("limit=2") && r.contains("offset=6")), reqs.mkString(";"))
+  }
+
+  test("commoncrawl partitions with limit smaller than partition count drops empty shards") {
+    val df = spark.read.format("commoncrawl")
+      .option("index_endpoint", stub.base)
+      .option("data_endpoint", stub.base)
+      .option("crawl", "CC-MAIN-2024-46")
+      .option("url_like", "example.com/%")
+      .option("partitions", "4")
+      .load()
+      .limit(2)
+      .select(col("url"))
+    // ceil(2/4)=1 → shards of limit 1 at offsets 0,1; shards 3,4 are empty
+    assert(scanPartitions(df) == 2)
+  }
+
   test("commoncrawl timestamp filter resolves crawls via collinfo and is re-applied") {
     stub.requests.clear()
     val df = spark.read.format("commoncrawl")
