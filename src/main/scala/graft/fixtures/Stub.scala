@@ -15,6 +15,11 @@ import scala.collection.concurrent.TrieMap
 final class Stub {
   private var server: HttpServer = _
   val requests = new java.util.concurrent.CopyOnWriteArrayList[(String, String)]() // (path?query, body)
+  /** Stateful D1 fixture table `kv_test(k TEXT, v INTEGER)` — backs the
+    * write-path round-trip gate queries (INSERT via d1_execute / batch
+    * session, read-back via d1_scan).
+    */
+  val kvRows = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
   private val routes = TrieMap.empty[String, HttpExchange => (Int, Array[Byte])]
 
   def start(): Stub = {
@@ -155,6 +160,31 @@ object Fixtures {
       result("")
   }
 
+  private val KvInsert = "INSERT INTO kv_test \\(k, v\\) VALUES \\('([^']*)', (-?\\d+)\\)".r
+
+  /** Stateful `kv_test` statement processor (side-effecting). Returns
+    * Some((rowsJson, changes)) when the statement touches kv_test, None to
+    * fall through to the canned fixtures. Deliberately NOT listed in
+    * PRAGMA table_list — qc09's d1_tables oracle pins the canned tables.
+    */
+  def applyKv(stub: Stub, sql: String): Option[(String, Int)] = {
+    val s = sql.trim
+    s match {
+      case KvInsert(k, v) => stub.kvRows.add((k, v.toLong)); Some(("", 1))
+      case _ if s.startsWith("DELETE FROM kv_test") =>
+        val n = stub.kvRows.size(); stub.kvRows.clear(); Some(("", n))
+      case _ if s.startsWith("SELECT * FROM kv_test") =>
+        val it = stub.kvRows.iterator()
+        val rows = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (it.hasNext) { val (k, v) = it.next(); rows += s"""{"k":"$k","v":$v}""" }
+        Some((rows.mkString(","), 0))
+      case _ if s.startsWith("PRAGMA table_info(kv_test)") =>
+        Some(("""{"cid":0,"name":"k","type":"TEXT","notnull":0,"dflt_value":null,"pk":0},
+                |{"cid":1,"name":"v","type":"INTEGER","notnull":0,"dflt_value":null,"pk":0}""".stripMargin, 0))
+      case _ => None
+    }
+  }
+
   val d1DatabasesJson: String =
     """{"success":true,"errors":[],"result":[
       |{"uuid":"11111111-2222-3333-4444-555555555555","name":"my-database","created_at":"2024-01-01T00:00:00Z","version":"production","file_size":4096,"num_tables":2,"created_in_region":"WNAM"},
@@ -199,13 +229,18 @@ object Fixtures {
         val sql = "\"sql\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findFirstMatchIn(body)
           .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse("")
         if (body.trim.startsWith("[")) {
-          // batch: one result per statement
+          // batch: one result per statement (each applied to kv_test state
+          // when it targets the stateful fixture table)
           val stmts = "\"sql\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(body)
-            .map(_.group(1)).toSeq
-          val results = stmts.map(_ =>
-            """{"success":true,"results":[],"meta":{"changes":1}}""").mkString(",")
+            .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+          val results = stmts.map { st =>
+            val changes = applyKv(stub, st).map(_._2).getOrElse(1)
+            s"""{"success":true,"results":[],"meta":{"changes":$changes}}"""
+          }.mkString(",")
           (200, s"""{"success":true,"errors":[],"result":[$results]}""".getBytes(UTF_8))
-        } else (200, d1Response(sql).getBytes(UTF_8))
+        } else (200, applyKv(stub, sql).map { case (rows, ch) =>
+          s"""{"success":true,"errors":[],"result":[{"results":[$rows],"meta":{"changes":$ch,"last_row_id":0,"rows_read":0,"rows_written":0}}]}"""
+        }.getOrElse(d1Response(sql)).getBytes(UTF_8))
       }
     }
     stub.route("/api/v1/accounts/") { _ => (200, r2QueryResponse.getBytes(UTF_8)) }

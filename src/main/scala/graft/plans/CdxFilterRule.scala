@@ -30,8 +30,12 @@ import graft.sources.cdx.{CommonCrawlTable, WaybackTable}
   *
   * Simple shapes (prefix/suffix/contains/equality) still travel the
   * normal v1-Filter pushdown path; this rule only consumes what that path
-  * cannot see. Consumed predicates are REMOVED (both engines treat these
-  * as exact remote filters).
+  * cannot see. The exception is `statuscode` (IntegerType): its LIKE /
+  * RLIKE shapes resolve through `Cast(statuscode AS STRING)`, which the
+  * v1 path cannot express at all, so the rule consumes every pattern
+  * shape there (wayback `[!]statuscode:<rx>`, CC `[!]~status:<rx>`).
+  * Consumed predicates are REMOVED (both engines treat these as exact
+  * remote filters).
   */
 object CdxFilterRule extends Rule[LogicalPlan] {
 
@@ -50,6 +54,22 @@ object CdxFilterRule extends Rule[LogicalPlan] {
 
   private def attrName(e: Expression): Option[String] = e match {
     case a: Attribute => Some(a.name)
+    case _ => None
+  }
+
+  /** `statuscode LIKE '4%'` resolves as `Like(Cast(statuscode AS STRING),
+    * …)` (statuscode is IntegerType) — the v1-Filter path cannot express
+    * ANY pattern shape through a cast, so the rule consumes simple and
+    * complex patterns alike here. Spark's int→string cast renders the
+    * same decimal digits the CDX `status` field carries, so the remote
+    * regex filter is exact.
+    */
+  private def castedName(e: Expression): Option[String] = e match {
+    case c: Cast if c.dataType == org.apache.spark.sql.types.StringType =>
+      c.child match {
+        case a: Attribute => Some(a.name)
+        case _ => None
+      }
     case _ => None
   }
 
@@ -132,6 +152,25 @@ object CdxFilterRule extends Rule[LogicalPlan] {
           }
           some(f = Some(s"!~url:$anchored"))
         }
+
+      // ---- LIKE/RLIKE through Cast (IntegerType statuscode) -------------
+      case (WaybackKind, Like(a, p, _)) if castedName(a).exists(waybackRegexCols) =>
+        litString(p).flatMap(s =>
+          some(f = Some(s"${castedName(a).get}:${Codecs.likeToRegex(s)}")))
+      case (WaybackKind, Not(Like(a, p, _))) if castedName(a).exists(waybackRegexCols) =>
+        litString(p).flatMap(s =>
+          some(f = Some(s"!${castedName(a).get}:${Codecs.likeToRegex(s)}")))
+      case (WaybackKind, RLike(a, p)) if castedName(a).exists(waybackRegexCols) =>
+        litString(p).flatMap(s => some(f = Some(s"${castedName(a).get}:$s")))
+      case (CcKind, Like(a, p, _)) if castedName(a).exists(ccRegexCols) =>
+        litString(p).flatMap(s => some(f = Some(
+          s"~${graft.core.CdxUrls.ccColumnToField(castedName(a).get)}:${Codecs.sqlRegexToRegex(s)}")))
+      case (CcKind, Not(Like(a, p, _))) if castedName(a).exists(ccRegexCols) =>
+        litString(p).flatMap(s => some(f = Some(
+          s"!~${graft.core.CdxUrls.ccColumnToField(castedName(a).get)}:${Codecs.sqlRegexToRegex(s)}")))
+      case (CcKind, RLike(a, p)) if castedName(a).exists(ccRegexCols) =>
+        litString(p).flatMap(s => some(f = Some(
+          s"~${graft.core.CdxUrls.ccColumnToField(castedName(a).get)}:$s")))
 
       case _ => None
     }

@@ -173,6 +173,46 @@ object Connectors {
         .limit(50)
         .select(col("cdx_url")),
       Some("SELECT 'https://web.archive.org/cdx/search/cdx?url=example.com&output=csv" +
-        "&from=2020&to=2023&limit=50&collapse=timestamp:8' AS cdx_url"))
+        "&from=2020&to=2023&limit=50&collapse=timestamp:8' AS cdx_url")),
+
+    // Write-path round-trips against the stub's stateful kv_test table:
+    // statements mutate real (in-memory) state and the read-back flows
+    // through the ordinary d1_scan schema-inference + affinity path.
+
+    QueryDef("qc15_d1_execute_roundtrip",
+      (s, _) => {
+        Secrets.register(Secrets.Secret("__default_d1", "d1", "fixture-acct", "fixture-tok"))
+        val db = "11111111-2222-3333-4444-555555555555"
+        val api = s"${stub.base}/client/v4"
+        graft.sources.d1.D1.execute("DELETE FROM kv_test", None, db, api)
+        graft.sources.d1.D1.execute(
+          "INSERT INTO kv_test (k, v) VALUES ('alpha', 1)", None, db, api)
+        graft.sources.d1.D1.execute(
+          "INSERT INTO kv_test (k, v) VALUES ('beta', 2)", None, db, api)
+        d1Opts(s.read.format("d1")).option("table", "kv_test").load()
+          .orderBy(col("k"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |('alpha', CAST(1 AS BIGINT)), ('beta', CAST(2 AS BIGINT)))
+             |t(k, v) ORDER BY k""".stripMargin)),
+
+    QueryDef("qc16_d1_batch_txn",
+      (s, _) => {
+        Secrets.register(Secrets.Secret("__default_d1", "d1", "fixture-acct", "fixture-tok"))
+        val db = "11111111-2222-3333-4444-555555555555"
+        val api = s"${stub.base}/client/v4"
+        graft.sources.d1.D1.execute("DELETE FROM kv_test", None, db, api)
+        val txn = graft.sources.d1.D1.batchSession(None, db, api)
+        txn.begin()
+        txn.execute("INSERT INTO kv_test (k, v) VALUES ('x', 10)")
+        txn.execute("INSERT INTO kv_test (k, v) VALUES ('y', 20)")
+        txn.execute("INSERT INTO kv_test (k, v) VALUES ('z', 30)")
+        txn.commit() // one batch POST (reference d1_http.cpp:525-547)
+        d1Opts(s.read.format("d1")).option("table", "kv_test").load()
+          .orderBy(col("k"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |('x', CAST(10 AS BIGINT)), ('y', CAST(20 AS BIGINT)), ('z', CAST(30 AS BIGINT)))
+             |t(k, v) ORDER BY k""".stripMargin))
   )
 }

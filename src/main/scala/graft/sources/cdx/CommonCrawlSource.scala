@@ -30,7 +30,8 @@ import graft.core.{CdxUrls, Codecs, CollInfo, Http, Warc}
   *  - statuscode/mimetype =/!= → `&filter==status:N` / `=mime:v` (`!` for
   *    negation; field renames status/mime)
   *  - statuscode/mimetype IN → `~status:(a|b|c)` regex alternation
-  *  - statuscode/mimetype prefix → `~field:^v.*` (regex-escaped)
+  *  - statuscode/mimetype prefix → `~field:^v.*` (regex-escaped); suffix
+  *    → `~field:.*v$`; contains → `~field:.*v.*`
   *  - crawl_id = → index shard selection; crawl_id IN → parallel fan-out,
   *    one partition per crawl (the reference's std::async becomes REAL
   *    cluster parallelism), pushed LIMIT divided across crawls
@@ -220,6 +221,12 @@ class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
         } else false
       case StringStartsWith(c, v) if regexCols(c) =>
         cdxFilters :+= ("~" + CdxUrls.ccColumnToField(c) + ":^" +
+          Codecs.escapeRegexSpecialChars(v) + ".*"); true
+      case StringEndsWith(c, v) if regexCols(c) =>
+        cdxFilters :+= ("~" + CdxUrls.ccColumnToField(c) + ":.*" +
+          Codecs.escapeRegexSpecialChars(v) + "$"); true
+      case StringContains(c, v) if regexCols(c) =>
+        cdxFilters :+= ("~" + CdxUrls.ccColumnToField(c) + ":.*" +
           Codecs.escapeRegexSpecialChars(v) + ".*"); true
 
       // ---- timestamp: set from/to + crawl discovery, but KEEP filter --

@@ -129,4 +129,69 @@ class CdxFilterRuleSpec extends AnyFunSuite {
     val u = df.collect().head.getString(0)
     assert(u.contains("filter=~mime:^text/.*ml$"), u)
   }
+
+  // ---- statuscode LIKE arrives wrapped in Cast(int -> string): neither
+  // the v1 path nor LikeSimplification can see through it; the rule
+  // consumes every pattern shape here (simple prefixes included).
+
+  test("wayback statuscode LIKE '4%' through Cast -> filter=statuscode:^4.*") {
+    val u = waybackUrl(wb
+      .filter(col("url") === "example.com/*" && col("statuscode").like("4%"))
+      .limit(1).select(col("cdx_url")))
+    assert(u.contains("filter=statuscode:^4.*"), u)
+  }
+
+  test("wayback statuscode NOT LIKE '3%' through Cast -> filter=!statuscode:^3.*") {
+    val u = waybackUrl(wb
+      .filter(col("url") === "example.com/*" && !col("statuscode").like("3%"))
+      .limit(1).select(col("cdx_url")))
+    assert(u.contains("filter=!statuscode:^3.*"), u)
+  }
+
+  test("wayback statuscode RLIKE through Cast -> filter=statuscode:<regex>") {
+    val u = waybackUrl(wb
+      .filter(col("url") === "example.com/*" && col("statuscode").rlike("30[12]"))
+      .limit(1).select(col("cdx_url")))
+    assert(u.contains("filter=statuscode:30[12]"), u)
+  }
+
+  test("commoncrawl statuscode LIKE '2%' through Cast -> ~status:^2.*$") {
+    val df = spark.read.format("commoncrawl").option("debug", "true")
+      .option("crawl", "CC-MAIN-2024-46")
+      .load()
+      .filter(col("url").like("example.com/%") && col("statuscode").like("2%"))
+      .limit(1).select(col("cdx_url"))
+    val u = df.collect().head.getString(0)
+    assert(u.contains("filter=~status:^2.*$"), u)
+  }
+
+  test("commoncrawl statuscode NOT LIKE through Cast -> !~status regex") {
+    val df = spark.read.format("commoncrawl").option("debug", "true")
+      .option("crawl", "CC-MAIN-2024-46")
+      .load()
+      .filter(col("url").like("example.com/%") && !col("statuscode").like("5%"))
+      .limit(1).select(col("cdx_url"))
+    val u = df.collect().head.getString(0)
+    assert(u.contains("filter=!~status:^5.*$"), u)
+  }
+
+  test("commoncrawl mimetype LIKE '%html' (suffix) -> ~mime:.*html$ via v1") {
+    val df = spark.read.format("commoncrawl").option("debug", "true")
+      .option("crawl", "CC-MAIN-2024-46")
+      .load()
+      .filter(col("url").like("example.com/%") && col("mimetype").like("%html"))
+      .limit(1).select(col("cdx_url"))
+    val u = df.collect().head.getString(0)
+    assert(u.contains("filter=~mime:.*html$"), u)
+  }
+
+  test("commoncrawl mimetype LIKE '%xml%' (contains) -> ~mime:.*xml.* via v1") {
+    val df = spark.read.format("commoncrawl").option("debug", "true")
+      .option("crawl", "CC-MAIN-2024-46")
+      .load()
+      .filter(col("url").like("example.com/%") && col("mimetype").like("%xml%"))
+      .limit(1).select(col("cdx_url"))
+    val u = df.collect().head.getString(0)
+    assert(u.contains("filter=~mime:.*xml.*"), u)
+  }
 }
