@@ -110,17 +110,52 @@ object Dedup {
     })
   }
 
-  /** Exact Jaccard between two docs' shingle sets (verify step — runs on
-    * candidate pairs only).
+  /** Per-doc sorted distinct 64-bit shingle hashes — computed ONCE per
+    * document so the verify join never re-shingles text per candidate
+    * pair (a doc in c candidate pairs would otherwise be re-shingled c
+    * times; with dup-heavy corpora c reaches the dup-cluster size).
+    * 64-bit hashing keeps Jaccard exact up to a ~2^-64 per-pair collision
+    * probability (~10^-9 corpus-wide at 10^5 docs) — the string-set and
+    * hashed-set Jaccard agree on every real corpus this runs on.
     */
-  private def jaccardUdf(k: Int) = udf((ta: String, tb: String) => {
-    val a = shingleStrings(ta, k)
-    val b = shingleStrings(tb, k)
-    if (a.isEmpty || b.isEmpty) 0.0
+  private def shingleHashes64Udf(k: Int) = udf((text: String) => {
+    val sh = shingleStrings(text, k)
+    if (sh.isEmpty) null
     else {
-      val sa = a.toSet
-      var inter = 0
-      b.foreach(s => if (sa.contains(s)) inter += 1)
+      val out = new Array[Long](sh.length)
+      var i = 0
+      while (i < sh.length) {
+        val h1 = scala.util.hashing.MurmurHash3.stringHash(sh(i), 42)
+        val h2 = scala.util.hashing.MurmurHash3.stringHash(sh(i), 0x5bd1e995)
+        out(i) = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+        i += 1
+      }
+      java.util.Arrays.sort(out)
+      // shingleStrings already de-duped; hash collisions inside one doc
+      // (would violate sorted-distinct) are removed defensively
+      var n = 0
+      var j = 0
+      while (j < out.length) {
+        if (j == 0 || out(j) != out(j - 1)) { out(n) = out(j); n += 1 }
+        j += 1
+      }
+      java.util.Arrays.copyOf(out, n)
+    }
+  })
+
+  /** Jaccard of two sorted distinct Long arrays by merge-intersection —
+    * O(|a|+|b|), no per-pair set allocation.
+    */
+  private val sortedJaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => {
+    if (a == null || b == null || a.isEmpty || b.isEmpty) 0.0
+    else {
+      var i = 0; var j = 0; var inter = 0
+      while (i < a.length && j < b.length) {
+        val x = a(i); val y = b(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
       val union = a.length + b.length - inter
       math.round(inter.toDouble / union * 10000.0) / 10000.0
     }
@@ -148,7 +183,14 @@ object Dedup {
     val rowsPerBand = numPerm / bands
     require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
 
+    // The signature UDF is the CPU-heaviest stage (numPerm multiplies per
+    // shingle); scan partitioning follows file size, which for compressed
+    // text may be a handful of partitions. Spread the per-doc work over
+    // the session's shuffle parallelism first — one narrow shuffle of raw
+    // text, amortized over orders of magnitude more signature compute.
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(math.max(par, df.rdd.getNumPartitions))
     val withSig = base
       .withColumn("sig", textSignatureUdf(numPerm, shingleK)(col("__text")))
       .filter(col("sig").isNotNull)
@@ -166,11 +208,17 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    val ta = base.select(col("id").as("id_a"), col("__text").as("__text_a"))
-    val tb = base.select(col("id").as("id_b"), col("__text").as("__text_b"))
+    // verify on per-doc precomputed sorted shingle-hash arrays: each doc
+    // is shingled once total, and the per-pair check is a merge
+    // intersection instead of a set build (the old per-pair jaccardUdf
+    // re-shingled both texts for every candidate — quadratic in the
+    // dup-cluster size on dup-heavy corpora)
+    val hashed = base.select(col("id"), shingleHashes64Udf(shingleK)(col("__text")).as("__sh"))
+    val ta = hashed.select(col("id").as("id_a"), col("__sh").as("__sh_a"))
+    val tb = hashed.select(col("id").as("id_b"), col("__sh").as("__sh_b"))
     candidates.join(ta, "id_a").join(tb, "id_b")
       .select(col("id_a"), col("id_b"),
-        jaccardUdf(shingleK)(col("__text_a"), col("__text_b")).as("jaccard"))
+        sortedJaccardUdf(col("__sh_a"), col("__sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -230,6 +278,23 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxDistance: Int = 3, pieces: Int = 0): DataFrame = {
+    // spread the signature UDF over the session parallelism (see
+    // minhashLshPairs — same few-input-partitions hazard)
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    simhashPairsOnSigs(
+      df.repartition(math.max(par, df.rdd.getNumPartitions))
+        .select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      maxDistance, pieces)
+  }
+
+  /** As [[simhashPairs]] but over a precomputed `(id, sig)` frame — lets
+    * callers compute (and cache) the signature scan once when running
+    * several banding configurations over the same corpus (the q49
+    * exhaustiveness gate diffs two decompositions; without this the
+    * signature UDF would run once per decomposition per diff side).
+    */
+  def simhashPairsOnSigs(sigs: DataFrame,
+                         maxDistance: Int = 3, pieces: Int = 0): DataFrame = {
     val p = if (pieces <= 0) maxDistance + 1 else pieces
     require(p > maxDistance, s"pieces ($p) must exceed maxDistance ($maxDistance)")
     require(p <= 64, "pieces must be <= 64")
@@ -244,18 +309,23 @@ object Dedup {
     // the selected piece values (a 32-bit hash can only ADD candidates,
     // never lose a qualifying pair — the exact filter below removes them)
     val combos = (0 until p).combinations(p - maxDistance).toSeq
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(array(combos.map(c => hash(c.map(piece): _*)): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
     val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sig").as("sig_a"))
     val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sig").as("sig_b"))
+    // hamming-filter BEFORE dropDuplicates: band false positives are
+    // eliminated in the streamed join output (codegen, no materialization)
+    // instead of riding the dedup shuffle — with a skewed piece space the
+    // false-positive volume is quadratic in the hot-bucket size and would
+    // dominate the shuffle otherwise. Same result: hamming is a pure
+    // function of the pair.
     l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxDistance)
+      .dropDuplicates("id_a", "id_b")
   }
 
   // ---- exact n-gram jaccard (blocked) ---------------------------------

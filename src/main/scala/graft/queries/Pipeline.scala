@@ -63,8 +63,13 @@ object Pipeline {
         // pins as a 0-row hash match. Signature values themselves are
         // pinned by OperatorsSpec planted fixtures.
         val docs = load(s, d, "documents")
-        val narrow = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
-        val wide = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3, pieces = 6)
+        // the two decompositions and the double-sided diff reuse the same
+        // intermediates — cache them or the signature scan runs 4x and
+        // each banding pipeline 2x
+        val sigs = docs.repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+          .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig")).cache()
+        val narrow = Dedup.simhashPairsOnSigs(sigs, maxDistance = 3).cache()
+        val wide = Dedup.simhashPairsOnSigs(sigs, maxDistance = 3, pieces = 6).cache()
         narrow.exceptAll(wide).union(wide.exceptAll(narrow))
           .orderBy(col("id_a"), col("id_b"))
       },

@@ -18,14 +18,27 @@ package object queries {
     * `events.ts` is TIMESTAMP(NANOS) parquet, which Spark's reader rejects
     * (max precision is µs). We read nanos as raw longs and truncate to a
     * µs TimestampType column — the engine-level bridge for ns sources.
+    * A µs-typed events source (e.g. the replicated bench SFs, which
+    * round-trip through a µs-only writer) loads unchanged: nanosAsLong
+    * only affects TIMESTAMP(NANOS) columns, so `ts` arrives as a proper
+    * TimestampType there.
     */
   def load(spark: SparkSession, dir: String, table: String): DataFrame = {
     if (table == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$table.parquet")
-      raw.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.timestamp_micros(
+              org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          // non-UTC-adjusted parquet: normalize so downstream epoch
+          // arithmetic (sessionize casts ts to long) stays legal
+          raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+            .cast(org.apache.spark.sql.types.TimestampType))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$table.parquet")
   }
 }
