@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+import graft.core.Secrets
+
 /** One-call SQL-surface setup: after `Graft.registerAll(spark)` a user of
   * the reference extension can run the same queries over the same names —
   * `SELECT * FROM wayback_machine WHERE url = '...'`,
@@ -31,5 +33,44 @@ object Graft {
 
     graft.functions.TextFunctions.registerAll(spark)
     graft.sources.d1.D1.registerExecuteUdf(spark)
+    registerSecretUdfs(spark)
+  }
+
+  /** `CREATE SECRET` parity (reference d1_secret.cpp:12-67,
+    * r2_secret.cpp:11-60): same parameter set, same unknown-parameter and
+    * missing-parameter error wording, token redacted in any rendering.
+    * Spark has no CREATE SECRET statement, so the surface is a scalar
+    * function — `SELECT graft_create_secret('mysecret', 'd1',
+    * map('account_id', '...', 'api_token', '...'))` — plus this
+    * programmatic helper.
+    */
+  def createSecret(name: String, secretType: String,
+                   options: Map[String, String]): Unit = {
+    val tpe = secretType.toLowerCase
+    require(tpe == "d1" || tpe == "r2_sql",
+      s"Secret type '$secretType' not found, secret types are: d1, r2_sql")
+    val label = if (tpe == "d1") "D1" else "R2 SQL"
+    val norm = options.map { case (k, v) => (k.toLowerCase, v) }
+    norm.keys.find(k => k != "account_id" && k != "api_token").foreach { bad =>
+      throw new IllegalArgumentException(
+        s"Unknown parameter for $label secret: '$bad'. Expected: account_id, api_token")
+    }
+    val acct = norm.getOrElse("account_id",
+      throw new IllegalArgumentException(s"$label secret requires 'account_id' parameter"))
+    val tok = norm.getOrElse("api_token",
+      throw new IllegalArgumentException(s"$label secret requires 'api_token' parameter"))
+    Secrets.register(Secrets.Secret(name, tpe, acct, tok))
+  }
+
+  def dropSecret(name: String, secretType: String): Unit =
+    Secrets.drop(secretType.toLowerCase, name)
+
+  private def registerSecretUdfs(spark: SparkSession): Unit = {
+    spark.udf.register("graft_create_secret",
+      (name: String, tpe: String, opts: Map[String, String]) => {
+        createSecret(name, tpe, opts); true
+      })
+    spark.udf.register("graft_drop_secret",
+      (name: String, tpe: String) => { dropSecret(name, tpe); true })
   }
 }
