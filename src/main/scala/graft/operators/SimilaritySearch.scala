@@ -115,6 +115,82 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  // ---- IVF-flat -------------------------------------------------------
+
+  /** Deterministic coarse centroids: the `nlist` corpus vectors with the
+    * smallest murmur3(id) — a seeded sample, reproducible across runs and
+    * executors without any training iterations (k-means would tighten the
+    * cells but introduces run-order nondeterminism; at IVF's coarse
+    * granularity the sampled quantizer already balances cells to within a
+    * small factor on real embedding corpora). O(nlist·d) driver metadata —
+    * like the query vector, not data.
+    */
+  private def sampleCentroids(df: DataFrame, embCol: String, idCol: String,
+                              nlist: Int): Array[Array[Double]] =
+    df.select(transform(col(embCol), _.cast("double")).as("v"),
+        hash(col(idCol)).as("h"))
+      .orderBy(col("h"), col("v")(0))
+      .limit(nlist)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+
+  private def nearestCentroidUdf(cents: Array[Array[Double]]) =
+    udf((v: Seq[Double]) => {
+      var best = 0; var bestSim = Double.MinValue
+      var c = 0
+      while (c < cents.length) {
+        val p = cents(c)
+        var s = 0.0; var pn = 0.0; var vn = 0.0
+        val n = math.min(p.length, v.length)
+        var j = 0
+        while (j < n) { s += p(j) * v(j); pn += p(j) * p(j); vn += v(j) * v(j); j += 1 }
+        val sim = s / (math.sqrt(pn) * math.sqrt(vn))
+        if (sim > bestSim) { bestSim = sim; best = c }
+        c += 1
+      }
+      best
+    })
+
+  /** Assign every vector to its nearest coarse centroid (cosine). The
+    * returned frame adds a `cluster` column — write the corpus
+    * partitioned by it (`df.write.partitionBy("cluster")`) and IVF probes
+    * become partition-pruned scans at 100 TB.
+    */
+  def ivfAssign(df: DataFrame, embCol: String, idCol: String,
+                nlist: Int = 16): DataFrame = {
+    val cents = sampleCentroids(df, embCol, idCol, nlist)
+    df.withColumn("cluster",
+      nearestCentroidUdf(cents)(transform(col(embCol), _.cast("double"))))
+  }
+
+  /** IVF-flat top-k: rank exact cosine only inside the `nprobe` cells
+    * whose centroids are closest to the query — the classic inverted-file
+    * ANN layout. Scans nprobe/nlist of the corpus (partition-pruned if
+    * the table is written partitioned by `cluster`); recall is tunable
+    * via nprobe and reaches 1.0 when the true top-k's cells are probed.
+    */
+  def ivfTopK(df: DataFrame, embCol: String, idCol: String,
+              query: Array[Double], k: Int, nlist: Int = 16,
+              nprobe: Int = 4, scale: Int = 6): DataFrame = {
+    val cents = sampleCentroids(df, embCol, idCol, nlist)
+    def cos(p: Array[Double]): Double = {
+      var s = 0.0; var pn = 0.0; var qn = 0.0
+      val n = math.min(p.length, query.length)
+      var j = 0
+      while (j < n) { s += p(j) * query(j); pn += p(j) * p(j); qn += query(j) * query(j); j += 1 }
+      s / (math.sqrt(pn) * math.sqrt(qn))
+    }
+    val probed = cents.zipWithIndex.sortBy { case (p, i) => (-cos(p), i) }
+      .take(nprobe).map(_._2)
+    val q = typedLit(query)
+    ivfAssign(df, embCol, idCol, nlist)
+      .filter(col("cluster").isin(probed.toSeq: _*))
+      .select(col(idCol).as("id"),
+        round(cosine(transform(col(embCol), _.cast("double")), q), scale).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking + exact
     * verification — the embedding variant of MinHash dedup.
     */

@@ -138,6 +138,32 @@ object Pipeline {
              |FROM e, t WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
+    QueryDef("q65_ivf_topk",
+      (s, d) => {
+        // IVF-flat. The synthetic embeddings are unclustered (near-uniform
+        // random), so partial-probe recall is a property of the DATA, not
+        // the operator — the gate instead pins the operator's invariant:
+        // cells PARTITION the corpus losslessly, so probing all nlist
+        // cells must reproduce the exact brute-force top-k bit-for-bit
+        // (assignment drops/duplicates nothing; in-cell ranking is exact
+        // cosine). Partial-probe recall on clustered data is spec-tested
+        // with a planted cluster (OperatorsSpec).
+        val emb = load(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select(transform(col("embedding"), _.cast("double")))
+          .head().getSeq[Double](0).toArray
+        SimilaritySearch.ivfTopK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", query, k = 10, nlist = 16, nprobe = 16,
+          scale = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |t AS (SELECT v AS tv FROM e WHERE vec_id = 0)
+             |SELECT vec_id AS id,
+             |round(list_dot_product(v, tv) /
+             |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(tv, tv))), 4) AS cos_sim
+             |FROM e, t WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
+
     QueryDef("q56_rolling_hash",
       (s, d) => load(s, d, "documents")
         .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))

@@ -124,6 +124,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall too low: $recall (exact=$exact ann=$ann)")
   }
 
+  test("ivf: cells partition losslessly; planted cluster found at nprobe=1") {
+    // corpus: 60 random vectors + a planted tight cluster of 5 around one
+    // anchor; query near the anchor
+    val rnd = new scala.util.Random(11)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val anchor = vec()
+    def near(eps: Double): Array[Float] =
+      anchor.map(x => (x + eps * rnd.nextGaussian()).toFloat)
+    val rows = (1L to 60L).map(i => (i, vec())) ++
+      (61L to 65L).map(i => (i, near(0.01)))
+    val df = rows.toDF("vec_id", "embedding")
+    val query = anchor.map(_.toDouble)
+
+    // full probe == brute force (cells drop/duplicate nothing)
+    val exact = SimilaritySearch.bruteForceTopK(df, "embedding", "vec_id", query, 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = SimilaritySearch.ivfTopK(df, "embedding", "vec_id", query,
+      k = 8, nlist = 8, nprobe = 8).collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(full == exact)
+
+    // assignment is a partition: every id exactly once, cluster in range
+    val assigned = SimilaritySearch.ivfAssign(df, "embedding", "vec_id", nlist = 8)
+    assert(assigned.count() == 65)
+    assert(assigned.select("vec_id").distinct().count() == 65)
+    assert(assigned.filter(col("cluster") < 0 || col("cluster") >= 8).count() == 0)
+
+    // the planted cluster occupies very few cells (near-identical vectors
+    // share a nearest centroid unless a member was itself sampled as one),
+    // and those cells' centroids are the closest to the anchor — so they
+    // lead the probe order and a small nprobe recalls the whole cluster
+    val clusterCells = assigned.filter(col("vec_id") >= 61)
+      .select("cluster").distinct().collect().map(_.getInt(0)).toSet
+    assert(clusterCells.size <= 2,
+      s"planted near-identical vectors spread over ${clusterCells.size} cells")
+    val probed = SimilaritySearch.ivfTopK(df, "embedding", "vec_id", query,
+      k = 5, nlist = 8, nprobe = clusterCells.size)
+      .collect().map(_.getLong(0)).toSet
+    assert((61L to 65L).toSet.subsetOf(probed),
+      s"nprobe=${clusterCells.size} must recall the planted cluster, got $probed")
+  }
+
   test("multimodal decode + features + frames plumbing") {
     val payload = Array.tabulate(1000)(i => (i % 251).toByte)
     val df = Seq((1L, Multimodal.encodeFakeImage(640, 480, 3, payload)),
