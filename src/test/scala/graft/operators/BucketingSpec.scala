@@ -63,4 +63,29 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS o_bucketed")
     }
   }
+
+  test("ivf cluster-partitioned corpus: probes read only the probed cells' files") {
+    // Evidence for the SCALE.md claim: write the corpus partitioned by
+    // the IVF cell and a probe becomes a partition-PRUNED scan — the
+    // fraction of data read scales with nprobe/nlist, not corpus size.
+    val dir = java.nio.file.Files.createTempDirectory("ivf_parts").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    SimilaritySearch.ivfAssign(emb, "embedding", "vec_id", nlist = 8)
+      .write.partitionBy("cluster").mode("overwrite").parquet(dir)
+
+    val corpus = spark.read.parquet(dir)
+    val probe = corpus.filter(col("cluster").isin(0, 3))
+      .select(col("vec_id"), col("embedding"))
+    // the partition filter must reach the scan (pruned file listing), not
+    // survive as a post-scan row filter
+    val scan = probe.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") &&
+      scan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("cluster"),
+      "cluster probe must be a partition filter:\n" + scan.take(1500))
+    // and the pruned read returns exactly the probed cells' rows
+    val expected = SimilaritySearch.ivfAssign(emb, "embedding", "vec_id", nlist = 8)
+      .filter(col("cluster").isin(0, 3)).count()
+    assert(probe.count() == expected && expected > 0)
+  }
 }
