@@ -161,6 +161,12 @@ object Dedup {
     }
   })
 
+  /** Profiling accessors (graft.tools.MinhashProfile) — expose the
+    * internal kernels without widening the operator API.
+    */
+  private[graft] def signatureForProfile(numPerm: Int, k: Int) = textSignatureUdf(numPerm, k)
+  private[graft] def shingleHashesForProfile(k: Int) = shingleHashes64Udf(k)
+
   /** Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
     *
     * Pipeline (all narrow-key shuffles):
