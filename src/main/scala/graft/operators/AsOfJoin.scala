@@ -5,8 +5,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** As-of join — an operator Spark SQL lacks natively (DuckDB ships it as
-  * `ASOF JOIN`). For every left row, attach the latest right row whose
-  * time key is <= the left's, within the same `by` partition.
+  * `ASOF JOIN`). For every left row, attach the nearest right row in the
+  * chosen direction (backward: latest with ts <= left's; forward:
+  * earliest with ts >= left's; strict variants use < / >), within the
+  * same `by` partition — the full DuckDB ASOF comparison surface.
   *
   * Implementation is the scalable union+window form (preference (a) from
   * the build guide: compose built-ins before custom plan nodes):
@@ -24,11 +26,21 @@ object AsOfJoin {
     * @param leftTs    left time column name
     * @param rightTs   right time column name
     * @param rightCols right payload columns to attach (null when no right
-    *                  row is at-or-before the left's time)
+    *                  row qualifies)
+    * @param direction "backward" (latest right with ts <= left ts — the
+    *                  default, DuckDB's `ON r.ts <= l.ts`) or "forward"
+    *                  (earliest right with ts >= left ts, `ON r.ts >=
+    *                  l.ts`)
+    * @param strict    exclude exact-tie rows (`<` / `>` instead of
+    *                  `<=` / `>=`)
     */
   def asofJoin(left: DataFrame, right: DataFrame, byCol: String,
                leftTs: String, rightTs: String,
-               rightCols: Seq[String]): DataFrame = {
+               rightCols: Seq[String],
+               direction: String = "backward",
+               strict: Boolean = false): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction must be 'backward' or 'forward', got '$direction'")
     val leftCols = left.columns.toSeq
 
     // the whole right payload rides in ONE struct so the carried values
@@ -52,10 +64,15 @@ object AsOfJoin {
         struct(rightCols.map(c => rightClean(c).as(c)): _*).as("__r") +:
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"__l_$c"))): _*)
 
-    // right rows sort before left rows at equal ts so an exact-tie right
-    // row is visible to the left row (ASOF <= semantics)
+    // Direction decides the scan order (backward: ascending ts, carry the
+    // LATEST right seen so far; forward: descending ts, carry the
+    // EARLIEST right at-or-after). Tie order decides strictness: a right
+    // row at equal ts sorts BEFORE the left row for <=/>= (visible to it)
+    // and AFTER it for the strict </> variants (not visible).
+    val tsOrder = if (direction == "backward") col("__ts").asc else col("__ts").desc
+    val tieOrder = if (strict) col("__is_left").desc else col("__is_left").asc
     val w = Window.partitionBy(col("__by"))
-      .orderBy(col("__ts"), col("__is_left"))
+      .orderBy(tsOrder, tieOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)

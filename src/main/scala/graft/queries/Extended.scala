@@ -137,6 +137,28 @@ object Extended {
              |ON p.user_id = s.user_id AND s.ts <= p.ts
              |ORDER BY p.event_id LIMIT 500""".stripMargin)),
 
+    QueryDef("q66_asof_forward",
+      (s, d) => {
+        // forward as-of: for each signup, the user's FIRST purchase
+        // at-or-after it (DuckDB `ON p.ts >= s.ts`)
+        val events = load(s, d, "events")
+        val signups = events.filter(col("event_type") === "signup")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val purchases = events.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("user_id"), col("ts"))
+        graft.operators.AsOfJoin.asofJoin(signups, purchases,
+            byCol = "user_id", leftTs = "ts", rightTs = "ts",
+            rightCols = Seq("purchase_id"), direction = "forward")
+          .select(col("event_id"), col("user_id"), col("asof_purchase_id"))
+          .orderBy(col("event_id"))
+          .limit(500)
+      },
+      Some("""SELECT s.event_id, s.user_id, p.event_id AS asof_purchase_id
+             |FROM (SELECT * FROM events WHERE event_type = 'signup') s
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+             |ON s.user_id = p.user_id AND p.ts >= s.ts
+             |ORDER BY s.event_id LIMIT 500""".stripMargin)),
+
     QueryDef("q63_percentile",
       (s, d) => load(s, d, "orders")
         .groupBy(col("o_orderstatus"))
