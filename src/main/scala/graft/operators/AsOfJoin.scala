@@ -76,7 +76,12 @@ object AsOfJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val carried = l.unionByName(r)
-      .withColumn("__r_carried", last(col("__r"), ignoreNulls = true).over(w))
+      // A NULL left ts can never satisfy `right.ts <= left.ts` in either
+      // direction, but the window still hands it whatever sorted next to
+      // the NULLs (forward's desc order puts them last, inheriting the
+      // earliest right row) — null the carried payload out explicitly.
+      .withColumn("__r_carried",
+        when(col("__ts").isNotNull, last(col("__r"), ignoreNulls = true).over(w)))
 
     carried.filter(col("__is_left") === 1)
       .select(leftCols.map(c => col(s"__l_$c").as(c)) ++

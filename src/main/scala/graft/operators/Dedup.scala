@@ -28,13 +28,15 @@ object Dedup {
     * hash. Returns the surviving rows of `df`.
     */
   def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = md5(col(textCol))
-    val keepers = df.select(h.as("__h"), col(idCol).as("__id"))
-      .groupBy(col("__h")).agg(min(col("__id")).as("__keep"))
-    // null-safe on the hash: NULL-text rows form their own group and keep
-    // one representative instead of silently vanishing
-    df.join(keepers, md5(df(textCol)) <=> keepers("__h") && df(idCol) === keepers("__keep"),
-      "left_semi")
+    // Single pass: one md5 evaluation, one scan, one shuffle on the
+    // 16-byte hash — the lowest-id row per content hash survives. Window
+    // partitioning groups NULL hashes together, so NULL-text rows keep
+    // one representative instead of silently vanishing.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(textCol))).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
   }
 
   /** Exact-dup groups (hash, keeper id, count) — the audit view. */

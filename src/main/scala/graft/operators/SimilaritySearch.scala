@@ -136,20 +136,29 @@ object SimilaritySearch {
 
   private def nearestCentroidUdf(cents: Array[Array[Double]]) =
     udf((v: Seq[Double]) => {
-      var best = 0; var bestSim = Double.MinValue
-      var c = 0
-      while (c < cents.length) {
-        val p = cents(c)
-        var s = 0.0; var pn = 0.0; var vn = 0.0
-        val n = math.min(p.length, v.length)
-        var j = 0
-        while (j < n) { s += p(j) * v(j); pn += p(j) * p(j); vn += v(j) * v(j); j += 1 }
-        val sim = s / (math.sqrt(pn) * math.sqrt(vn))
-        if (sim > bestSim) { bestSim = sim; best = c }
-        c += 1
+      // null embedding → null cluster (dropped by any probe filter)
+      if (v == null) None
+      else {
+        var best = 0; var bestSim = Double.MinValue
+        var c = 0
+        while (c < cents.length) {
+          val p = cents(c)
+          var s = 0.0; var pn = 0.0; var vn = 0.0
+          val n = math.min(p.length, v.length)
+          var j = 0
+          while (j < n) { s += p(j) * v(j); pn += p(j) * p(j); vn += v(j) * v(j); j += 1 }
+          val sim = s / (math.sqrt(pn) * math.sqrt(vn))
+          if (sim > bestSim) { bestSim = sim; best = c }
+          c += 1
+        }
+        Some(best)
       }
-      best
     })
+
+  private def assignWith(df: DataFrame, embCol: String,
+                         cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("cluster",
+      nearestCentroidUdf(cents)(transform(col(embCol), _.cast("double"))))
 
   /** Assign every vector to its nearest coarse centroid (cosine). The
     * returned frame adds a `cluster` column — write the corpus
@@ -157,11 +166,8 @@ object SimilaritySearch {
     * become partition-pruned scans at 100 TB.
     */
   def ivfAssign(df: DataFrame, embCol: String, idCol: String,
-                nlist: Int = 16): DataFrame = {
-    val cents = sampleCentroids(df, embCol, idCol, nlist)
-    df.withColumn("cluster",
-      nearestCentroidUdf(cents)(transform(col(embCol), _.cast("double"))))
-  }
+                nlist: Int = 16): DataFrame =
+    assignWith(df, embCol, sampleCentroids(df, embCol, idCol, nlist))
 
   /** IVF-flat top-k: rank exact cosine only inside the `nprobe` cells
     * whose centroids are closest to the query — the classic inverted-file
@@ -183,7 +189,9 @@ object SimilaritySearch {
     val probed = cents.zipWithIndex.sortBy { case (p, i) => (-cos(p), i) }
       .take(nprobe).map(_._2)
     val q = typedLit(query)
-    ivfAssign(df, embCol, idCol, nlist)
+    // reuse the already-collected centroids — one metadata scan per query,
+    // not two (assign + probe share the same quantizer)
+    assignWith(df, embCol, cents)
       .filter(col("cluster").isin(probed.toSeq: _*))
       .select(col(idCol).as("id"),
         round(cosine(transform(col(embCol), _.cast("double")), q), scale).as("cos_sim"))
@@ -197,12 +205,23 @@ object SimilaritySearch {
   def cosineNearDupPairs(df: DataFrame, embCol: String, idCol: String,
                          threshold: Double, nBits: Int = 10, nTables: Int = 6,
                          dim: Int = 64, seed: Long = 7L): DataFrame = {
+    // Candidate generation shuffles (table, sig, id) ONLY — ~24 B/row.
+    // Column pruning drops the unused `v` from the bucket scan, so the
+    // 0.5 KB/row vectors never ride the self-join; they come back in a
+    // bounded verify join on the deduped id pairs, mirroring
+    // Dedup.minhashLshPairs (text never rides its candidate join either).
     val buckets = lshBuckets(df, embCol, idCol, nBits, nTables, dim, seed)
-    val l = buckets.select(col("table"), col("sig"), col("id").as("id_a"), col("v").as("v_a"))
-    val r = buckets.select(col("table"), col("sig"), col("id").as("id_b"), col("v").as("v_b"))
-    l.join(r, Seq("table", "sig"))
+    val l = buckets.select(col("table"), col("sig"), col("id").as("id_a"))
+    val r = buckets.select(col("table"), col("sig"), col("id").as("id_b"))
+    val cands = l.join(r, Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val vecs = df.select(col(idCol).as("__vid"),
+      transform(col(embCol), _.cast("double")).as("__v"))
+    cands
+      .join(vecs.select(col("__vid").as("id_a"), col("__v").as("v_a")), Seq("id_a"))
+      .join(vecs.select(col("__vid").as("id_b"), col("__v").as("v_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("v_a"), col("v_b")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)

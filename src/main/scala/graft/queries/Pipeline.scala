@@ -70,8 +70,14 @@ object Pipeline {
           .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sig")).cache()
         val narrow = Dedup.simhashPairsOnSigs(sigs, maxDistance = 3).cache()
         val wide = Dedup.simhashPairsOnSigs(sigs, maxDistance = 3, pieces = 6).cache()
-        narrow.exceptAll(wide).union(wide.exceptAll(narrow))
+        val diff = narrow.exceptAll(wide).union(wide.exceptAll(narrow))
           .orderBy(col("id_a"), col("id_b"))
+        // materialize the (expected-empty) symmetric difference locally so
+        // the three cached intermediates can be released before the next
+        // gate query runs — cached blocks must not outlive this query
+        val rows = diff.collect()
+        sigs.unpersist(); narrow.unpersist(); wide.unpersist()
+        s.createDataFrame(s.sparkContext.parallelize(rows.toSeq, 1), diff.schema)
       },
       Some("""SELECT CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
              |CAST(NULL AS INT) AS hamming WHERE 1 = 0""".stripMargin)),

@@ -14,8 +14,11 @@ class AsOfJoinSpec extends AnyFunSuite {
   import spark.implicits._
 
   // left probes at ts 5, 10; right refs at ts 5 (tie), 7, 12; one null-ts
-  // and one null-key right row that must never match
-  private lazy val left = Seq((1L, "u", 5L), (2L, "u", 10L), (3L, "v", 6L))
+  // and one null-key right row that must never match; a null-ts LEFT row
+  // must match nothing in either direction
+  private lazy val left = Seq(
+    (1L, "u", Some(5L)), (2L, "u", Some(10L)), (3L, "v", Some(6L)),
+    (4L, "u", None))
     .toDF("id", "k", "ts")
   private lazy val right = Seq(
     (Some(100L), Some("u"), Some(5L)),
@@ -34,22 +37,22 @@ class AsOfJoinSpec extends AnyFunSuite {
 
   test("backward <=: exact tie visible, latest at-or-before wins") {
     assert(run("backward", strict = false) ==
-      Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None))
+      Map(1L -> Some(100L), 2L -> Some(101L), 3L -> None, 4L -> None))
   }
 
   test("backward < strict: exact tie excluded") {
     assert(run("backward", strict = true) ==
-      Map(1L -> None, 2L -> Some(101L), 3L -> None))
+      Map(1L -> None, 2L -> Some(101L), 3L -> None, 4L -> None))
   }
 
   test("forward >=: earliest at-or-after wins, tie visible") {
     assert(run("forward", strict = false) ==
-      Map(1L -> Some(100L), 2L -> Some(102L), 3L -> None))
+      Map(1L -> Some(100L), 2L -> Some(102L), 3L -> None, 4L -> None))
   }
 
   test("forward > strict: exact tie excluded, next-later wins") {
     assert(run("forward", strict = true) ==
-      Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None))
+      Map(1L -> Some(101L), 2L -> Some(102L), 3L -> None, 4L -> None))
   }
 
   test("invalid direction rejected") {

@@ -70,7 +70,11 @@ rep('events',
 rep('documents',
     f"SELECT doc_id + {{i}}*{KD} AS doc_id, "
     f"CASE WHEN {{i}} = 0 THEN text ELSE text || ' #r{{i}}' END AS text, "
-    f"lang, source, n_chars FROM read_parquet('{src}/documents.parquet')")
+    f"lang, source, "
+    # keep n_chars consistent with the suffixed text (replica suffix adds
+    # len(' #rN') chars), so n_chars-derived metrics stay truthful
+    f"n_chars + CASE WHEN {{i}} = 0 THEN 0 ELSE length(' #r{{i}}') END AS n_chars "
+    f"FROM read_parquet('{src}/documents.parquet')")
 rep('embeddings',
     f"SELECT vec_id + {{i}}*{KV} AS vec_id, embedding, label "
     f"FROM read_parquet('{src}/embeddings.parquet')")
