@@ -70,7 +70,14 @@ object CdxUrls {
     case other        => other
   }
 
-  /** Build the Common Crawl CDX index URL for one crawl shard. */
+  /** Build the Common Crawl CDX index URL for one crawl shard.
+    *
+    * `page` ≥ 0 appends pywb's documented `&page=` pagination parameter
+    * (the CC index is pywb's zipnum server: pages are enumerated with
+    * `&showNumPages=true` and addressed 0-based with `&page=k`). The IA
+    * CDX server's `offset=` parameter is NOT supported by the CC index,
+    * so CC sharding must be page-based.
+    */
   def buildCommonCrawlUrl(
       endpoint: String,
       indexName: String,
@@ -80,7 +87,7 @@ object CdxUrls {
       maxResults: Long,
       fromCdxTs: String,
       toCdxTs: String,
-      offset: Long = 0L): String = {
+      page: Int = -1): String = {
     val fieldList = fieldsNeeded.map(ccColumnToField).mkString(",")
     val sb = new StringBuilder(endpoint)
     sb += '/'
@@ -91,7 +98,7 @@ object CdxUrls {
     sb ++= fieldList
     sb ++= "&limit="
     sb ++= maxResults.toString
-    if (offset > 0) { sb ++= "&offset="; sb ++= offset.toString }
+    if (page >= 0) { sb ++= "&page="; sb ++= page.toString }
     if (fromCdxTs.nonEmpty) { sb ++= "&from="; sb ++= fromCdxTs }
     if (toCdxTs.nonEmpty) { sb ++= "&to="; sb ++= toCdxTs }
     cdxFilters.foreach { f => sb ++= "&filter="; sb ++= f }

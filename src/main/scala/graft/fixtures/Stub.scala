@@ -206,7 +206,16 @@ object Fixtures {
     }
     stub.route("/web/") { _ => (200, "<html>archived page</html>".getBytes(UTF_8)) }
     stub.routeText("/collinfo.json")(_ => collinfoJson)
-    stub.route("/CC-MAIN-") { _ =>
+    stub.route("/CC-MAIN-") { ex =>
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      // pywb zipnum pagination surface: page-count probe + page fetches
+      // (every page serves the same fixture rows; tests assert shapes)
+      if (q.contains("showNumPages=true"))
+        (200, """{"pages": 4, "pageSize": 5, "blocks": 20}""".getBytes(UTF_8))
+      else (200, ccNdjson.replace("%LEN%", warcGz.length.toString).getBytes(UTF_8))
+    }
+    // a crawl whose index predates pywb paging: no page-count support
+    stub.route("/CC-NOPAGES-") { _ =>
       (200, ccNdjson.replace("%LEN%", warcGz.length.toString).getBytes(UTF_8))
     }
     stub.route("/crawl-data/") { ex =>

@@ -42,10 +42,15 @@ import graft.core.{CdxUrls, Codecs, CollInfo, Http, Warc}
   *  - LIMIT → `&limit=N`, node eliminated
   *
   * Scale design: partition-per-crawl fan-out, times `partitions=N`
-  * offset-paged shards WITHIN each crawl (shard limits sum exactly to the
-  * pushed limit) — a broad single-crawl pull is not confined to one task.
-  * WARC bodies are fetched on executors with ranged GETs + gunzip, lazily
-  * per row batch, bounded by the retry/backoff policy.
+  * page-ranged shards WITHIN each crawl — the CC index is a pywb zipnum
+  * server whose documented pagination is `showNumPages=true` + `page=k`
+  * (it does not support the IA CDX server's `offset=`). The planner
+  * probes the page count once per crawl and assigns contiguous page
+  * ranges to shards; a pushed LIMIT is declared partially-pushed in that
+  * mode so Spark re-trims globally. If the probe fails the crawl falls
+  * back to one partition (never duplicates). WARC bodies are fetched on
+  * executors with ranged GETs + gunzip, lazily per row batch, bounded by
+  * the retry/backoff policy.
   */
 class CommonCrawlSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "commoncrawl"
@@ -113,10 +118,14 @@ case class CommonCrawlRequest(
     fetchResponse: Boolean,
     timeoutSeconds: Int,
     prunedColumns: Seq[String],
-    offset: Long = 0L) extends Serializable {
+    pageStart: Int = -1,       // [pageStart, pageEnd) pywb page range; -1 = unpaged
+    pageEnd: Int = -1) extends Serializable {
 
   def cdxUrl: String = CdxUrls.buildCommonCrawlUrl(indexEndpoint, crawlId, urlFilter,
-    fieldsNeeded, cdxFilters, maxResults, fromCdxTs, toCdxTs, offset)
+    fieldsNeeded, cdxFilters, maxResults, fromCdxTs, toCdxTs)
+
+  def cdxUrlForPage(page: Int): String = CdxUrls.buildCommonCrawlUrl(indexEndpoint,
+    crawlId, urlFilter, fieldsNeeded, cdxFilters, maxResults, fromCdxTs, toCdxTs, page)
 }
 
 class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
@@ -259,6 +268,12 @@ class CommonCrawlScanBuilder(options: CaseInsensitiveStringMap)
     true
   }
 
+  // Page-ranged shards each fetch up to the full limit from their page
+  // range (row counts per pywb page are unknowable at plan time), so the
+  // LIMIT node must survive for the global re-trim. Single-partition
+  // scans push the limit exactly and the node is eliminated.
+  override def isPartiallyPushed(): Boolean = options.getInt("partitions", 1) > 1
+
   override def pruneColumns(requiredSchema: StructType): Unit = prunedSchema = requiredSchema
 
   override def build(): Scan = {
@@ -340,22 +355,38 @@ class CommonCrawlScan(
       val base = CommonCrawlRequest(indexEndpoint, dataEndpoint, c, urlFilter,
         fieldsNeeded, cdxFilters, from, to, perCrawlLimit, debug, cdxUrlOnly,
         fetchResponse, timeoutSeconds, prunedSchema.fieldNames.toSeq)
-      if (numPartitions <= 1 || cdxUrlOnly) Seq(CommonCrawlPartition(base))
+      val nPages = if (numPartitions <= 1 || cdxUrlOnly) -1 else probeNumPages(base)
+      if (nPages <= 1) Seq(CommonCrawlPartition(base))
       else {
-        // Offset-paged sharding WITHIN a crawl (mirrors WaybackScan): a
-        // broad single-crawl pull is no longer confined to one task. Shard
-        // limits must sum EXACTLY to the per-crawl limit — the LIMIT node
-        // was deleted, nothing downstream re-trims.
-        val chunk = (perCrawlLimit + numPartitions - 1) / numPartitions
-        (0 until numPartitions).flatMap { i =>
-          val thisChunk = math.min(chunk, perCrawlLimit - i * chunk)
-          if (thisChunk <= 0) None
-          else Some(CommonCrawlPartition(
-            base.copy(maxResults = thisChunk, offset = i * chunk)))
+        // Page-ranged sharding WITHIN a crawl: pywb's zipnum pagination
+        // (showNumPages/page) is the CC index's only documented paging —
+        // a broad single-crawl pull is no longer confined to one task.
+        // Every shard keeps the full per-crawl limit (page row counts are
+        // unknown); isPartiallyPushed keeps Spark's global LIMIT re-trim.
+        val shards = math.min(numPartitions, nPages)
+        (0 until shards).map { i =>
+          CommonCrawlPartition(base.copy(
+            pageStart = i * nPages / shards, pageEnd = (i + 1) * nPages / shards))
         }
       }
     }.toArray
   }
+
+  /** Driver-side page-count probe (`&showNumPages=true`, pywb zipnum).
+    * Returns -1 when the server does not answer with a page count — the
+    * caller then plans ONE partition for the crawl, which is always
+    * correct (sharding is an optimization, never worth duplicate rows).
+    */
+  private def probeNumPages(base: CommonCrawlRequest): Int =
+    try {
+      val resp = Http.get(base.cdxUrl + "&showNumPages=true", timeoutSeconds = 30)
+      if (resp.status >= 400) -1
+      else {
+        val text = Codecs.sanitizeUtf8(resp.body)
+        "\"pages\"\\s*:\\s*(\\d+)".r.findFirstMatchIn(text)
+          .map(_.group(1).toInt).getOrElse(-1)
+      }
+    } catch { case _: Exception => -1 }
 
   private def cdxTsOf(m: Long): String = {
     val dt = java.time.LocalDateTime.ofEpochSecond(m / 1000000L, 0, java.time.ZoneOffset.UTC)
@@ -391,7 +422,26 @@ class CommonCrawlPartitionReader(req: CommonCrawlRequest) extends PartitionReade
 
   private def fetchRecords(): IndexedSeq[Rec] = {
     if (req.cdxUrlOnly) return IndexedSeq(Rec("", "20250101000000", "", 0, "", "", 0L, 0L))
-    val resp = Http.get(req.cdxUrl, timeoutSeconds = 60)
+    if (req.pageStart < 0) fetchOne(req.cdxUrl)
+    else {
+      // page-ranged shard: walk [pageStart, pageEnd), stop early once the
+      // shard-local limit is met (the global LIMIT re-trims across shards)
+      val out = IndexedSeq.newBuilder[Rec]
+      var n = 0L
+      var p = req.pageStart
+      while (p < req.pageEnd && n < req.maxResults) {
+        val recs = fetchOne(req.cdxUrlForPage(p))
+        out ++= recs
+        n += recs.length
+        p += 1
+      }
+      val all = out.result()
+      if (all.length > req.maxResults) all.take(req.maxResults.toInt) else all
+    }
+  }
+
+  private def fetchOne(url: String): IndexedSeq[Rec] = {
+    val resp = Http.get(url, timeoutSeconds = 60)
     if (resp.status >= 400)
       throw new java.io.IOException(s"Error querying CDX API: HTTP ${resp.status}")
     val text = Codecs.sanitizeUtf8(resp.body)

@@ -176,7 +176,7 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
         b.inputRDD.getNumPartitions
     }.get
 
-  test("commoncrawl partitions=N shards one crawl into offset pages, limits sum exactly") {
+  test("commoncrawl partitions=N shards one crawl into pywb page ranges") {
     stub.requests.clear()
     val df = spark.read.format("commoncrawl")
       .option("index_endpoint", stub.base)
@@ -187,28 +187,48 @@ class ConnectorSpec extends AnyFunSuite with BeforeAndAfterAll {
       .load()
       .limit(8)
       .select(col("url"))
-    assert(scanPartitions(df) == 3) // one crawl, three offset shards
-    df.collect()
+    // probe says 4 pages → 3 shards over page ranges [0,1) [1,2) [2,4)
+    assert(scanPartitions(df) == 3)
+    val rows = df.collect()
+    // partially-pushed limit: the global re-trim still caps the result
+    assert(rows.length == 8)
     val reqs = stub.requests.toArray.map(_.toString).filter(_.contains("-index?"))
-    assert(reqs.length == 3, reqs.mkString(";"))
-    // ceil(8/3)=3 → shard limits 3,3,2 at offsets 0,3,6 — summing to 8
-    assert(reqs.exists(r => r.contains("limit=3") && !r.contains("offset=")), reqs.mkString(";"))
-    assert(reqs.exists(r => r.contains("limit=3") && r.contains("offset=3")), reqs.mkString(";"))
-    assert(reqs.exists(r => r.contains("limit=2") && r.contains("offset=6")), reqs.mkString(";"))
+    assert(reqs.exists(_.contains("showNumPages=true")), reqs.mkString(";"))
+    val pageReqs = reqs.filterNot(_.contains("showNumPages"))
+    // each shard fetches its pages 0-based; every page request keeps the
+    // full per-crawl limit (row distribution across pages is unknown)
+    assert(pageReqs.forall(_.contains("limit=8")), pageReqs.mkString(";"))
+    val pages = pageReqs.flatMap(r => "page=(\\d+)".r.findFirstMatchIn(r).map(_.group(1).toInt))
+    assert(pages.toSet == Set(0, 1, 2, 3), pageReqs.mkString(";"))
   }
 
-  test("commoncrawl partitions with limit smaller than partition count drops empty shards") {
+  test("commoncrawl partitions clamp to the probed page count") {
     val df = spark.read.format("commoncrawl")
       .option("index_endpoint", stub.base)
       .option("data_endpoint", stub.base)
       .option("crawl", "CC-MAIN-2024-46")
       .option("url_like", "example.com/%")
-      .option("partitions", "4")
+      .option("partitions", "9")
       .load()
       .limit(2)
       .select(col("url"))
-    // ceil(2/4)=1 → shards of limit 1 at offsets 0,1; shards 3,4 are empty
-    assert(scanPartitions(df) == 2)
+    // only 4 pages exist → 4 shards, and the global limit still trims to 2
+    assert(scanPartitions(df) == 4)
+    assert(df.collect().length == 2)
+  }
+
+  test("commoncrawl falls back to one partition when the page probe fails") {
+    val df = spark.read.format("commoncrawl")
+      .option("index_endpoint", stub.base)
+      .option("data_endpoint", stub.base)
+      .option("crawl", "CC-NOPAGES-2019-04")
+      .option("url_like", "example.com/%")
+      .option("partitions", "3")
+      .load()
+      .limit(8)
+      .select(col("url"))
+    // no page-count answer → sharding declined, never duplicate rows
+    assert(scanPartitions(df) == 1)
   }
 
   test("commoncrawl timestamp filter resolves crawls via collinfo and is re-applied") {
