@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata structs, plus decode / feature-extract /
   * frame-sample operators shaped for executor-side batch processing.
   *
-  * The actual media codecs are NOT in this container — the decode kernels
-  * are STUBBED (clearly marked below) with a deterministic fake format so
-  * the Spark-side plumbing (schema, partitioning, batch iteration,
-  * null/error handling) is real and testable. Swapping in a real decoder
-  * changes only the body of `decodeStub`.
+  * Image metadata decode is REAL for the formats the JDK ships readers
+  * for (PNG/JPEG/GIF/BMP via `javax.imageio`, header-only — no external
+  * codec dependency). The deterministic `GIMG` fixture format is kept for
+  * oracle queries whose dimensions derive from table columns. Feature
+  * extraction and frame sampling remain deterministic stand-ins (no
+  * pixel/video codecs in this container); swapping a real model/codec in
+  * changes only those kernel bodies.
   *
   * Scale: all operators are `mapPartitions` over the binary column —
   * executor-local, streaming per-partition, no driver involvement, and
@@ -47,19 +49,67 @@ object Multimodal {
     header ++ payload
   }
 
-  // ======================== STUB ========================
-  // Real implementation would call an image codec (e.g. via JNI/javacv).
-  // This container has no media libraries, so the decode parses the
-  // deterministic GIMG fixture format; unknown bytes → error in-band.
-  private def decodeStub(bytes: Array[Byte]): (Int, Int, Int, String) = {
+  /** Deterministic REAL image bytes via the JDK's own writers — for
+    * exercising the javax.imageio decode path without external fixtures.
+    * Pixels are a fixed function of (x, y), so output is reproducible.
+    */
+  def encodeImage(width: Int, height: Int, format: String,
+                  gray: Boolean = false): Array[Byte] = {
+    val t = if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+            else java.awt.image.BufferedImage.TYPE_3BYTE_BGR
+    val img = new java.awt.image.BufferedImage(width, height, t)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff); x += 1 }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Header-only metadata read for real formats via the JDK's
+    * `javax.imageio` (PNG/JPEG/GIF/BMP ship with every JRE — no external
+    * codec dependency). The reader is asked only for dimensions and the
+    * band count of image 0; pixel data is never decoded, so cost per
+    * asset is a few header bytes regardless of payload size.
+    */
+  private def decodeImageIo(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) None
+      else {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          val w = r.getWidth(0)
+          val h = r.getHeight(0)
+          val types = r.getImageTypes(0)
+          val bands = if (types.hasNext) types.next().getNumBands else 0
+          Some((w, h, bands))
+        } catch { case _: Exception => None } finally r.dispose()
+      }
+    } finally iis.close()
+  }
+
+  // The GIMG path is a deterministic FIXTURE format (kept for oracle
+  // queries whose dims derive from table columns); real image bytes go
+  // through javax.imageio above. Unknown bytes → error in-band.
+  private def decodeMeta(bytes: Array[Byte]): (Int, Int, Int, String) = {
     if (bytes == null) return (0, 0, 0, "null payload")
     val head = new String(bytes.take(32), "UTF-8")
-    if (!head.startsWith("GIMG|")) return (0, 0, 0, "unsupported format")
-    val parts = head.split("\\|")
-    try ((parts(1).toInt, parts(2).toInt, parts(3).toInt, null))
-    catch { case _: Exception => (0, 0, 0, "corrupt header") }
+    if (head.startsWith("GIMG|")) {
+      val parts = head.split("\\|")
+      try ((parts(1).toInt, parts(2).toInt, parts(3).toInt, null))
+      catch { case _: Exception => (0, 0, 0, "corrupt header") }
+    } else decodeImageIo(bytes) match {
+      case Some((w, h, c)) => (w, h, c, null)
+      case None => (0, 0, 0, "unsupported format")
+    }
   }
-  // ======================================================
 
   /** Extract image metadata from the binary column into a typed struct —
     * the decode runs per-partition on executors; failures are in-band
@@ -72,7 +122,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.map { row =>
         val bytes = if (row.isNullAt(idx)) null else row.getAs[Array[Byte]](idx)
-        val (w, h, c, err) = decodeStub(bytes)
+        val (w, h, c, err) = decodeMeta(bytes)
         val nBytes = if (bytes == null) 0L else bytes.length.toLong
         Row.fromSeq(row.toSeq :+ Row(w, h, c, nBytes, err))
       }

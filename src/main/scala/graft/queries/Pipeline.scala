@@ -170,6 +170,37 @@ object Pipeline {
              |FROM e, t WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
+    QueryDef("q67_image_meta",
+      (s, d) => {
+        // REAL codec gate: deterministic PNG (RGB + grayscale) and JPEG
+        // bytes built with the JDK's own ImageIO writers, decoded by the
+        // javax.imageio header-only metadata path (the GIMG fixture path
+        // is exercised by q53). Expected dims/bands are literal VALUES in
+        // the oracle — independent of the encoder's byte output.
+        import s.implicits._
+        val rows = Seq(
+          (1L, Multimodal.encodeImage(17, 9, "png")),
+          (2L, Multimodal.encodeImage(33, 21, "png", gray = true)),
+          (3L, Multimodal.encodeImage(24, 16, "jpg")),
+          (4L, Multimodal.encodeFakeImage(5, 4, 3, Array[Byte](1, 2, 3))),
+          (5L, "not an image".getBytes("UTF-8")))
+        Multimodal.decodeImageMeta(rows.toDF("img_id", "img"), "img")
+          .select(col("img_id"),
+            col("image_meta.width").as("width"),
+            col("image_meta.height").as("height"),
+            col("image_meta.channels").as("channels"),
+            col("image_meta.error").as("error"))
+          .orderBy(col("img_id"))
+      },
+      Some("""SELECT * FROM (VALUES
+             |(CAST(1 AS BIGINT), CAST(17 AS INT), CAST(9 AS INT), CAST(3 AS INT), CAST(NULL AS VARCHAR)),
+             |(CAST(2 AS BIGINT), CAST(33 AS INT), CAST(21 AS INT), CAST(1 AS INT), CAST(NULL AS VARCHAR)),
+             |(CAST(3 AS BIGINT), CAST(24 AS INT), CAST(16 AS INT), CAST(3 AS INT), CAST(NULL AS VARCHAR)),
+             |(CAST(4 AS BIGINT), CAST(5 AS INT), CAST(4 AS INT), CAST(3 AS INT), CAST(NULL AS VARCHAR)),
+             |(CAST(5 AS BIGINT), CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), 'unsupported format'))
+             |AS t(img_id, width, height, channels, error)
+             |ORDER BY img_id""".stripMargin)),
+
     QueryDef("q56_rolling_hash",
       (s, d) => load(s, d, "documents")
         .select(col("doc_id"), TextFunctions.rollingHash(col("text")).as("rh"))

@@ -186,6 +186,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(frames.count() == 6)
   }
 
+  test("multimodal decode reads real PNG/JPEG headers via javax.imageio") {
+    val df = Seq(
+      (1L, Multimodal.encodeImage(123, 45, "png")),
+      (2L, Multimodal.encodeImage(8, 8, "png", gray = true)),
+      (3L, Multimodal.encodeImage(64, 32, "jpg")),
+      // truncated PNG: magic bytes survive but the header read fails →
+      // in-band error, not a task failure
+      (4L, Multimodal.encodeImage(10, 10, "png").take(12)))
+      .toDF("id", "img")
+    val meta = Multimodal.decodeImageMeta(df, "img")
+      .select(col("id"), col("image_meta.*")).orderBy(col("id")).collect()
+    assert(meta(0).getInt(1) == 123 && meta(0).getInt(2) == 45 &&
+      meta(0).getInt(3) == 3 && meta(0).isNullAt(5))
+    assert(meta(1).getInt(3) == 1) // grayscale = 1 band
+    assert(meta(2).getInt(1) == 64 && meta(2).getInt(3) == 3)
+    assert(meta(3).getString(5) != null)
+  }
+
   test("rolling hash expression matches reference loop and is codegen'd") {
     val expected = {
       var h = 0L
