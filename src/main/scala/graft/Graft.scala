@@ -31,6 +31,10 @@ object Graft {
     spark.read.format("commoncrawl").options(commonCrawlOptions).option("debug", "true")
       .load().createOrReplaceTempView("common_crawl_index_debug")
 
+    // the reference's named-parameter TVF spelling:
+    // SELECT * FROM common_crawl_index(max_results := 50, debug := true)
+    graft.plans.GraftTvf.register(spark, waybackOptions, commonCrawlOptions)
+
     graft.functions.TextFunctions.registerAll(spark)
     graft.sources.d1.D1.registerExecuteUdf(spark)
     registerSecretUdfs(spark)

@@ -167,5 +167,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // CdxFilterRule must see Like/RLike BEFORE LikeSimplification rewrites
     // them — resolution phase, not optimizer
     e.injectResolutionRule(_ => CdxFilterRule)
+    // DuckDB's `name := value` TVF argument spelling → Spark's `=>`
+    e.injectParser((_, delegate) => new AssignSyntaxParser(delegate))
   }
 }

@@ -213,6 +213,26 @@ object Connectors {
       },
       Some("""SELECT * FROM (VALUES
              |('x', CAST(10 AS BIGINT)), ('y', CAST(20 AS BIGINT)), ('z', CAST(30 AS BIGINT)))
-             |t(k, v) ORDER BY k""".stripMargin))
+             |t(k, v) ORDER BY k""".stripMargin)),
+
+    QueryDef("qc17_tvf_named_args",
+      (s, _) => {
+        // the reference's SQL spelling end-to-end: named-parameter TVF
+        // (`:=` form) over a real DSv2 scan with filter pushdown composed
+        // on top (reference test/sql/common_crawl_parameters.test:7-31)
+        graft.Graft.registerAll(s,
+          waybackOptions = Map("cdx_endpoint" -> s"${stub.base}/cdx/search/cdx"),
+          commonCrawlOptions = Map(
+            "index_endpoint" -> stub.base, "data_endpoint" -> stub.base,
+            "collinfo_endpoint" -> s"${stub.base}/collinfo.json"))
+        s.sql("""SELECT url, statuscode, mimetype
+                |FROM common_crawl_index(max_results := 5)
+                |WHERE url LIKE 'example.com/%' AND crawl_id = 'CC-MAIN-2024-46'
+                |ORDER BY url""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |('https://example.com/', 200, 'text/html'),
+             |('https://example.com/p2', 200, 'text/plain'))
+             |t(url, statuscode, mimetype) ORDER BY url""".stripMargin))
   )
 }

@@ -52,6 +52,89 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(graft.core.Secrets.lookup("d1", "sqlsec").isEmpty)
   }
 
+  test("named-arg TVF SQL: := spelling, option override, pushdown through the TVF") {
+    val stub = graft.queries.Connectors.stub
+    Graft.registerAll(spark,
+      waybackOptions = Map("cdx_endpoint" -> s"${stub.base}/cdx/search/cdx"),
+      commonCrawlOptions = Map(
+        "index_endpoint" -> stub.base, "data_endpoint" -> stub.base,
+        "collinfo_endpoint" -> s"${stub.base}/collinfo.json"))
+    // := is the reference spelling; => (Spark-native) must work too
+    val viaAssign = spark.sql(
+      """SELECT cdx_url FROM common_crawl_index(max_results := 7, debug := true)
+        |WHERE url LIKE 'example.com/%' AND crawl_id = 'CC-MAIN-2024-46'""".stripMargin)
+      .collect().head.getString(0)
+    assert(viaAssign.contains("limit=7"), viaAssign)
+    val viaArrow = spark.sql(
+      """SELECT cdx_url FROM common_crawl_index(max_results => 7, debug => true)
+        |WHERE url LIKE 'example.com/%' AND crawl_id = 'CC-MAIN-2024-46'""".stripMargin)
+      .collect().head.getString(0)
+    assert(viaArrow == viaAssign)
+    // wayback TVF: collapse is a VARCHAR parameter; WHERE pushdown composes
+    val wb = spark.sql(
+      """SELECT cdx_url FROM wayback_machine(max_results := 9, debug := true,
+        |  collapse := 'timestamp:8')
+        |WHERE url = 'example.com'""".stripMargin).collect().head.getString(0)
+    assert(wb.contains("limit=9") && wb.contains("collapse=timestamp:8"), wb)
+    // := inside a string literal must NOT be rewritten
+    val lit = spark.sql("SELECT ':= stays' AS s").collect().head.getString(0)
+    assert(lit == ":= stays")
+    // a LIMIT overrides max_results via pushdown, as the reference documents
+    val lim = spark.sql(
+      """SELECT cdx_url FROM common_crawl_index(max_results := 100, debug := true)
+        |WHERE url LIKE 'example.com/%' AND crawl_id = 'CC-MAIN-2024-46' LIMIT 3""".stripMargin)
+      .collect().head.getString(0)
+    assert(lim.contains("limit=3"), lim)
+  }
+
+  /** Tier: the reference's named-parameter sqllogictests run VERBATIM
+    * through spark.sql (reference test/sql/common_crawl_parameters.test).
+    */
+  test("reference common_crawl_parameters.test passes through spark.sql") {
+    val stub = graft.queries.Connectors.stub
+    Graft.registerAll(spark,
+      waybackOptions = Map("cdx_endpoint" -> s"${stub.base}/cdx/search/cdx"),
+      commonCrawlOptions = Map(
+        "index_endpoint" -> stub.base, "data_endpoint" -> stub.base,
+        "collinfo_endpoint" -> s"${stub.base}/collinfo.json"))
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(e => Option(e.getMessage).getOrElse("")).mkString(" | ")
+    val lines = scala.io.Source.fromFile(
+      "/root/reference/test/sql/common_crawl_parameters.test").getLines().toVector
+    var i = 0; var nOk = 0; var nErr = 0
+    while (i < lines.length) {
+      val l = lines(i).trim
+      if (l == "statement ok" || l == "statement error") {
+        val expectErr = l == "statement error"
+        i += 1
+        val sqlLines = Vector.newBuilder[String]
+        while (i < lines.length && lines(i).trim.nonEmpty && lines(i).trim != "----") {
+          sqlLines += lines(i); i += 1
+        }
+        val expected = if (i < lines.length && lines(i).trim == "----") {
+          i += 1
+          val exp = Vector.newBuilder[String]
+          while (i < lines.length && lines(i).trim.nonEmpty) { exp += lines(i).trim; i += 1 }
+          exp.result()
+        } else Vector.empty
+        val sql = sqlLines.result().mkString("\n").stripSuffix(";")
+        if (expectErr) {
+          val e = intercept[Exception] { spark.sql(sql).collect() }
+          expected.foreach { exp =>
+            assert(messages(e).contains(exp), s"[$sql] expected '$exp' in: ${messages(e)}")
+          }
+          nErr += 1
+        } else {
+          spark.sql(sql).collect()
+          nOk += 1
+        }
+      } else i += 1
+    }
+    assert(nOk >= 10, s"ran only $nOk ok-statements")
+    assert(nErr >= 4, s"ran only $nErr error-statements")
+  }
+
   test("unknown option errors like the reference's Invalid named parameter") {
     val e = intercept[Exception] {
       spark.read.format("wayback").option("unknown_param", "10").load()
