@@ -76,6 +76,29 @@ object Events {
              |max(CASE WHEN event_type='click' THEN 1 ELSE 0 END) AS did_click,
              |max(CASE WHEN event_type='purchase' THEN 1 ELSE 0 END) AS did_purchase
              |FROM events GROUP BY user_id)
-             |GROUP BY 1,2,3 ORDER BY did_signup, did_click, did_purchase""".stripMargin))
+             |GROUP BY 1,2,3 ORDER BY did_signup, did_click, did_purchase""".stripMargin)),
+
+    QueryDef("qs01_stream_hourly",
+      (s, d) => {
+        // STREAMING gate: the watermarked hourly aggregation runs as a
+        // real Structured Streaming query (file source → watermark →
+        // windowed agg → append-mode memory sink, processAllAvailable).
+        // Append mode emits exactly the windows whose end <= the final
+        // watermark (max event time − 30 min) — the oracle encodes that
+        // same closure rule in SQL, so this pins streaming semantics, not
+        // just the aggregation.
+        val out = graft.streaming.EventsStream.runBatchAsStream(s, d, "qs01_hourly_mem")
+        out.select(
+            date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+            col("event_type"), col("n"), col("total_value"))
+          .orderBy(col("hour"), col("event_type"))
+      },
+      Some("""WITH wm AS (SELECT max(ts) - INTERVAL 30 MINUTE AS w FROM events)
+             |SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+             |event_type, count(*) AS n, round(sum(value),2) AS total_value
+             |FROM events
+             |GROUP BY 1, 2
+             |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
+             |ORDER BY hour, event_type""".stripMargin))
   )
 }
