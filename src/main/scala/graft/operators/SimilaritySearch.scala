@@ -19,13 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object SimilaritySearch {
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  private def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Codegen'd fused dot+norms loop — see
+    * [[graft.functions.CosineSimExpr]]; the HOF spelling
+    * (`aggregate(zip_with(...))`) evaluates its lambda interpreted,
+    * per-element, and dominated the brute-force path.
+    */
+  def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   /** Exact top-k by cosine against one query vector. */
   def bruteForceTopK(df: DataFrame, embCol: String, idCol: String,

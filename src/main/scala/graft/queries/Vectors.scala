@@ -6,16 +6,16 @@ import org.apache.spark.sql.functions._
   * Brute-force cosine top-k is the exact baseline; the LSH-bucketed
   * variant (graft.operators.SimilaritySearch) is the 100 TB path.
   *
-  * All dot products run inside whole-stage codegen via
-  * `aggregate(zip_with(...))` higher-order functions — no UDFs. Vectors
+  * Cosines run through the native codegen'd [[graft.functions.CosineSimExpr]]
+  * (one fused loop over primitive doubles — HOF lambdas are interpreted
+  * per element and were the bottleneck of the brute-force path). Vectors
   * are cast float→double before arithmetic so the math matches DuckDB's
   * double-precision list functions.
   */
 object Vectors {
 
-  /** sum(a[i]*b[i]) as a codegen-friendly HOF expression. */
-  private def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def cosineSim(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+    graft.functions.VectorExpressions.cosineSim(a, b)
 
   private def norm(a: org.apache.spark.sql.Column) =
     sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
@@ -31,7 +31,7 @@ object Vectors {
         emb.filter(col("vec_id") =!= 0)
           .crossJoin(target)
           .select(col("vec_id"),
-            round(dot(col("v"), col("t")) / (norm(col("v")) * norm(col("t"))), 4).as("cos_sim"))
+            round(cosineSim(col("v"), col("t")), 4).as("cos_sim"))
           .orderBy(col("cos_sim").desc, col("vec_id"))
           .limit(20)
       },
@@ -63,7 +63,7 @@ object Vectors {
         val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
         a.join(b, col("id_a") < col("id_b"))
           .select(col("id_a"), col("id_b"),
-            round(dot(col("va"), col("vb")) / (norm(col("va")) * norm(col("vb"))), 4).as("cos_sim"))
+            round(cosineSim(col("va"), col("vb")), 4).as("cos_sim"))
           .filter(col("cos_sim") > 0.3)
           .orderBy(col("id_a"), col("id_b"))
       },

@@ -1,14 +1,22 @@
 #!/usr/bin/env python3
 """Time DuckDB executing the oracle SQL for the headline queries at a given
-SF (the single-node baseline our bench is compared to)."""
-import json, os, sys, time
+SF (the single-node baseline our bench is compared to).
+
+Methodology mirrors graft.Bench: one untimed cold run per query, then
+three timed steady-state runs; the reported number is the MEDIAN of the
+three. Output is a one-line JSON suitable for committing as
+bench/duckdb_sf0.1.json (and the duckdb half of bench/sf1.json).
+
+Usage: duckdb_bench.py <sf_dir> <oracle_sql.json> [runs=3]
+  DUCKDB_BENCH_SKIP=q47_...  comma-separated queries to skip (q47's exact
+  all-pairs oracle runs for hours at sf>=0.1).
+"""
+import json, os, statistics, sys, time
 import duckdb
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 oracle = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout/oracle_sql.json"))
-# comma-separated query names to skip (e.g. q47: its oracle is exact
-# all-pairs and runs for hours at sf>=0.1 — report it as skipped rather
-# than hanging the baseline run)
+runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 skip = set(filter(None, os.environ.get("DUCKDB_BENCH_SKIP", "").split(",")))
 headline = ["q01_pricing_summary","q02_global_agg","q03_filter_topn","q05_join_agg",
   "q06_join_5way","q08_semi_join","q12_distinct_on","q16_window_topk_per_group",
@@ -28,16 +36,23 @@ for q in headline:
     if q in skip:
         out[q] = None
         continue
-    # same run-twice-time-second methodology as graft.Bench: the timed
-    # number is the steady-state second run
     try:
-        con.execute(oracle[q]).fetchall()
-        t0 = time.time()
-        con.execute(oracle[q]).fetchall()
-        dt = time.time() - t0
+        con.execute(oracle[q]).fetchall()  # cold/warm-up, untimed
+        times = []
+        for _ in range(runs):
+            t0 = time.time()
+            con.execute(oracle[q]).fetchall()
+            times.append(time.time() - t0)
+        dt = statistics.median(times)
     except Exception as e:
         dt = -1.0
         print(f"{q}: ERROR {e}", file=sys.stderr)
     out[q] = round(dt, 3)
     if dt > 0: total += dt
-print(json.dumps({"total": round(total, 2), "queries": out}))
+sf = os.path.basename(sf_dir.rstrip("/")).lstrip("sf") or sf_dir
+print(json.dumps({
+    "engine": "duckdb", "version": duckdb.__version__, "sf": sf,
+    "warm_runs": runs, "warm_stat": "median",
+    "skipped": sorted(skip & set(headline)),
+    "recipe": f"python3 tools/duckdb_bench.py {sf_dir} <oracle_sql.json> {runs}",
+    "total": round(total, 2), "queries": out}))
