@@ -32,7 +32,7 @@ object SimilaritySearch {
                      query: Array[Double], k: Int): DataFrame = {
     val q = typedLit(query)
     df.select(col(idCol),
-      round(cosine(transform(col(embCol), _.cast("double")), q), 6).as("cos_sim"))
+      round(cosine(col(embCol).cast("array<double>"), q), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col(idCol))
       .limit(k)
   }
@@ -67,7 +67,7 @@ object SimilaritySearch {
                  nBits: Int = 12, nTables: Int = 4, dim: Int = 64,
                  seed: Long = 7L): DataFrame = {
     val sigUdfs = (0 until nTables).map(t => signatureUdf(hyperplanes(nBits, dim, seed + t)))
-    val v = transform(col(embCol), _.cast("double"))
+    val v = col(embCol).cast("array<double>")
     val sigCols = sigUdfs.zipWithIndex.map { case (u, t) => u(v).as(s"sig_$t") }
     val wide = df.select((col(idCol).as("id") +: v.as("v") +: sigCols): _*)
     wide.select(col("id"), col("v"),
@@ -127,7 +127,7 @@ object SimilaritySearch {
     */
   private def sampleCentroids(df: DataFrame, embCol: String, idCol: String,
                               nlist: Int): Array[Array[Double]] =
-    df.select(transform(col(embCol), _.cast("double")).as("v"),
+    df.select(col(embCol).cast("array<double>").as("v"),
         hash(col(idCol)).as("h"))
       .orderBy(col("h"), col("v")(0))
       .limit(nlist)
@@ -158,7 +158,7 @@ object SimilaritySearch {
   private def assignWith(df: DataFrame, embCol: String,
                          cents: Array[Array[Double]]): DataFrame =
     df.withColumn("cluster",
-      nearestCentroidUdf(cents)(transform(col(embCol), _.cast("double"))))
+      nearestCentroidUdf(cents)(col(embCol).cast("array<double>")))
 
   /** Assign every vector to its nearest coarse centroid (cosine). The
     * returned frame adds a `cluster` column — write the corpus
@@ -194,7 +194,7 @@ object SimilaritySearch {
     assignWith(df, embCol, cents)
       .filter(col("cluster").isin(probed.toSeq: _*))
       .select(col(idCol).as("id"),
-        round(cosine(transform(col(embCol), _.cast("double")), q), scale).as("cos_sim"))
+        round(cosine(col(embCol).cast("array<double>"), q), scale).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("id"))
       .limit(k)
   }
@@ -218,7 +218,7 @@ object SimilaritySearch {
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
     val vecs = df.select(col(idCol).as("__vid"),
-      transform(col(embCol), _.cast("double")).as("__v"))
+      col(embCol).cast("array<double>").as("__v"))
     cands
       .join(vecs.select(col("__vid").as("id_a"), col("__v").as("v_a")), Seq("id_a"))
       .join(vecs.select(col("__vid").as("id_b"), col("__v").as("v_b")), Seq("id_b"))

@@ -130,7 +130,7 @@ object Pipeline {
         // rows-only count.
         val emb = load(s, d, "embeddings")
         val query = emb.filter(col("vec_id") === 0)
-          .select(transform(col("embedding"), _.cast("double")))
+          .select(col("embedding").cast("array<double>"))
           .head().getSeq[Double](0).toArray
         SimilaritySearch.annTopK(emb.filter(col("vec_id") =!= 0),
           "embedding", "vec_id", query, k = 10, nBits = 8, nTables = 16,
@@ -156,7 +156,7 @@ object Pipeline {
         // with a planted cluster (OperatorsSpec).
         val emb = load(s, d, "embeddings")
         val query = emb.filter(col("vec_id") === 0)
-          .select(transform(col("embedding"), _.cast("double")))
+          .select(col("embedding").cast("array<double>"))
           .head().getSeq[Double](0).toArray
         SimilaritySearch.ivfTopK(emb.filter(col("vec_id") =!= 0),
           "embedding", "vec_id", query, k = 10, nlist = 16, nprobe = 16,
@@ -280,7 +280,7 @@ object Pipeline {
         val lsh = SimilaritySearch.cosineNearDupPairs(
           emb, "embedding", "vec_id", threshold = 0.3, nBits = 6, nTables = 8)
         val e = emb.select(col("vec_id"),
-          transform(col("embedding"), _.cast("double")).as("v"))
+          col("embedding").cast("array<double>").as("v"))
         val a = e.select(col("vec_id").as("id_a"), col("v").as("va"))
         val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"))
         val exact = a.join(b, col("id_a") < col("id_b"))

@@ -25,7 +25,7 @@ object Vectors {
     QueryDef("q50_cosine_topk",
       (s, d) => {
         val emb = load(s, d, "embeddings")
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val target = broadcast(emb.filter(col("vec_id") === 0)
           .select(col("v").as("t")))
         emb.filter(col("vec_id") =!= 0)
@@ -45,7 +45,7 @@ object Vectors {
 
     QueryDef("q51_norms_by_label",
       (s, d) => load(s, d, "embeddings")
-        .select(col("label"), transform(col("embedding"), _.cast("double")).as("v"))
+        .select(col("label"), col("embedding").cast("array<double>").as("v"))
         .select(col("label"), norm(col("v")).as("nrm"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n"), round(avg(col("nrm")), 4).as("avg_norm"))
@@ -58,7 +58,7 @@ object Vectors {
       (s, d) => {
         // Embedding-cosine near-dup pairs on a blocked candidate set.
         val emb = load(s, d, "embeddings").filter(col("vec_id") < 100)
-          .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val a = emb.select(col("vec_id").as("id_a"), col("v").as("va"))
         val b = emb.select(col("vec_id").as("id_b"), col("v").as("vb"))
         a.join(b, col("id_a") < col("id_b"))

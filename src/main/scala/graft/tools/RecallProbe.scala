@@ -39,6 +39,37 @@ object RecallProbe {
       println(s"[probe] annTopK nBits=$nBits nTables=$nTables mp=$mp recall=$hit/10 equal=${ann == exact}")
     }
 
+    // ---- IVF nprobe sweep -------------------------------------------
+    // (a) the raw corpus (near-uniform random embeddings — the WORST case
+    // for IVF: the true top-k scatters across cells, recall must climb
+    // roughly linearly in probed fraction), and (b) a planted-cluster
+    // corpus (the realistic case: 40 near-copies of the query vector —
+    // recall should hit 1.0 at nprobe=1 because the cluster shares the
+    // query's cell).
+    val exactIds = exact.map(_._1)
+    for (nprobe <- Seq(1, 2, 4, 8, 16)) {
+      val got = SimilaritySearch.ivfTopK(emb.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", query, k = 10, nlist = 16, nprobe = nprobe)
+        .collect().map(_.getLong(0)).toSet
+      println(s"[probe] ivfTopK uniform nlist=16 nprobe=$nprobe recall=${got.intersect(exactIds).size}/10")
+    }
+
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(64)(rnd.nextGaussian())
+    def jitter(eps: Double): Array[Float] =
+      base.map(v => (v + eps * rnd.nextGaussian()).toFloat)
+    val planted = ((0 until 2000).map(i => (1000L + i, Array.fill(64)(rnd.nextGaussian().toFloat))) ++
+      (0 until 40).map(i => (5000L + i, jitter(0.05)))).toDF("vec_id", "embedding")
+    val pExact = SimilaritySearch.bruteForceTopK(planted, "embedding", "vec_id",
+      base, k = 10).collect().map(_.getLong(0)).toSet
+    for (nprobe <- Seq(1, 2, 4, 8)) {
+      val got = SimilaritySearch.ivfTopK(planted, "embedding", "vec_id", base,
+        k = 10, nlist = 16, nprobe = nprobe)
+        .collect().map(_.getLong(0)).toSet
+      println(s"[probe] ivfTopK planted nlist=16 nprobe=$nprobe recall=${got.intersect(pExact).size}/10")
+    }
+
     spark.stop()
     sys.exit(0)
   }

@@ -61,4 +61,57 @@ class PlanQualitySpec extends AnyFunSuite {
     // expression must sit inside one, not fall back to interpreted eval
     assert(p.contains("*(1) Project [rollinghashexpr"), p.take(500))
   }
+
+  test("whole-stage codegen covers the cosine-similarity expression") {
+    import org.apache.spark.sql.functions.col
+    // NB: a transform(_, _.cast(...)) HOF wrapper would break codegen for
+    // the whole projection (HOFs are CodegenFallback) — the plain Cast
+    // array<float>→array<double> is codegen'd, so the hot paths use it
+    val df = graft.queries.load(spark, dir, "embeddings")
+      .select(graft.functions.VectorExpressions.cosineSim(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*(1) Project"), p.take(500))
+  }
+
+  test("AQE splits a skewed join partition (hot key planted)") {
+    import org.apache.spark.sql.functions._
+    // one hot key (80% of rows, ~14 MB of payload) + a uniform tail;
+    // force a sort-merge join and shrink the skew thresholds to bench
+    // scale — OptimizeSkewedJoin must mark and split the hot partition,
+    // which is the mechanism that absorbs hot keys at 100 TB (salting is
+    // only needed where AQE can't see the skew, e.g. pre-shuffle maps)
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val pay = repeat(md5(col("id").cast("string")), 8)
+      val skewed = spark.range(100000)
+        .select(when(col("id") < 80000, lit(0L)).otherwise(col("id")).as("k"),
+          pay.as("payload"))
+      val right = spark.range(2000).select(col("id").as("k"), pay.as("rpay"))
+      // keep the payloads in the output so they ride the shuffle (a
+      // pruned-to-key join would have nothing skewed to split)
+      val joined = skewed.join(right, Seq("k"))
+      joined.collect() // drive THIS QueryExecution so AQE finalizes it
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), p.take(300))
+      assert(p.contains("skew=true"), p.take(1200))
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
