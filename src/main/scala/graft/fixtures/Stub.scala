@@ -20,13 +20,20 @@ final class Stub {
     * session, read-back via d1_scan).
     */
   val kvRows = new java.util.concurrent.CopyOnWriteArrayList[(String, Long)]()
+  /** S3-style object store for the `r2-lake` fixture bucket (key →
+    * bytes), served with ListObjectsV2 + byte-range GET semantics.
+    */
+  val objects = TrieMap.empty[String, Array[Byte]]
   private val routes = TrieMap.empty[String, HttpExchange => (Int, Array[Byte])]
 
   def start(): Stub = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
       val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
-      val pathQ = ex.getRequestURI.toString
+      // record the Range header in-line so pushdown tests can assert
+      // byte-ranged (never whole-object) reads
+      val pathQ = ex.getRequestURI.toString +
+        Option(ex.getRequestHeaders.getFirst("Range")).map("#Range:" + _).getOrElse("")
       requests.add((pathQ, body))
       ex.setAttribute("body", body)
       val handler = routes.collectFirst {
@@ -253,6 +260,48 @@ object Fixtures {
       }
     }
     stub.route("/api/v1/accounts/") { _ => (200, r2QueryResponse.getBytes(UTF_8)) }
+    // S3-compatible surface for the r2:// Hadoop filesystem: bucket
+    // listing (ListObjectsV2) + ranged object GETs over stub.objects
+    stub.route("/r2-lake") { ex =>
+      val path = ex.getRequestURI.getPath.stripPrefix("/r2-lake").stripPrefix("/")
+      val q = Option(ex.getRequestURI.getQuery).getOrElse("")
+      if (path.isEmpty && q.contains("list-type=2")) {
+        val prefix = q.split("&").find(_.startsWith("prefix="))
+          .map(p => java.net.URLDecoder.decode(p.drop(7), "UTF-8")).getOrElse("")
+        val delimited = q.contains("delimiter=")
+        val keys = stub.objects.keys.filter(_.startsWith(prefix)).toSeq.sorted
+        val (direct, below) =
+          if (!delimited) (keys, Seq.empty[String])
+          else keys.partition(k => !k.drop(prefix.length).contains('/'))
+        val contents = direct.map(k =>
+          s"<Contents><Key>$k</Key><Size>${stub.objects(k).length}</Size></Contents>")
+        val prefixes = below.map(k => prefix + k.drop(prefix.length).takeWhile(_ != '/') + "/")
+          .distinct.map(p => s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>")
+        val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
+          (contents ++ prefixes).mkString + "</ListBucketResult>"
+        (200, xml.getBytes(UTF_8))
+      } else stub.objects.get(path) match {
+        case Some(bytes) =>
+          Option(ex.getRequestHeaders.getFirst("Range")) match {
+            case Some(r) =>
+              val m = "bytes=(\\d+)-(\\d+)".r.findFirstMatchIn(r)
+              m match {
+                case Some(g) =>
+                  val a = g.group(1).toLong.toInt
+                  val b = math.min(g.group(2).toLong, bytes.length - 1L).toInt
+                  if (a >= bytes.length) (416, Array.emptyByteArray)
+                  else {
+                    ex.getResponseHeaders.set("Content-Range",
+                      s"bytes $a-$b/${bytes.length}")
+                    (206, java.util.Arrays.copyOfRange(bytes, a, b + 1))
+                  }
+                case None => (200, bytes)
+              }
+            case None => (200, bytes)
+          }
+        case None => (404, "NoSuchKey".getBytes(UTF_8))
+      }
+    }
     stub
   }
 }

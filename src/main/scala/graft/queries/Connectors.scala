@@ -233,6 +233,35 @@ object Connectors {
       Some("""SELECT * FROM (VALUES
              |('https://example.com/', 200, 'text/html'),
              |('https://example.com/p2', 200, 'text/plain'))
-             |t(url, statuscode, mimetype) ORDER BY url""".stripMargin))
+             |t(url, statuscode, mimetype) ORDER BY url""".stripMargin)),
+
+    QueryDef("qc18_r2_native_scan",
+      (s, d) => {
+        // NATIVE R2 table read (beyond the reference's 1-row JSON
+        // passthrough): nation is published as parquet objects in the
+        // stub's S3-style bucket, then read back via the read-only
+        // r2:// Hadoop filesystem — Spark's own parquet source does the
+        // filter pushdown and byte-ranged GETs (R2FileSystemSpec asserts
+        // the pushed filter and that no whole-object read ever happens).
+        val nation = load(s, d, "nation")
+        val tmp = java.nio.file.Files.createTempDirectory("r2lake").toFile
+        nation.coalesce(1).write.mode("overwrite")
+          .parquet(tmp.getAbsolutePath + "/nation")
+        new java.io.File(tmp, "nation").listFiles()
+          .filter(_.getName.endsWith(".parquet")).zipWithIndex.foreach { case (f, i) =>
+            stub.objects.put(s"tables/nation/part-$i.parquet",
+              java.nio.file.Files.readAllBytes(f.toPath))
+          }
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.r2.impl", "graft.sources.r2.R2FileSystem")
+        hc.set("fs.r2.impl.disable.cache", "true")
+        hc.set("fs.r2.endpoint", stub.base)
+        s.read.parquet("r2://r2-lake/tables/nation")
+          .filter(col("n_regionkey") === 2)
+          .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin))
   )
 }

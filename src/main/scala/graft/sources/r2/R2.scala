@@ -26,9 +26,11 @@ import graft.core.{Http, Secrets}
   *  - r2_sql_tables    → `table_name` (SHOW TABLES [IN ns])
   *  - r2_sql_describe  → `schema` (DESCRIBE t)
   *
-  * A production Spark deployment would read Iceberg-on-R2 directly via
-  * iceberg-spark-runtime + REST catalog; this passthrough is the parity
-  * surface.
+  * This passthrough is the parity surface. The NATIVE R2 table path is
+  * [[R2FileSystem]]: `spark.read.parquet("r2://bucket/prefix")` scans
+  * R2-hosted parquet through Spark's own source with full pushdown and
+  * byte-ranged reads (Iceberg-on-R2 would layer iceberg-spark-runtime's
+  * REST catalog on the same filesystem).
   */
 object R2 {
 
