@@ -24,6 +24,10 @@ final class Stub {
     * bytes), served with ListObjectsV2 + byte-range GET semantics.
     */
   val objects = TrieMap.empty[String, Array[Byte]]
+  /** Server-side ListObjectsV2 page cap (real S3/R2 cap: 1,000 keys per
+    * response regardless of max-keys). Tests lower it to force paging.
+    */
+  @volatile var listPageCap: Int = 1000
   private val routes = TrieMap.empty[String, HttpExchange => (Int, Array[Byte])]
 
   def start(): Stub = {
@@ -266,19 +270,40 @@ object Fixtures {
       val path = ex.getRequestURI.getPath.stripPrefix("/r2-lake").stripPrefix("/")
       val q = Option(ex.getRequestURI.getQuery).getOrElse("")
       if (path.isEmpty && q.contains("list-type=2")) {
-        val prefix = q.split("&").find(_.startsWith("prefix="))
-          .map(p => java.net.URLDecoder.decode(p.drop(7), "UTF-8")).getOrElse("")
+        def param(name: String): Option[String] = q.split("&")
+          .find(_.startsWith(name + "="))
+          .map(p => java.net.URLDecoder.decode(p.drop(name.length + 1), "UTF-8"))
+        val prefix = param("prefix").getOrElse("")
         val delimited = q.contains("delimiter=")
+        val maxKeys = param("max-keys").map(_.toInt).getOrElse(1000)
+        val token = param("continuation-token")
         val keys = stub.objects.keys.filter(_.startsWith(prefix)).toSeq.sorted
-        val (direct, below) =
-          if (!delimited) (keys, Seq.empty[String])
-          else keys.partition(k => !k.drop(prefix.length).contains('/'))
-        val contents = direct.map(k =>
-          s"<Contents><Key>$k</Key><Size>${stub.objects(k).length}</Size></Contents>")
-        val prefixes = below.map(k => prefix + k.drop(prefix.length).takeWhile(_ != '/') + "/")
-          .distinct.map(p => s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>")
-        val xml = "<?xml version=\"1.0\"?><ListBucketResult>" +
-          (contents ++ prefixes).mkString + "</ListBucketResult>"
+        // S3 merges Contents and CommonPrefixes into one lexicographic
+        // sequence, counts BOTH toward max-keys, and paginates over it
+        // with an opaque continuation token.
+        val entries: Seq[(String, Option[Long])] =
+          if (!delimited) keys.map(k => (k, Some(stub.objects(k).length.toLong)))
+          else {
+            val (direct, below) = keys.partition(k => !k.drop(prefix.length).contains('/'))
+            val rolled = below.map(k => prefix + k.drop(prefix.length).takeWhile(_ != '/') + "/")
+              .distinct.map(p => (p, None: Option[Long]))
+            (direct.map(k => (k, Some(stub.objects(k).length.toLong))) ++ rolled).sortBy(_._1)
+          }
+        val after = token match {
+          case Some(t) => entries.dropWhile(_._1 <= t)
+          case None    => entries
+        }
+        val cap = math.max(1, math.min(maxKeys, stub.listPageCap))
+        val page = after.take(cap)
+        val body = page.map {
+          case (k, Some(sz)) => s"<Contents><Key>$k</Key><Size>$sz</Size></Contents>"
+          case (p, None)     => s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>"
+        }.mkString
+        val tail =
+          if (after.length > cap)
+            s"<IsTruncated>true</IsTruncated><NextContinuationToken>${page.last._1}</NextContinuationToken>"
+          else "<IsTruncated>false</IsTruncated>"
+        val xml = "<?xml version=\"1.0\"?><ListBucketResult>" + body + tail + "</ListBucketResult>"
         (200, xml.getBytes(UTF_8))
       } else stub.objects.get(path) match {
         case Some(bytes) =>

@@ -24,9 +24,11 @@ import graft.core.Http
   *  - `fs.r2.token`     = bearer token (optional; falls back to the
   *                        `r2_sql` secret surface)
   *
-  * Listing uses ListObjectsV2 (`?list-type=2&prefix=&delimiter=/`);
-  * object length comes from the listing (one metadata round trip per
-  * status call, as s3a does), so reads never fetch un-asked-for bytes.
+  * Listing uses ListObjectsV2 (`?list-type=2&prefix=&delimiter=/`) and
+  * follows `NextContinuationToken` across the server's 1,000-key page
+  * cap, so a prefix holding millions of objects lists completely; status
+  * calls are two `max-keys=1` probes (the s3a pattern). Object length
+  * comes from the listing, so reads never fetch un-asked-for bytes.
   * All mutation entry points throw: the reference exposes no R2 write
   * surface, and a read-only FS can never corrupt a lake.
   */
@@ -59,14 +61,20 @@ class R2FileSystem extends FileSystem {
     if (token.isEmpty) Map.empty else Map("Authorization" -> s"Bearer $token")
 
   private case class Obj(key: String, size: Long)
+  private case class ListPage(objs: Seq[Obj], prefixes: Seq[String],
+                              truncated: Boolean, next: Option[String])
 
-  /** ListObjectsV2. `delimited=true` rolls keys below one level into
-    * CommonPrefixes (directory listing); false returns the whole subtree.
+  /** One ListObjectsV2 request (a single page — the server caps responses
+    * at 1,000 keys no matter what `max-keys` asks for).
     */
-  private def listObjects(prefix: String, delimited: Boolean): (Seq[Obj], Seq[String]) = {
+  private def listPage(prefix: String, delimited: Boolean, maxKeys: Int,
+                       token: Option[String]): ListPage = {
     val enc = URLEncoder.encode(prefix, "UTF-8")
     val delim = if (delimited) "&delimiter=%2F" else ""
-    val resp = Http.get(s"$endpoint/$bucket?list-type=2&prefix=$enc$delim", auth)
+    val tok = token.map(t => s"&continuation-token=${URLEncoder.encode(t, "UTF-8")}")
+      .getOrElse("")
+    val resp = Http.get(
+      s"$endpoint/$bucket?list-type=2&prefix=$enc&max-keys=$maxKeys$delim$tok", auth)
     if (resp.status >= 400)
       throw new java.io.IOException(s"R2 list failed: HTTP ${resp.status}")
     val xml = resp.bodyString
@@ -76,21 +84,54 @@ class R2FileSystem extends FileSystem {
         s <- "<Size>(\\d+)</Size>".r.findFirstMatchIn(c).map(_.group(1).toLong)
       } yield Obj(k, s)
     }
-    val prefixes = "<Prefix>(.*?)</Prefix>".r.findAllMatchIn(xml).map(_.group(1))
-      .toSeq.filter(_ != prefix)
-    (objs, prefixes)
+    val prefixes = "<CommonPrefixes><Prefix>(.*?)</Prefix>".r.findAllMatchIn(xml)
+      .map(_.group(1)).toSeq.filter(_ != prefix)
+    val truncated = xml.contains("<IsTruncated>true</IsTruncated>")
+    val next = "<NextContinuationToken>(.*?)</NextContinuationToken>".r
+      .findFirstMatchIn(xml).map(_.group(1))
+    ListPage(objs, prefixes, truncated, next)
+  }
+
+  /** Full ListObjectsV2 listing: loops on `NextContinuationToken` until
+    * `IsTruncated=false`. A single-page read silently drops everything
+    * past the server's 1,000-key cap — Spark would then plan an
+    * incomplete scan, which is data loss, not an error. `delimited=true`
+    * rolls keys below one level into CommonPrefixes (directory listing);
+    * false returns the whole subtree.
+    */
+  private def listObjects(prefix: String, delimited: Boolean): (Seq[Obj], Seq[String]) = {
+    val objs = Seq.newBuilder[Obj]
+    val pfx = Seq.newBuilder[String]
+    var token: Option[String] = None
+    var done = false
+    while (!done) {
+      val page = listPage(prefix, delimited, maxKeys = 1000, token)
+      objs ++= page.objs
+      pfx ++= page.prefixes
+      if (page.truncated) {
+        if (page.next.isEmpty)
+          throw new java.io.IOException(
+            s"R2 list of '$prefix' truncated without NextContinuationToken")
+        token = page.next
+      } else done = true
+    }
+    (objs.result(), pfx.result().distinct)
   }
 
   override def getFileStatus(f: Path): FileStatus = {
     val key = keyOf(f)
     if (key.isEmpty) return dirStatus(f) // bucket root
-    val (objs, prefixes) = listObjects(key, delimited = false)
-    objs.find(_.key == key) match {
-      case Some(o) =>
+    // Two bounded probes (the s3a pattern), never an O(subtree) listing:
+    // keys sort lexicographically, so with prefix=key the exact key — if
+    // it exists — is always the first result.
+    val exact = listPage(key, delimited = false, maxKeys = 1, token = None)
+    exact.objs.headOption match {
+      case Some(o) if o.key == key =>
         new FileStatus(o.size, false, 1, blockSize, 0L, f)
-      case None if objs.exists(_.key.startsWith(key + "/")) || prefixes.nonEmpty =>
-        dirStatus(f)
-      case None => throw new java.io.FileNotFoundException(s"r2://$bucket/$key")
+      case _ =>
+        val sub = listPage(key + "/", delimited = false, maxKeys = 1, token = None)
+        if (sub.objs.nonEmpty || sub.prefixes.nonEmpty) dirStatus(f)
+        else throw new java.io.FileNotFoundException(s"r2://$bucket/$key")
     }
   }
 

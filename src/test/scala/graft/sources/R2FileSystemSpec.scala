@@ -55,6 +55,50 @@ class R2FileSystemSpec extends AnyFunSuite {
       .exists(_.group(1).toLong > 0)), objReqs.mkString("\n"))
   }
 
+  test("listing paginates across the ListObjectsV2 1,000-key cap — no silent truncation") {
+    setupLake()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path("r2://r2-lake/").getFileSystem(hc)
+    val n = 2500
+    (0 until n).foreach { i =>
+      stub.objects.put(f"manykeys/part-$i%05d.parquet", Array[Byte](1, 2, 3))
+    }
+    try {
+      stub.requests.clear()
+      val listed = fs.listStatus(new org.apache.hadoop.fs.Path("r2://r2-lake/manykeys"))
+      assert(listed.length == n, s"expected $n objects, got ${listed.length}")
+      assert(listed.forall(st => !st.isDirectory && st.getLen == 3))
+      // the client actually paged: >1 list request, continuation tokens used
+      val listReqs = stub.requests.toArray.map(_.toString).filter(_.contains("list-type=2"))
+      assert(listReqs.length >= 3, listReqs.mkString("\n"))
+      assert(listReqs.count(_.contains("continuation-token=")) >= 2, listReqs.mkString("\n"))
+      // and a lowered server page cap still yields the complete set
+      stub.listPageCap = 100
+      try {
+        val relisted = fs.listStatus(new org.apache.hadoop.fs.Path("r2://r2-lake/manykeys"))
+        assert(relisted.length == n, s"cap=100: expected $n, got ${relisted.length}")
+      } finally stub.listPageCap = 1000
+    } finally (0 until n).foreach { i =>
+      stub.objects.remove(f"manykeys/part-$i%05d.parquet")
+    }
+  }
+
+  test("getFileStatus stats one key with bounded max-keys=1 probes, not a subtree listing") {
+    setupLake()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path("r2://r2-lake/").getFileSystem(hc)
+    stub.requests.clear()
+    val st = fs.getFileStatus(new org.apache.hadoop.fs.Path("r2://r2-lake/tables/nation/part-0.parquet"))
+    assert(!st.isDirectory && st.getLen > 0)
+    val listReqs = stub.requests.toArray.map(_.toString).filter(_.contains("list-type=2"))
+    assert(listReqs.nonEmpty && listReqs.forall(_.contains("max-keys=1")), listReqs.mkString("\n"))
+    // a directory stat also stays bounded
+    stub.requests.clear()
+    assert(fs.getFileStatus(new org.apache.hadoop.fs.Path("r2://r2-lake/tables/nation")).isDirectory)
+    val dirReqs = stub.requests.toArray.map(_.toString).filter(_.contains("list-type=2"))
+    assert(dirReqs.nonEmpty && dirReqs.forall(_.contains("max-keys=1")), dirReqs.mkString("\n"))
+  }
+
   test("directory listing, file status, and read-only enforcement") {
     setupLake()
     val hc = spark.sparkContext.hadoopConfiguration
