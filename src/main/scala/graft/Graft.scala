@@ -20,7 +20,9 @@ object Graft {
 
   def registerAll(spark: SparkSession,
                   waybackOptions: Map[String, String] = Map.empty,
-                  commonCrawlOptions: Map[String, String] = Map.empty): Unit = {
+                  commonCrawlOptions: Map[String, String] = Map.empty,
+                  d1ApiBase: String = "https://api.cloudflare.com/client/v4",
+                  r2ApiBase: String = "https://api.sql.cloudflarestorage.com"): Unit = {
     spark.read.format("wayback").options(waybackOptions)
       .load().createOrReplaceTempView("wayback_machine")
     // debug applied AFTER user options: the _debug view is debug by name
@@ -34,6 +36,9 @@ object Graft {
     // the reference's named-parameter TVF spelling:
     // SELECT * FROM common_crawl_index(max_results := 50, debug := true)
     graft.plans.GraftTvf.register(spark, waybackOptions, commonCrawlOptions)
+    // and the D1/R2 metadata + passthrough TVFs: d1_query, d1_databases,
+    // d1_tables, r2_sql_query/databases/tables/describe
+    graft.plans.GraftTvf.registerConnectors(spark, d1ApiBase, r2ApiBase)
 
     graft.functions.TextFunctions.registerAll(spark)
     graft.sources.d1.D1.registerExecuteUdf(spark)

@@ -70,6 +70,164 @@ object GraftTvf {
       .queryExecution.logical
   }
 
+  // ---- D1 / R2 metadata + passthrough TVFs ---------------------------
+
+  private val d1QueryNamed = Seq("secret", "account_id", "api_token", "database_id", "database")
+  private val d1DatabasesNamed = Seq("secret", "account_id", "api_token")
+
+  /** Register the connector SQL table functions the reference ships as
+    * DuckDB TVFs (d1_functions.cpp:168-178, 280-287, 406-415;
+    * r2_functions.cpp:62-65, 119-125, 178-186, 241-244):
+    * `d1_query(sql, ...)`, `d1_databases()`, `d1_tables()`,
+    * `r2_sql_query(secret, bucket, sql)`, `r2_sql_databases(secret,
+    * bucket)`, `r2_sql_tables(secret, bucket[, ns])`,
+    * `r2_sql_describe(secret, bucket, table)`. Positional/named parameter
+    * sets, secret→parameter→environment resolution order, and binder
+    * error wording all follow the reference. Metadata executes at bind
+    * time, exactly as the reference's bind callbacks do.
+    */
+  def registerConnectors(spark: SparkSession,
+                         d1ApiBase: String = "https://api.cloudflare.com/client/v4",
+                         r2ApiBase: String = "https://api.sql.cloudflarestorage.com"): Unit = {
+    def reg(name: String)(f: Seq[Expression] => LogicalPlan): Unit =
+      spark.sessionState.tableFunctionRegistry.registerFunction(
+        FunctionIdentifier(name),
+        new ExpressionInfo(getClass.getName.stripSuffix("$"), name),
+        f)
+
+    reg("d1_query") { args =>
+      val (pos, named) = splitArgs("d1_query", args, d1QueryNamed)
+      if (pos.isEmpty)
+        throw new IllegalArgumentException("d1_query requires at least 'sql' parameter")
+      val cfg = resolveD1Config(spark, named, d1ApiBase, terse = false)
+      if (cfg.databaseId.isEmpty)
+        throw new IllegalArgumentException(
+          "database or database_id required (parameter or CLOUDFLARE_D1_DATABASE_ID env)")
+      spark.read.format("d1query")
+        .option("query", strOf("d1_query", "sql", pos.head))
+        .option("account_id", cfg.accountId).option("api_token", cfg.apiToken)
+        .option("database_id", cfg.databaseId).option("api_base", d1ApiBase)
+        .load().queryExecution.logical
+    }
+
+    reg("d1_databases") { args =>
+      val (pos, named) = splitArgs("d1_databases", args, d1DatabasesNamed)
+      if (pos.nonEmpty)
+        throw new IllegalArgumentException("d1_databases takes no positional parameters")
+      val cfg = resolveD1Config(spark, named, d1ApiBase, terse = false)
+      graft.sources.d1.D1.databasesDf(spark, cfg).queryExecution.logical
+    }
+
+    reg("d1_tables") { args =>
+      val (pos, named) = splitArgs("d1_tables", args, d1QueryNamed)
+      if (pos.nonEmpty)
+        throw new IllegalArgumentException("d1_tables takes no positional parameters")
+      val cfg = resolveD1Config(spark, named, d1ApiBase, terse = true)
+      if (cfg.databaseId.isEmpty)
+        throw new IllegalArgumentException("database or database_id required")
+      graft.sources.d1.D1.tablesDf(spark, cfg).queryExecution.logical
+    }
+
+    def r2(fname: String, minArgs: Int, maxArgs: Int, countErr: String)
+          (build: Seq[String] => LogicalPlan): Unit = reg(fname) { args =>
+      if (args.exists(_.isInstanceOf[NamedArgumentExpression]))
+        throw new IllegalArgumentException(s"$fname does not take named parameters")
+      if (args.length < minArgs || args.length > maxArgs)
+        throw new IllegalArgumentException(countErr)
+      val strs = args.zipWithIndex.map { case (e, i) => strOf(fname, s"parameter ${i + 1}", e) }
+      // resolve the secret at bind time so a bad name fails with the
+      // reference's wording (r2_secret.cpp:71) instead of at action time
+      val conf: String => Option[String] = k => spark.conf.getOption(k)
+      if (graft.core.Secrets.lookup("r2_sql", strs.head, conf).isEmpty)
+        throw new IllegalArgumentException(
+          s"R2 SQL secret '${strs.head}' not found. " +
+            s"Create it with: CREATE SECRET ${strs.head} (TYPE r2_sql, ...)")
+      build(strs)
+    }
+
+    def r2Reader(fn: String, secret: String, bucket: String) =
+      spark.read.format("r2sql").option("function", fn)
+        .option("secret", secret).option("bucket", bucket).option("api_base", r2ApiBase)
+
+    r2("r2_sql_query", 3, 3,
+       "r2_sql_query requires 3 parameters: secret_name, bucket_name, sql_query") { p =>
+      r2Reader("query", p(0), p(1)).option("query", p(2)).load().queryExecution.logical
+    }
+    r2("r2_sql_databases", 2, 2,
+       "r2_sql_databases requires 2 parameters: secret_name, bucket_name") { p =>
+      r2Reader("databases", p(0), p(1)).load().queryExecution.logical
+    }
+    r2("r2_sql_tables", 2, 3,
+       "r2_sql_tables requires 2-3 parameters: secret_name, bucket_name, [namespace]") { p =>
+      val r = r2Reader("tables", p(0), p(1))
+      (if (p.length > 2) r.option("namespace", p(2)) else r).load().queryExecution.logical
+    }
+    r2("r2_sql_describe", 3, 3,
+       "r2_sql_describe requires 3 parameters: secret_name, bucket_name, table_name") { p =>
+      r2Reader("describe", p(0), p(1)).option("table", p(2)).load().queryExecution.logical
+    }
+  }
+
+  /** Split TVF arguments into positionals and validated named strings. */
+  private def splitArgs(fname: String, args: Seq[Expression], allowedNamed: Seq[String])
+      : (Seq[Expression], Map[String, String]) = {
+    val pos = Seq.newBuilder[Expression]
+    val named = Map.newBuilder[String, String]
+    args.foreach {
+      case NamedArgumentExpression(key, value) =>
+        val k = key.toLowerCase
+        if (!allowedNamed.contains(k)) throw new IllegalArgumentException(
+          s"""Invalid named parameter "$key" for function $fname. """ +
+            s"Expected: ${allowedNamed.mkString(", ")}")
+        named += k -> strOf(fname, k, value)
+      case e => pos += e
+    }
+    (pos.result(), named.result())
+  }
+
+  private def strOf(fname: String, pname: String, e: Expression): String = e match {
+    case Literal(v, StringType) if v != null => v.toString
+    case _ => throw new IllegalArgumentException(s"$fname $pname parameter must be a string")
+  }
+
+  /** Credential resolution mirroring the reference's ResolveD1Config /
+    * D1DatabasesBind / D1TablesBind order (d1_functions.cpp:35-89,
+    * 200-247, 310-360): explicit `secret` wins; else inline
+    * account_id/api_token parameters; else CLOUDFLARE_* environment.
+    * `terse` selects d1_tables' shorter error wording (:340-345).
+    */
+  private def resolveD1Config(spark: SparkSession, named: Map[String, String],
+                              apiBase: String, terse: Boolean): graft.core.D1Client.Config = {
+    import graft.core.{D1Client, Secrets}
+    val conf: String => Option[String] = k => spark.conf.getOption(k)
+    val (acct, tok, secretDb) = named.get("secret") match {
+      case Some(n) =>
+        val s = Secrets.lookup("d1", n, conf).getOrElse(throw new IllegalArgumentException(
+          s"D1 secret '$n' not found. Create it with: CREATE SECRET $n (TYPE d1, ...)"))
+        (s.accountId, s.apiToken, s.databaseId)
+      case None =>
+        (named.get("account_id").orElse(sys.env.get("CLOUDFLARE_ACCOUNT_ID")).getOrElse(""),
+         named.get("api_token").orElse(sys.env.get("CLOUDFLARE_API_TOKEN")).getOrElse(""),
+         "")
+    }
+    if (acct.isEmpty) throw new IllegalArgumentException(
+      if (terse) "account_id required"
+      else "account_id required (via secret, parameter, or CLOUDFLARE_ACCOUNT_ID env)")
+    if (tok.isEmpty) throw new IllegalArgumentException(
+      if (terse) "api_token required"
+      else "api_token required (via secret, parameter, or CLOUDFLARE_API_TOKEN env)")
+    var cfg = D1Client.Config(acct, tok, secretDb, apiBase)
+    named.get("database_id") match {
+      case Some(id) => cfg = cfg.copy(databaseId = id)
+      case None => named.get("database") match {
+        case Some(name) => cfg = cfg.copy(databaseId = D1Client.databaseIdByName(cfg, name))
+        case None => sys.env.get("CLOUDFLARE_D1_DATABASE_ID").filter(_.nonEmpty)
+          .foreach(id => cfg = cfg.copy(databaseId = id))
+      }
+    }
+    cfg
+  }
+
   // type checks + error wording follow the reference binder
   // (common_crawl_index.cpp:320-341)
   private def renderValue(fname: String, p: Param, e: Expression): String = (p.kind, e) match {

@@ -262,6 +262,39 @@ object Connectors {
           .orderBy(col("n_nationkey"))
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
-             |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin))
+             |WHERE n_regionkey = 2 ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef("qc19_connector_tvfs",
+      (s, _) => {
+        // SQL spellings of the whole D1/R2 metadata + passthrough surface
+        // (reference d1_functions.cpp:168,280,406; r2_functions.cpp:
+        // 62-241): every call below goes through spark.sql only —
+        // d1_tables additionally exercises database-name → UUID
+        // resolution, d1_query the named-parameter credential path.
+        Secrets.register(Secrets.Secret("qcfix", "d1", "fixture-acct", "fixture-tok"))
+        Secrets.register(Secrets.Secret("qcfix_r2", "r2_sql", "fixture-acct", "fixture-tok"))
+        graft.plans.GraftTvf.registerConnectors(s,
+          d1ApiBase = s"${stub.base}/client/v4", r2ApiBase = stub.base)
+        s.sql("""SELECT kind, item FROM (
+                |  SELECT 'db' AS kind, name AS item
+                |  FROM d1_databases(secret := 'qcfix')
+                |  UNION ALL SELECT 'tbl', name
+                |  FROM d1_tables(secret := 'qcfix', database := 'my-database')
+                |  UNION ALL SELECT 'q', id
+                |  FROM d1_query('SELECT * FROM users LIMIT 2', secret := 'qcfix',
+                |                database_id := '11111111-2222-3333-4444-555555555555')
+                |  UNION ALL SELECT 'r2', response
+                |  FROM r2_sql_query('qcfix_r2', 'bkt', 'SELECT * FROM orders')
+                |  UNION ALL SELECT 'ns', namespace
+                |  FROM r2_sql_databases('qcfix_r2', 'bkt')
+                |) ORDER BY kind, item""".stripMargin)
+      },
+      Some("""SELECT * FROM (VALUES
+             |('db', 'my-database'), ('db', 'other-db'),
+             |('ns', '{"results":[{"order_id":1,"amount":42.5}],"metadata":{"rows":1}}'),
+             |('q', '1'), ('q', '2'),
+             |('r2', '{"results":[{"order_id":1,"amount":42.5}],"metadata":{"rows":1}}'),
+             |('tbl', 'orders'), ('tbl', 'users'))
+             |t(kind, item) ORDER BY kind, item""".stripMargin))
   )
 }

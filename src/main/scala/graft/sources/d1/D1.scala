@@ -43,16 +43,22 @@ object D1 {
   }
 
   def databases(spark: SparkSession, secret: Option[String] = None,
-                apiBase: String = "https://api.cloudflare.com/client/v4"): DataFrame = {
-    val cfg = configOf(secret, "", apiBase)
+                apiBase: String = "https://api.cloudflare.com/client/v4"): DataFrame =
+    databasesDf(spark, configOf(secret, "", apiBase))
+
+  /** Pre-resolved-config form (used by the `d1_databases()` SQL TVF). */
+  def databasesDf(spark: SparkSession, cfg: D1Client.Config): DataFrame = {
     val rows = D1Client.listDatabases(cfg).map(d =>
       Row(d.uuid, d.name, d.createdAt, d.version, d.fileSize, d.numTables, d.region))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), databasesSchema)
   }
 
   def tables(spark: SparkSession, databaseId: String, secret: Option[String] = None,
-             apiBase: String = "https://api.cloudflare.com/client/v4"): DataFrame = {
-    val cfg = configOf(secret, databaseId, apiBase)
+             apiBase: String = "https://api.cloudflare.com/client/v4"): DataFrame =
+    tablesDf(spark, configOf(secret, databaseId, apiBase))
+
+  /** Pre-resolved-config form (used by the `d1_tables()` SQL TVF). */
+  def tablesDf(spark: SparkSession, cfg: D1Client.Config): DataFrame = {
     val rows = D1Client.listTables(cfg).map(t =>
       Row(t.schema, t.name, t.tpe, t.ncol, t.writable, t.strict))
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), tablesSchema)

@@ -135,6 +135,66 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(nErr >= 4, s"ran only $nErr error-statements")
   }
 
+  test("connector TVFs: d1_*/r2_sql_* SQL spellings + reference binder wording") {
+    val stub = graft.queries.Connectors.stub
+    graft.core.Secrets.register(
+      graft.core.Secrets.Secret("tvfsec", "d1", "fixture-acct", "fixture-tok"))
+    graft.core.Secrets.register(
+      graft.core.Secrets.Secret("tvfr2", "r2_sql", "fixture-acct", "fixture-tok"))
+    Graft.registerAll(spark,
+      d1ApiBase = s"${stub.base}/client/v4", r2ApiBase = stub.base)
+    val dbId = "11111111-2222-3333-4444-555555555555"
+
+    // all seven names resolve through spark.sql with the reference schemas
+    assert(spark.sql("SELECT * FROM d1_databases(secret := 'tvfsec')")
+      .schema.fieldNames.toSeq ==
+      Seq("uuid", "name", "created_at", "version", "file_size", "num_tables", "region"))
+    assert(spark.sql(s"SELECT * FROM d1_tables(secret := 'tvfsec', database_id := '$dbId')")
+      .schema.fieldNames.toSeq ==
+      Seq("schema", "name", "type", "ncol", "writable", "strict"))
+    assert(spark.sql("SELECT * FROM d1_query('SELECT * FROM users LIMIT 1', " +
+        s"secret := 'tvfsec', database_id := '$dbId')")
+      .schema.fieldNames.toSeq == Seq("id", "name", "active", "balance"))
+    assert(spark.sql("SELECT * FROM r2_sql_query('tvfr2', 'bkt', 'SELECT 1')")
+      .columns.toSeq == Seq("response"))
+    assert(spark.sql("SELECT * FROM r2_sql_databases('tvfr2', 'bkt')")
+      .columns.toSeq == Seq("namespace"))
+    assert(spark.sql("SELECT * FROM r2_sql_tables('tvfr2', 'bkt')")
+      .columns.toSeq == Seq("table_name"))
+    assert(spark.sql("SELECT * FROM r2_sql_tables('tvfr2', 'bkt', 'ns')")
+      .columns.toSeq == Seq("table_name"))
+    assert(spark.sql("SELECT * FROM r2_sql_describe('tvfr2', 'bkt', 't')")
+      .columns.toSeq == Seq("schema"))
+
+    // binder error wording follows the reference (d1_functions.cpp,
+    // r2_functions.cpp, d1_secret.cpp:78, r2_secret.cpp:71)
+    def err(sql: String): String = {
+      val e = intercept[Exception](spark.sql(sql).collect())
+      Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    }
+    assert(err("SELECT * FROM d1_query(secret := 'tvfsec')")
+      .contains("d1_query requires at least 'sql' parameter"))
+    assert(err("SELECT * FROM d1_databases(account_id := 'a')")
+      .contains("api_token required (via secret, parameter, or CLOUDFLARE_API_TOKEN env)"))
+    assert(err("SELECT * FROM d1_tables(account_id := 'a', api_token := 't')")
+      .contains("database or database_id required"))
+    assert(err("SELECT * FROM d1_databases(secret := 'nosuch')")
+      .contains("D1 secret 'nosuch' not found. Create it with: CREATE SECRET nosuch (TYPE d1, ...)"))
+    assert(err("SELECT * FROM d1_databases(bogus := 'x')")
+      .contains("Invalid named parameter \"bogus\" for function d1_databases"))
+    assert(err("SELECT * FROM r2_sql_query('tvfr2', 'bkt')")
+      .contains("r2_sql_query requires 3 parameters: secret_name, bucket_name, sql_query"))
+    assert(err("SELECT * FROM r2_sql_databases('tvfr2')")
+      .contains("r2_sql_databases requires 2 parameters: secret_name, bucket_name"))
+    assert(err("SELECT * FROM r2_sql_tables('tvfr2', 'b', 'c', 'd')")
+      .contains("r2_sql_tables requires 2-3 parameters: secret_name, bucket_name, [namespace]"))
+    assert(err("SELECT * FROM r2_sql_describe('tvfr2', 'bkt')")
+      .contains("r2_sql_describe requires 3 parameters: secret_name, bucket_name, table_name"))
+    assert(err("SELECT * FROM r2_sql_query('nosuch', 'bkt', 'SELECT 1')")
+      .contains("R2 SQL secret 'nosuch' not found. Create it with: CREATE SECRET nosuch (TYPE r2_sql, ...)"))
+  }
+
   test("unknown option errors like the reference's Invalid named parameter") {
     val e = intercept[Exception] {
       spark.read.format("wayback").option("unknown_param", "10").load()
