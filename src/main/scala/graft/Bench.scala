@@ -40,13 +40,48 @@ object Bench {
     "q40_doc_tokens", "q44_dedup_exact", "q46_ngram_jaccard",
     "q47_minhash_lsh_neardup", "q49_simhash_wide",
     "q50_cosine_topk", "q52_embedding_near_dup", "q59_embedding_lsh_neardup",
-    "q53_multimodal_decode", "q56_rolling_hash", "q57_quality_signals")
+    "q53_multimodal_decode", "q56_rolling_hash", "q57_quality_signals",
+    "q06_join_5way_bucketed", "q08_semi_join_bucketed")
 
-  /** Bench-only queries (operator-level, no oracle counterpart). */
+  /** Bench-only queries (operator-level, no oracle counterpart).
+    *
+    * The `_bucketed` variants run q06/q08 against tables bucketed on
+    * their join keys at bench setup (the ingest-time answer SCALE.md
+    * prescribes for fact-fact joins): same logical query, but the
+    * lineitem⋈orders / customer⋈orders sort-merge joins plan with NO
+    * Exchange on the bucketed sides. Setup cost is reported separately
+    * (`bucket_setup_sec`) — paid once at ingest, amortized over every
+    * subsequent join.
+    */
   val extras: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     "q49_simhash_wide" -> ((s, d) => graft.operators.Dedup.simhashPairs(
       graft.queries.load(s, d, "documents"), "text", "doc_id",
-      maxDistance = 3, pieces = 8)))
+      maxDistance = 3, pieces = 8)),
+    "q06_join_5way_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val li = s.table("bench_lineitem_bo")
+      val o = s.table("bench_orders_bo")
+      val c = graft.queries.load(s, d, "customer")
+      val n = broadcast(graft.queries.load(s, d, "nation"))
+      val r = broadcast(graft.queries.load(s, d, "region"))
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(n, c("c_nationkey") === n("n_nationkey"))
+        .join(r, n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy(col("r_name"))
+    }),
+    "q08_semi_join_bucketed" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val c = s.table("bench_customer_bc")
+      val o = s.table("bench_orders_bc")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy(col("c_nationkey"))
+    }))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -75,6 +110,8 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("bench-warehouse").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,6 +123,25 @@ object Bench {
     }
     graft.queries.load(spark, sfDir, "events").count()
     exec(SparkEntry.queries("q01_pricing_summary")(spark, sfDir))
+
+    // Bucketed ingest for the fact-fact join variants: lineitem/orders on
+    // orderkey (q06's join), customer + a covering o_custkey projection of
+    // orders on custkey (q08's join) — each table bucketed on its dominant
+    // join key, the standard lake-ingest choice.
+    val bucketSetupSec = {
+      val t0 = System.nanoTime()
+      import graft.operators.Bucketing
+      Bucketing.writeBucketed(
+        graft.queries.load(spark, sfDir, "lineitem"), "bench_lineitem_bo", "l_orderkey")
+      Bucketing.writeBucketed(
+        graft.queries.load(spark, sfDir, "orders"), "bench_orders_bo", "o_orderkey")
+      Bucketing.writeBucketed(
+        graft.queries.load(spark, sfDir, "customer"), "bench_customer_bc", "c_custkey")
+      Bucketing.writeBucketed(
+        graft.queries.load(spark, sfDir, "orders").select("o_custkey"),
+        "bench_orders_bc", "o_custkey")
+      (System.nanoTime() - t0) / 1e9
+    }
 
     // Per query: the cold first run is reported (queries_cold — nothing
     // hidden), then THREE timed steady-state runs whose MEDIAN is the
@@ -135,15 +191,28 @@ object Bench {
       val d = names.map(n => qs.get(n).asDouble()).sum
       f"""{"n":${names.size},"spark_sec":$s%.2f,"duckdb_sec":$d%.2f,"ratio":${s / d}%.2f}"""
     }
-    val extrasJson =
-      duckRef.map(r => s""","duckdb_ref":${mapper.writeValueAsString(r)}""").getOrElse("") +
-      comparable.map(c => s""","comparable":$c""").getOrElse("") +
-      sf1Ref.map(r => s""","sf1_ref":${mapper.writeValueAsString(r)}""").getOrElse("") +
-      sf3Ref.map(r => s""","sf3_ref":${mapper.writeValueAsString(r)}""").getOrElse("")
+    // Reference blobs print FIRST, one JSON line each, so a tail-capture
+    // of stdout always keeps the fresh measurement (the r4 artifact
+    // truncated the other way around and carried only the committed
+    // evidence). The FINAL line is the compact self-proving summary:
+    // fresh per-query medians + the computed comparable-set ratio at this
+    // SF alongside the committed sf1/sf3 ratios.
+    duckRef.foreach(r =>
+      println(s"""{"ref":"duckdb_sf$sf","data":${mapper.writeValueAsString(r)}}"""))
+    sf1Ref.foreach(r => println(s"""{"ref":"sf1","data":${mapper.writeValueAsString(r)}}"""))
+    sf3Ref.foreach(r => println(s"""{"ref":"sf3","data":${mapper.writeValueAsString(r)}}"""))
+
+    val ratioParts = Seq(
+      comparable.map(c => s""""sf$sf":$c"""),
+      sf1Ref.map(r => s""""sf1":${mapper.writeValueAsString(r.path("comparable"))}"""),
+      sf3Ref.map(r => s""""sf3":${mapper.writeValueAsString(r.path("comparable"))}""")).flatten
+    val ratiosJson =
+      if (ratioParts.isEmpty) "" else ratioParts.mkString(""","comparable":{""", ",", "}")
 
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._2)},""" +
       s""""queries_cold":${json(_._3)},"cold_total":$coldTotal,""" +
-      s""""warm_runs":$warmRuns,"warm_stat":"median","sf":"$sf"$extrasJson}""")
+      f""""bucket_setup_sec":$bucketSetupSec%.2f,""" +
+      s""""warm_runs":$warmRuns,"warm_stat":"median","sf":"$sf"$ratiosJson}""")
     spark.stop()
     sys.exit(0)
   }
