@@ -245,10 +245,73 @@ object GraftTvf {
   }
 }
 
+/** `ATTACH 'db' AS mydb (TYPE d1 [, SECRET 's', ...])` — the reference's
+  * storage-extension attach (d1_storage.cpp:101-144) re-expressed as a
+  * Spark command: registers [[graft.sources.d1.D1Catalog]] under the
+  * alias via `spark.sql.catalog.*` conf, after resolving the secret with
+  * the reference's order — explicit SECRET option, else the default
+  * names d1/cloudflare/__default_d1 (:113-127), else the reference's
+  * error wording verbatim (:130-133). Extra options (e.g. API_BASE)
+  * pass through to the catalog, matching DuckDB's generic ATTACH
+  * option list. The database string may be a name or a UUID; the
+  * catalog applies the same 36-char heuristic as the reference.
+  */
+object AttachSyntax {
+  import org.apache.spark.sql.{Row, SparkSession}
+
+  private val AttachRe =
+    """(?is)\s*ATTACH\s+(?:DATABASE\s+)?'([^']+)'(?:\s+AS\s+([A-Za-z_]\w*))?\s*\((.*)\)\s*;?\s*""".r
+  private val OptRe = """(?i)([A-Za-z_]\w*)\s+(?:'([^']*)'|(\S+))""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case AttachRe(db, aliasOrNull, optBody) =>
+      val opts = optBody.split(",").map(_.trim).filter(_.nonEmpty).map { o =>
+        OptRe.findFirstMatchIn(o) match {
+          case Some(m) => m.group(1).toLowerCase -> Option(m.group(2)).getOrElse(m.group(3))
+          case None => throw new IllegalArgumentException(s"Cannot parse ATTACH option: '$o'")
+        }
+      }.toMap
+      opts.get("type") match {
+        case Some(t) if t.equalsIgnoreCase("d1") =>
+          val alias = Option(aliasOrNull).getOrElse(db)
+          Some(AttachD1Command(db, alias, opts.get("secret"), opts - "type" - "secret"))
+        case Some(t) => throw new IllegalArgumentException(
+          s"Unsupported TYPE for ATTACH: '$t' (supported: d1)")
+        case None => throw new IllegalArgumentException(
+          "ATTACH requires a TYPE option (TYPE d1)")
+      }
+    case _ => None
+  }
+
+  case class AttachD1Command(db: String, alias: String, secret: Option[String],
+                             extra: Map[String, String])
+      extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val conf: String => Option[String] = k => spark.conf.getOption(k)
+      val secretName = secret.getOrElse {
+        Seq("d1", "cloudflare", "__default_d1")
+          .find(n => graft.core.Secrets.lookup("d1", n, conf).isDefined)
+          .getOrElse(throw new IllegalArgumentException(
+            "D1 attach requires a D1 secret. Create one with: CREATE SECRET (TYPE d1, " +
+              "ACCOUNT_ID '...', API_TOKEN '...')\n" +
+              "Or specify an existing secret: ATTACH 'db_name' AS alias (TYPE d1, SECRET 'secret_name')"))
+      }
+      spark.conf.set(s"spark.sql.catalog.$alias",
+        classOf[graft.sources.d1.D1Catalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$alias.database", db)
+      spark.conf.set(s"spark.sql.catalog.$alias.secret", secretName)
+      extra.foreach { case (k, v) => spark.conf.set(s"spark.sql.catalog.$alias.$k", v) }
+      Seq.empty
+    }
+  }
+}
+
 /** Delegating parser that accepts DuckDB's `name := value` named-argument
   * spelling by rewriting `:=` to Spark's `name => value` form outside
-  * string literals, quoted identifiers, and comments. `:=` has no other
-  * meaning anywhere in Spark SQL, so the rewrite is semantics-preserving.
+  * string literals, quoted identifiers, and comments (`:=` has no other
+  * meaning anywhere in Spark SQL, so the rewrite is semantics-preserving),
+  * and the reference's `ATTACH ... (TYPE d1)` statement, which Spark's
+  * grammar lacks entirely (see [[AttachSyntax]]).
   */
 class AssignSyntaxParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -290,9 +353,11 @@ class AssignSyntaxParser(delegate: ParserInterface) extends ParserInterface {
     out.toString
   }
 
-  override def parsePlan(sqlText: String): LogicalPlan = delegate.parsePlan(rewrite(sqlText))
+  override def parsePlan(sqlText: String): LogicalPlan =
+    AttachSyntax.parse(sqlText).getOrElse(delegate.parsePlan(rewrite(sqlText)))
   override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(rewrite(sqlText), ctx)
+    AttachSyntax.parse(sqlText).getOrElse(
+      delegate.parsePlanWithParameters(rewrite(sqlText), ctx))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(rewrite(sqlText))

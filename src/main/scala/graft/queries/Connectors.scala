@@ -295,6 +295,19 @@ object Connectors {
              |('q', '1'), ('q', '2'),
              |('r2', '{"results":[{"order_id":1,"amount":42.5}],"metadata":{"rows":1}}'),
              |('tbl', 'orders'), ('tbl', 'users'))
-             |t(kind, item) ORDER BY kind, item""".stripMargin))
+             |t(kind, item) ORDER BY kind, item""".stripMargin)),
+
+    QueryDef("qc20_attach_sql",
+      (s, _) => {
+        // ATTACH SQL spelling end-to-end (reference d1_storage.cpp:
+        // 101-144): the database is given by NAME ('my-database'), so the
+        // catalog exercises name → UUID resolution too; everything after
+        // Secrets.register goes through spark.sql alone.
+        Secrets.register(Secrets.Secret("attsec", "d1", "fixture-acct", "fixture-tok"))
+        s.sql(s"ATTACH 'my-database' AS attdb (TYPE d1, SECRET 'attsec', " +
+          s"API_BASE '${stub.base}/client/v4')")
+        s.sql("SELECT count(*) AS n_active FROM attdb.main.users WHERE active = true")
+      },
+      Some("SELECT CAST(2 AS BIGINT) AS n_active"))
   )
 }

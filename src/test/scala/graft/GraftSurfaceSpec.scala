@@ -195,6 +195,45 @@ class GraftSurfaceSpec extends AnyFunSuite {
       .contains("R2 SQL secret 'nosuch' not found. Create it with: CREATE SECRET nosuch (TYPE r2_sql, ...)"))
   }
 
+  test("ATTACH SQL: alias default, secret resolution order, reference error wording") {
+    val stub = graft.queries.Connectors.stub
+    import graft.core.Secrets
+    // explicit secret + AS alias + extra option passthrough
+    Secrets.register(Secrets.Secret("attspec", "d1", "fixture-acct", "fixture-tok"))
+    spark.sql("ATTACH 'my-database' AS attspecdb (TYPE d1, SECRET 'attspec', " +
+      s"API_BASE '${stub.base}/client/v4')")
+    assert(spark.conf.get("spark.sql.catalog.attspecdb") == "graft.sources.d1.D1Catalog")
+    assert(spark.conf.get("spark.sql.catalog.attspecdb.secret") == "attspec")
+    val n = spark.sql("SELECT count(*) AS n FROM attspecdb.main.users").head().getLong(0)
+    assert(n == 4)
+    // no AS clause: alias defaults to the database string (d1_storage.cpp:139)
+    spark.sql(s"ATTACH 'my-database' (TYPE d1, SECRET 'attspec', " +
+      s"API_BASE '${stub.base}/client/v4')")
+    assert(spark.conf.getOption("spark.sql.catalog.my-database").isDefined)
+    // default-name probing (d1 → cloudflare → __default_d1) when SECRET omitted
+    Secrets.register(Secrets.Secret("cloudflare", "d1", "fixture-acct", "fixture-tok"))
+    try {
+      spark.sql(s"ATTACH 'my-database' AS attdef (TYPE d1, API_BASE '${stub.base}/client/v4')")
+      assert(spark.conf.get("spark.sql.catalog.attdef.secret") == "cloudflare")
+    } finally Secrets.drop("d1", "cloudflare")
+    // no secret anywhere → the reference's BinderException wording
+    val saved = Seq("d1", "cloudflare", "__default_d1")
+      .flatMap(n => Secrets.lookup("d1", n).map(n -> _))
+    saved.foreach { case (nm, _) => Secrets.drop("d1", nm) }
+    try {
+      val e = intercept[Exception] {
+        spark.sql("ATTACH 'db' AS nosec (TYPE d1)").collect()
+      }
+      assert(e.getMessage.contains("D1 attach requires a D1 secret. Create one with: " +
+        "CREATE SECRET (TYPE d1, ACCOUNT_ID '...', API_TOKEN '...')"))
+      assert(e.getMessage.contains(
+        "Or specify an existing secret: ATTACH 'db_name' AS alias (TYPE d1, SECRET 'secret_name')"))
+    } finally saved.foreach { case (_, sec) => Secrets.register(sec) }
+    // unsupported type
+    val e2 = intercept[Exception] { spark.sql("ATTACH 'x' AS y (TYPE sqlite)") }
+    assert(e2.getMessage.contains("Unsupported TYPE for ATTACH: 'sqlite'"))
+  }
+
   test("unknown option errors like the reference's Invalid named parameter") {
     val e = intercept[Exception] {
       spark.read.format("wayback").option("unknown_param", "10").load()
