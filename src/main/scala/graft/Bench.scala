@@ -150,7 +150,13 @@ object Bench {
     // hiccups. tools/duckdb_bench.py mirrors the same methodology.
     val all = SparkEntry.queries ++ extras
     val warmRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = headline.filter(all.contains).map { name =>
+    // mirrors DUCKDB_BENCH_SKIP: at very large replication factors the
+    // synthetic corpus makes near-dup pair output quadratic in the
+    // factor (every doc sits in a factor-wide cluster) — skipped queries
+    // are recorded in the artifact, never silently dropped
+    val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val results = headline.filter(all.contains).filterNot(skip).map { name =>
       def run(): Double = {
         val t0 = System.nanoTime()
         exec(all(name)(spark, sfDir))
@@ -212,6 +218,7 @@ object Bench {
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._2)},""" +
       s""""queries_cold":${json(_._3)},"cold_total":$coldTotal,""" +
       f""""bucket_setup_sec":$bucketSetupSec%.2f,""" +
+      s""""skipped":[${skip.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
       s""""warm_runs":$warmRuns,"warm_stat":"median","sf":"$sf"$ratiosJson}""")
     spark.stop()
     sys.exit(0)

@@ -12,10 +12,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table. */
+  /** Write `df` as a bucketed+sorted managed table.
+    *
+    * The pre-write `repartition(numBuckets, key)` uses the same
+    * murmur3/pmod hash as bucket assignment, so every write task holds
+    * exactly one bucket's rows and each bucket is ONE file. That matters
+    * beyond tidiness: Spark only treats a bucket as sorted when it is a
+    * single file (multi-file buckets forfeit the sortBy), so one file per
+    * bucket lets a sort-merge join drop BOTH the Exchange and the Sort —
+    * without it the read side re-sorts every bucket on every query.
+    */
   def writeBucketed(df: DataFrame, table: String, key: String,
                     numBuckets: Int = 32): Unit = {
-    df.write.mode("overwrite")
+    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+      .write.mode("overwrite")
       .bucketBy(numBuckets, key)
       .sortBy(key)
       .format("parquet")

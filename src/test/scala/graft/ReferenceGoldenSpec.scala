@@ -125,4 +125,17 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       s"skipped too much: ${t.skippedSql.mkString("; ")}")
     info(s"executed ${t.ok}/$total statements; skipped ${t.skipped} (SIMILAR TO)")
   }
+
+  test("common_crawl_errors.test runs verbatim (binder parity + LIMIT-0 edge cases)") {
+    // every statement is offline-safe: LIMIT 0 plans collapse to an empty
+    // relation before any scan, and the error cases fail at bind time —
+    // except wayback_machine() LIMIT 1, which must fail with the
+    // reference's requires-a-URL-filter wording at plan time
+    Graft.registerAll(spark)
+    val t = runFile("/root/reference/test/sql/common_crawl_errors.test")
+    val total = t.ok + t.skipped
+    assert(t.skipped == 0, s"skipped: ${t.skippedSql.mkString("; ")}")
+    assert(t.ok >= 20, s"executed only ${t.ok} of $total")
+    info(s"executed ${t.ok}/$total statements")
+  }
 }
