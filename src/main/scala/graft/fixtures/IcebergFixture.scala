@@ -1,0 +1,217 @@
+package graft.fixtures
+
+import java.io.ByteArrayOutputStream
+import java.nio.charset.StandardCharsets.UTF_8
+import org.apache.avro.Schema
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types._
+import scala.collection.concurrent.TrieMap
+
+/** Iceberg-on-R2 test fixture: publishes a DataFrame as an Iceberg
+  * table inside the stub's S3 bucket — parquet data files + spec-shaped
+  * Avro manifests/manifest-list + `vN.metadata.json` — and serves the
+  * REST catalog protocol (config/namespaces/tables/loadTable) from the
+  * same stub. Everything the catalog reads in tests is generated here
+  * per the public Iceberg table spec (field names and layout), since the
+  * environment has no Iceberg writer to produce golden files.
+  *
+  * Layout written under the `r2-lake` bucket:
+  * {{{
+  * iceberg/<ns>/<tbl>/data/part-<i>.parquet
+  * iceberg/<ns>/<tbl>/metadata/v<N>.metadata.json
+  * iceberg/<ns>/<tbl>/metadata/snap-<id>.avro          (manifest list)
+  * iceberg/<ns>/<tbl>/metadata/manifest-<id>-<i>.avro  (manifests)
+  * }}}
+  */
+object IcebergFixture {
+
+  /** (namespace, table) → metadata-location (r2:// path). */
+  val tables = TrieMap.empty[(String, String), String]
+
+  // ---- Avro schemas: the read-path subset of the spec'd manifest formats
+
+  private val manifestListSchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_file","fields":[
+      |{"name":"manifest_path","type":"string","field-id":500},
+      |{"name":"manifest_length","type":"long","field-id":501},
+      |{"name":"partition_spec_id","type":"int","field-id":502},
+      |{"name":"content","type":"int","field-id":517},
+      |{"name":"added_snapshot_id","type":"long","field-id":503}
+      |]}""".stripMargin)
+
+  private val manifestEntrySchema = new Schema.Parser().parse(
+    """{"type":"record","name":"manifest_entry","fields":[
+      |{"name":"status","type":"int","field-id":0},
+      |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"data_file","type":{"type":"record","name":"r2_data_file","fields":[
+      |  {"name":"content","type":"int","field-id":134},
+      |  {"name":"file_path","type":"string","field-id":100},
+      |  {"name":"file_format","type":"string","field-id":101},
+      |  {"name":"record_count","type":"long","field-id":103},
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |]},"field-id":2}
+      |]}""".stripMargin)
+
+  private def writeAvro(schema: Schema, records: Seq[GenericRecord]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val w = new DataFileWriter[GenericRecord](new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, out)
+    records.foreach(w.append)
+    w.close()
+    out.toByteArray
+  }
+
+  /** Spark type → Iceberg schema-JSON type string/object. */
+  def icebergType(dt: DataType): String = dt match {
+    case BooleanType         => "\"boolean\""
+    case IntegerType | ShortType | ByteType => "\"int\""
+    case LongType            => "\"long\""
+    case FloatType           => "\"float\""
+    case DoubleType          => "\"double\""
+    case DateType            => "\"date\""
+    case TimestampNTZType    => "\"timestamp\""
+    case TimestampType       => "\"timestamptz\""
+    case StringType          => "\"string\""
+    case BinaryType          => "\"binary\""
+    case d: DecimalType      => s""""decimal(${d.precision}, ${d.scale})""""
+    case a: ArrayType =>
+      s"""{"type":"list","element-id":0,"element":${icebergType(a.elementType)},"element-required":${!a.containsNull}}"""
+    case s: StructType       => icebergStruct(s, 1000)
+    case other => throw new IllegalArgumentException(s"fixture: unsupported $other")
+  }
+
+  private def icebergStruct(st: StructType, idBase: Int): String = {
+    val fields = st.fields.zipWithIndex.map { case (f, i) =>
+      s"""{"id":${idBase + i},"name":"${f.name}","required":${!f.nullable},"type":${icebergType(f.dataType)}}"""
+    }
+    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** Publish `df` as Iceberg table `ns.tbl` in `stub`'s bucket; returns
+    * the metadata location. Calling again with `append=true` data adds a
+    * second snapshot whose file set REPLACES the first in current state
+    * only if `replace` (copy-on-write semantics: each snapshot lists its
+    * full live file set).
+    */
+  def publish(stub: Stub, ns: String, tbl: String, df: DataFrame,
+              extraSnapshotOfSameData: Boolean = false): String = {
+    val prefix = s"iceberg/$ns/$tbl"
+    val tmp = java.nio.file.Files.createTempDirectory("icefix").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
+    val parts = new java.io.File(tmp, "d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+    val dataFiles = parts.map { case (f, i) =>
+      val key = s"$prefix/data/part-$i.parquet"
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      stub.objects.put(key, bytes)
+      (s"r2://r2-lake/$key", bytes.length.toLong, df.count())
+    }.toSeq
+
+    def snapshot(snapId: Long): (String, Long) = {
+      val entries = dataFiles.map { case (path, size, rows) =>
+        val dfRec = new GenericData.Record(
+          manifestEntrySchema.getField("data_file").schema())
+        dfRec.put("content", 0)
+        dfRec.put("file_path", path)
+        dfRec.put("file_format", "PARQUET")
+        dfRec.put("record_count", rows)
+        dfRec.put("file_size_in_bytes", size)
+        val rec = new GenericData.Record(manifestEntrySchema)
+        rec.put("status", 1) // ADDED
+        rec.put("snapshot_id", snapId)
+        rec.put("data_file", dfRec)
+        rec
+      }
+      val manifestKey = s"$prefix/metadata/manifest-$snapId-0.avro"
+      val manifestBytes = writeAvro(manifestEntrySchema, entries)
+      stub.objects.put(manifestKey, manifestBytes)
+      val mlRec = new GenericData.Record(manifestListSchema)
+      mlRec.put("manifest_path", s"r2://r2-lake/$manifestKey")
+      mlRec.put("manifest_length", manifestBytes.length.toLong)
+      mlRec.put("partition_spec_id", 0)
+      mlRec.put("content", 0)
+      mlRec.put("added_snapshot_id", snapId)
+      val mlKey = s"$prefix/metadata/snap-$snapId.avro"
+      stub.objects.put(mlKey, writeAvro(manifestListSchema, Seq(mlRec)))
+      (s"r2://r2-lake/$mlKey", snapId)
+    }
+
+    val snaps =
+      if (extraSnapshotOfSameData) Seq(snapshot(1L), snapshot(2L))
+      else Seq(snapshot(1L))
+    val current = snaps.last._2
+    val snapsJson = snaps.map { case (ml, id) =>
+      s"""{"snapshot-id":$id,"timestamp-ms":0,"manifest-list":"$ml","summary":{"operation":"append"}}"""
+    }.mkString(",")
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-00000000000$current",
+         |"location":"r2://r2-lake/$prefix",
+         |"last-sequence-number":$current,"last-updated-ms":0,"last-column-id":${df.schema.length},
+         |"current-schema-id":0,"schemas":[${icebergStruct(df.schema, 1)}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":$current,"snapshots":[$snapsJson]}""".stripMargin
+    val metaKey = s"$prefix/metadata/v$current.metadata.json"
+    stub.objects.put(metaKey, metaJson.getBytes(UTF_8))
+    val metaLoc = s"r2://r2-lake/$metaKey"
+    tables.put((ns, tbl), metaLoc)
+    metaLoc
+  }
+
+  /** Publish a table whose manifest list declares a DELETE manifest —
+    * the reader must reject it (merge-on-read unsupported).
+    */
+  def publishWithDeletes(stub: Stub, ns: String, tbl: String, df: DataFrame): String = {
+    val loc = publish(stub, ns, tbl, df)
+    val prefix = s"iceberg/$ns/$tbl"
+    val mlRecData = new GenericData.Record(manifestListSchema)
+    mlRecData.put("manifest_path", s"r2://r2-lake/$prefix/metadata/manifest-1-0.avro")
+    mlRecData.put("manifest_length", 1L)
+    mlRecData.put("partition_spec_id", 0)
+    mlRecData.put("content", 0)
+    mlRecData.put("added_snapshot_id", 1L)
+    val mlRecDel = new GenericData.Record(manifestListSchema)
+    mlRecDel.put("manifest_path", s"r2://r2-lake/$prefix/metadata/manifest-del.avro")
+    mlRecDel.put("manifest_length", 1L)
+    mlRecDel.put("partition_spec_id", 0)
+    mlRecDel.put("content", 1) // DELETES
+    mlRecDel.put("added_snapshot_id", 1L)
+    stub.objects.put(s"$prefix/metadata/snap-1.avro",
+      writeAvro(manifestListSchema, Seq(mlRecData, mlRecDel)))
+    loc
+  }
+
+  /** Install the REST catalog protocol routes on `stub` under
+    * `/iceberg` (catalog uri = `<stub.base>/iceberg`).
+    */
+  def installRest(stub: Stub): Stub = {
+    stub.route("/iceberg/v1/") { ex =>
+      val path = ex.getRequestURI.getPath.stripPrefix("/iceberg/v1/")
+      val segs = path.split("/").filter(_.nonEmpty).toList
+      def json(s: String) = (200, s.getBytes(UTF_8))
+      segs match {
+        case "config" :: Nil =>
+          json("""{"defaults":{},"overrides":{}}""")
+        case "namespaces" :: Nil =>
+          val nss = tables.keys.map(_._1).toSeq.distinct.sorted
+            .map(ns => s"""["$ns"]""").mkString(",")
+          json(s"""{"namespaces":[$nss]}""")
+        case "namespaces" :: ns :: "tables" :: Nil =>
+          val ids = tables.keys.filter(_._1 == ns).map(_._2).toSeq.sorted
+            .map(t => s"""{"namespace":["$ns"],"name":"$t"}""").mkString(",")
+          json(s"""{"identifiers":[$ids]}""")
+        case "namespaces" :: ns :: "tables" :: t :: Nil =>
+          tables.get((ns, t)) match {
+            case Some(loc) =>
+              json(s"""{"metadata-location":"$loc","config":{}}""")
+            case None =>
+              (404, s"""{"error":{"message":"Table does not exist: $ns.$t","type":"NoSuchTableException","code":404}}""".getBytes(UTF_8))
+          }
+        case _ => (404, "not found".getBytes(UTF_8))
+      }
+    }
+    stub
+  }
+}

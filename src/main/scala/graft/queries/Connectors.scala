@@ -308,6 +308,33 @@ object Connectors {
           s"API_BASE '${stub.base}/client/v4')")
         s.sql("SELECT count(*) AS n_active FROM attdb.main.users WHERE active = true")
       },
-      Some("SELECT CAST(2 AS BIGINT) AS n_active"))
+      Some("SELECT CAST(2 AS BIGINT) AS n_active")),
+
+    QueryDef("qc21_iceberg_scan",
+      (s, d) => {
+        // Iceberg-on-R2 end-to-end (the "real lake" path beyond the
+        // reference's 1-row JSON passthrough, r2_functions.cpp:18-65):
+        // nation is published as an Iceberg table — parquet data files +
+        // Avro manifests/manifest-list + metadata JSON in the stub's S3
+        // bucket — then read back purely through SQL over the REST
+        // catalog: protocol → metadata → manifests → Spark's own parquet
+        // scan with byte-ranged GETs (IcebergCatalogSpec asserts pushdown
+        // and ranged reads; this gate pins row-level results vs DuckDB).
+        graft.fixtures.IcebergFixture.installRest(stub)
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.r2.impl", "graft.sources.r2.R2FileSystem")
+        hc.set("fs.r2.impl.disable.cache", "true")
+        hc.set("fs.r2.endpoint", stub.base)
+        s.conf.set("spark.sql.catalog.r2lake",
+          "graft.sources.iceberg.IcebergRestCatalog")
+        s.conf.set("spark.sql.catalog.r2lake.uri", s"${stub.base}/iceberg")
+        graft.fixtures.IcebergFixture.publish(stub, "tpch", "nation",
+          load(s, d, "nation"))
+        s.sql("""SELECT n_nationkey, n_name, n_regionkey
+                |FROM r2lake.tpch.nation WHERE n_regionkey <> 1
+                |ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
+             |WHERE n_regionkey <> 1 ORDER BY n_nationkey""".stripMargin))
   )
 }

@@ -1,0 +1,187 @@
+package graft.sources.iceberg
+
+import java.util
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import scala.jdk.CollectionConverters._
+
+import graft.core.{Http, Secrets}
+
+/** Read-only Spark `TableCatalog` over the Iceberg REST catalog
+  * protocol (the open API R2 SQL's catalog speaks) — the "real lake"
+  * path SURVEY §7 leaves optional beyond the reference's 1-row JSON
+  * passthrough (r2_functions.cpp:18-65).
+  *
+  * Wiring:
+  * {{{
+  * spark.sql.catalog.lake       = graft.sources.iceberg.IcebergRestCatalog
+  * spark.sql.catalog.lake.uri   = https://catalog.cloudflarestorage.com/<acct>/<bucket>
+  * spark.sql.catalog.lake.token = <bearer>     (or `secret = <r2_sql secret name>`)
+  * -- then:  SELECT … FROM lake.ns.tbl
+  * }}}
+  *
+  * `loadTable` resolves namespace/table → table metadata (inline in the
+  * LoadTableResult or fetched from `metadata-location`) → current
+  * snapshot → manifest list → data files, and hands the resolved
+  * parquet file set to Spark's own `ParquetTable`, so filter pushdown,
+  * column pruning, row-group skipping and split planning all run
+  * exactly as they do over any parquet lake — against `r2://` paths the
+  * byte-ranged `R2FileSystem` serves them. Scan parallelism is Spark's
+  * (one task per split), not one HTTP query per table.
+  *
+  * Read-only by design, like `R2FileSystem`: every mutation entry point
+  * throws. Snapshot resolution is per-`loadTable` call, so a query sees
+  * one consistent snapshot (Iceberg's serializable-read guarantee) and
+  * a re-run sees the latest commit.
+  */
+class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var uri: String = _
+  private var token: String = _
+  private val mapper = new ObjectMapper()
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    uri = Option(options.get("uri")).map(_.stripSuffix("/")).getOrElse(
+      throw new IllegalArgumentException(
+        s"spark.sql.catalog.$name.uri must be set (Iceberg REST catalog endpoint)"))
+    token = Option(options.get("token"))
+      .orElse(Option(options.get("secret")).map { s =>
+        Secrets.lookup("r2_sql", s).getOrElse(throw new IllegalArgumentException(
+          s"unknown r2_sql secret '$s' for catalog $name")).apiToken
+      })
+      .getOrElse("")
+  }
+
+  override def name(): String = catalogName
+
+  private def auth: Map[String, String] =
+    if (token.isEmpty) Map.empty else Map("Authorization" -> s"Bearer $token")
+
+  private def getJson(path: String): JsonNode = {
+    val r = Http.get(s"$uri$path", auth)
+    if (r.status / 100 != 2)
+      throw new RuntimeException(
+        s"Iceberg REST catalog $catalogName: GET $path -> HTTP ${r.status}: ${r.bodyString.take(200)}")
+    mapper.readTree(r.body)
+  }
+
+  /** Multipart namespaces join with the unit separator (%1F) per the
+    * REST spec.
+    */
+  private def nsPath(namespace: Array[String]): String =
+    Http.encodeUrl(namespace.mkString(""))
+      .replace("%2F", "%2F") // already encoded by encodeUrl
+
+  // ---- namespaces ----------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val node = getJson("/v1/namespaces")
+    Option(node.get("namespaces")).toArray
+      .flatMap(_.elements().asScala)
+      .map(ns => ns.elements().asScala.map(_.asText).toArray)
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else listNamespaces().filter(ns =>
+      ns.length > namespace.length && ns.startsWith(namespace.toSeq))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) new util.HashMap[String, String]()
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      namespace.toSeq)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    listNamespaces().exists(_.sameElements(namespace))
+
+  // ---- tables --------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val node = getJson(s"/v1/namespaces/${nsPath(namespace)}/tables")
+    Option(node.get("identifiers")).toArray
+      .flatMap(_.elements().asScala)
+      .map { id =>
+        val ns = Option(id.get("namespace")).toSeq
+          .flatMap(_.elements().asScala).map(_.asText).toArray
+        Identifier.of(ns, id.get("name").asText)
+      }
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { loadTableResult(ident); true } catch { case _: Exception => false }
+
+  private def loadTableResult(ident: Identifier): JsonNode =
+    getJson(s"/v1/namespaces/${nsPath(ident.namespace())}/tables/${Http.encodeUrl(ident.name())}")
+
+  override def loadTable(ident: Identifier): Table = {
+    val spark = SparkSession.active
+    val conf = spark.sparkContext.hadoopConfiguration
+    val result = loadTableResult(ident)
+    // LoadTableResult may inline the metadata or only give its location
+    val meta = Option(result.get("metadata")) match {
+      case Some(m) if !m.isNull => IcebergMeta.parseNode(m)
+      case _ =>
+        val loc = Option(result.get("metadata-location")).map(_.asText).getOrElse(
+          throw new RuntimeException(
+            s"LoadTableResult for $ident has neither metadata nor metadata-location"))
+        IcebergMeta.parse(readString(conf, loc))
+    }
+    val files = meta.currentSnapshot match {
+      case Some(snap) => IcebergManifests.dataFiles(conf, snap.manifestList).map(_.path)
+      case None       => Nil // table exists but has no snapshot yet: empty scan
+    }
+    ParquetTable(
+      s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
+      spark,
+      CaseInsensitiveStringMap.empty(),
+      files,
+      Some(meta.schema),
+      classOf[ParquetFileFormat])
+  }
+
+  private def readString(conf: org.apache.hadoop.conf.Configuration, pathStr: String): String = {
+    val p = new Path(pathStr)
+    val fs = p.getFileSystem(conf)
+    val len = fs.getFileStatus(p).getLen
+    val bytes = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0, bytes) finally in.close()
+    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  // ---- mutations: rejected (read-only surface, R2FileSystem posture) --
+
+  private def readOnly(op: String): Nothing =
+    throw new UnsupportedOperationException(
+      s"Iceberg REST catalog '$catalogName' is read-only: $op is not supported")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    readOnly("CREATE TABLE")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    readOnly("ALTER TABLE")
+
+  override def dropTable(ident: Identifier): Boolean = readOnly("DROP TABLE")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    readOnly("RENAME TABLE")
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = readOnly("CREATE NAMESPACE")
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit = readOnly("ALTER NAMESPACE")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    readOnly("DROP NAMESPACE")
+}

@@ -140,6 +140,14 @@ class R2FileSystem extends FileSystem {
 
   override def listStatus(f: Path): Array[FileStatus] = {
     val key = keyOf(f)
+    // Hadoop FS contract: listStatus(file) returns that file's status,
+    // not the (empty) listing under "key/" — Spark's InMemoryFileIndex
+    // relies on this when given explicit file paths (e.g. an Iceberg
+    // manifest's data files) rather than directories.
+    if (key.nonEmpty) {
+      val st = getFileStatus(f)
+      if (!st.isDirectory) return Array(st)
+    }
     val prefix = if (key.isEmpty) "" else key + "/"
     val (objs, prefixes) = listObjects(prefix, delimited = true)
     val files = objs.filter(_.key != prefix).map(o =>
