@@ -76,7 +76,11 @@ object Bench {
     "q08_semi_join_bucketed" -> ((s, _) => {
       import org.apache.spark.sql.functions._
       val c = s.table("bench_customer_bc")
-      val o = s.table("bench_orders_bc")
+      // both tables bucketed on custkey: the distinct-keys reduction
+      // (same rewrite as q08 itself) needs NO exchange — buckets are
+      // already hash-partitioned on the key — and the semi join is then
+      // bucket-to-bucket, so the whole query runs exchange-free
+      val o = s.table("bench_orders_bc").select(col("o_custkey")).distinct()
       c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"))
@@ -189,6 +193,7 @@ object Bench {
     val duckRef = loadRef("bench/duckdb_sf0.1.json").filter(_.path("sf").asText("") == sf)
     val sf1Ref = loadRef("bench/sf1.json")
     val sf3Ref = loadRef("bench/sf3.json")
+    val sf10Ref = loadRef("bench/sf10.json")
     val comparable = duckRef.map { ref =>
       val qs = ref.path("queries")
       val names = results.filter(_._2 >= 0).map(_._1)
@@ -207,11 +212,13 @@ object Bench {
       println(s"""{"ref":"duckdb_sf$sf","data":${mapper.writeValueAsString(r)}}"""))
     sf1Ref.foreach(r => println(s"""{"ref":"sf1","data":${mapper.writeValueAsString(r)}}"""))
     sf3Ref.foreach(r => println(s"""{"ref":"sf3","data":${mapper.writeValueAsString(r)}}"""))
+    sf10Ref.foreach(r => println(s"""{"ref":"sf10","data":${mapper.writeValueAsString(r)}}"""))
 
     val ratioParts = Seq(
       comparable.map(c => s""""sf$sf":$c"""),
       sf1Ref.map(r => s""""sf1":${mapper.writeValueAsString(r.path("comparable"))}"""),
-      sf3Ref.map(r => s""""sf3":${mapper.writeValueAsString(r.path("comparable"))}""")).flatten
+      sf3Ref.map(r => s""""sf3":${mapper.writeValueAsString(r.path("comparable"))}"""),
+      sf10Ref.map(r => s""""sf10":${mapper.writeValueAsString(r.path("comparable"))}""")).flatten
     val ratiosJson =
       if (ratioParts.isEmpty) "" else ratioParts.mkString(""","comparable":{""", ",", "}")
 

@@ -275,10 +275,15 @@ object AttachSyntax {
         case Some(t) if t.equalsIgnoreCase("d1") =>
           val alias = Option(aliasOrNull).getOrElse(db)
           Some(AttachD1Command(db, alias, opts.get("secret"), opts - "type" - "secret"))
+        case Some(t) if t.equalsIgnoreCase("iceberg") =>
+          val alias = Option(aliasOrNull).getOrElse(
+            throw new IllegalArgumentException(
+              "ATTACH (TYPE iceberg) requires an alias: ATTACH '<rest uri>' AS name (TYPE iceberg)"))
+          Some(AttachIcebergCommand(db, alias, opts - "type"))
         case Some(t) => throw new IllegalArgumentException(
-          s"Unsupported TYPE for ATTACH: '$t' (supported: d1)")
+          s"Unsupported TYPE for ATTACH: '$t' (supported: d1, iceberg)")
         case None => throw new IllegalArgumentException(
-          "ATTACH requires a TYPE option (TYPE d1)")
+          "ATTACH requires a TYPE option (TYPE d1 | TYPE iceberg)")
       }
     case _ => None
   }
@@ -300,6 +305,24 @@ object AttachSyntax {
         classOf[graft.sources.d1.D1Catalog].getName)
       spark.conf.set(s"spark.sql.catalog.$alias.database", db)
       spark.conf.set(s"spark.sql.catalog.$alias.secret", secretName)
+      extra.foreach { case (k, v) => spark.conf.set(s"spark.sql.catalog.$alias.$k", v) }
+      Seq.empty
+    }
+  }
+
+  /** `ATTACH '<rest catalog uri>' AS lake (TYPE iceberg [, SECRET 's' |
+    * TOKEN '...'])` — registers [[graft.sources.iceberg.IcebergRestCatalog]]
+    * under the alias; `SELECT … FROM lake.ns.tbl` then reads the
+    * Iceberg-on-R2 lake natively. Extra options (e.g. TOKEN) pass through
+    * as catalog conf, same shape as the D1 attach.
+    */
+  case class AttachIcebergCommand(uri: String, alias: String,
+                                  extra: Map[String, String])
+      extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      spark.conf.set(s"spark.sql.catalog.$alias",
+        classOf[graft.sources.iceberg.IcebergRestCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$alias.uri", uri)
       extra.foreach { case (k, v) => spark.conf.set(s"spark.sql.catalog.$alias.$k", v) }
       Seq.empty
     }

@@ -126,6 +126,47 @@ object TextAnalysis {
              |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
              |          len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
              |  FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id)
-             |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin))
+             |WHERE jaccard >= 0.8 ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q68_neardup_components",
+      (s, d) => {
+        // Pairs → CLUSTERS: connected components over the q46 near-dup
+        // pair graph (large-star/small-star), then cluster sizes. This
+        // is the transitive step pair-level dedup cannot express — a
+        // chain a–b, b–c is ONE cluster even though (a,c) was never a
+        // candidate pair. Oracle: recursive-CTE transitive closure over
+        // the same pair set.
+        val docs = load(s, d, "documents").filter(col("doc_id") < 200)
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "text", "doc_id",
+          blockCol = floor(length(col("text")) / 100), threshold = 0.8, k = 3)
+        graft.operators.ConnectedComponents.components(pairs, "id_a", "id_b")
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_members"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, CAST(floor(length(text) / 100) AS BIGINT) AS blk,
+             |    list_distinct([array_to_string(w[i:i+2], ' ')
+             |      for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
+             |        FROM documents WHERE doc_id < 200)),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM (
+             |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+             |    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+             |  WHERE jaccard >= 0.8),
+             |edges AS (
+             |  SELECT id_a AS u, id_b AS v FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edges
+             |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+             |comp AS (
+             |  SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
+             |SELECT component, count(*) AS n_members FROM comp
+             |GROUP BY component ORDER BY component""".stripMargin))
   )
 }

@@ -41,4 +41,16 @@ package object queries {
       }
     } else spark.read.parquet(s"$dir/$table.parquet")
   }
+
+  /** On-disk bytes of a table — the same compressed-size estimate
+    * Spark's planner itself uses (`sizeInBytes` = sum of file lengths)
+    * when deciding whether a side is broadcastable. Used for the
+    * cost-based plan choices a catalog with ANALYZE stats would make.
+    */
+  def tableBytes(dir: String, table: String): Long = {
+    def size(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).map(_.map(size).sum).getOrElse(0L)
+      else f.length()
+    size(new java.io.File(s"$dir/$table.parquet"))
+  }
 }

@@ -20,6 +20,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(800))
   }
 
+  test("q06 pushes partial aggregation below the join when orders can't broadcast") {
+    // force the big-data branch: with broadcast disabled the CBO choice
+    // must be the pre-agg pushdown, not a raw fact-fact SMJ
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = planOf("q06_join_5way")
+      assert(p.contains("HashAggregate"), p.take(800))
+      assert("functions=\\[partial_sum".r.findFirstIn(p).isDefined, p.take(1200))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q06 branches (broadcast vs pre-agg pushdown) return identical results") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val small = SparkEntry.queries("q06_join_5way")(spark, dir).collect()
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = SparkEntry.queries("q06_join_5way")(spark, dir).collect()
+      assert(small.sameElements(big),
+        s"broadcast branch: ${small.mkString("; ")}\npre-agg branch: ${big.mkString("; ")}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("q08 reduces the semi-join build side to distinct keys (broadcast at this SF)") {
+    val p = planOf("q08_semi_join")
+    // distinct on o_custkey feeds the semi join; at sf0.001 AQE sees the
+    // tiny reduced side and plans a broadcast semi join — customer never
+    // shuffles
+    assert(p.contains("LeftSemi"), p.take(800))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      p.take(1200))
+  }
+
   test("q01 aggregation is partial before the exchange") {
     val p = planOf("q01_pricing_summary")
     assert(p.contains("HashAggregate"), p.take(500))

@@ -101,6 +101,14 @@ class IcebergCatalogSpec extends AnyFunSuite {
       Option(e.getCause).exists(_.getMessage.contains("read-only")), e.toString)
   }
 
+  test("ATTACH ... (TYPE iceberg) registers the catalog via SQL alone") {
+    setup()
+    spark.sql(s"ATTACH '${stub.base}/iceberg' AS lake2 (TYPE iceberg)")
+    val n = spark.sql("SELECT count(*) AS n FROM lake2.tpch.nation")
+      .collect()(0).getLong(0)
+    assert(n == 25L, s"got $n")
+  }
+
   test("unknown table errors with the catalog's NoSuchTable surface") {
     setup()
     val e = intercept[Exception] {
