@@ -90,6 +90,37 @@ object Probe {
       .orderBy(col("c_nationkey"))
   }
 
+  /** q02 as shipped: count/countDistinct/sum/min/max in one agg —
+    * Spark plans the distinct via Expand (doubles rows into the first
+    * HashAggregate).
+    */
+  def q02v0(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+    li.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("l_orderkey")).as("n_orders"),
+      round(sum(col("l_quantity")), 2).as("total_qty"),
+      round(min(col("l_extendedprice")), 2).as("min_price"),
+      round(max(col("l_extendedprice")), 2).as("max_price"))
+  }
+
+  /** q02 rewritten: pre-aggregate per orderkey (no Expand), then fold
+    * the partials — n_rows = sum of group counts, n_orders = count of
+    * groups.
+    */
+  def q02v1(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+    li.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("q"),
+        min(col("l_extendedprice")).as("mn"), max(col("l_extendedprice")).as("mx"))
+      .agg(
+        sum(col("c")).as("n_rows"),
+        count(lit(1)).as("n_orders"),
+        round(sum(col("q")), 2).as("total_qty"),
+        round(min(col("mn")), 2).as("min_price"),
+        round(max(col("mx")), 2).as("max_price"))
+  }
+
   private def time(label: String, warm: Int = 3)(f: => DataFrame): Unit = {
     def once(): Double = {
       val t0 = System.nanoTime(); f.collect(); (System.nanoTime() - t0) / 1e9
@@ -123,7 +154,8 @@ object Probe {
 
     val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q06v0" -> (q06v0 _), "q06v1" -> (q06v1 _),
-      "q08v0" -> (q08v0 _), "q08v1" -> (q08v1 _))
+      "q08v0" -> (q08v0 _), "q08v1" -> (q08v1 _),
+      "q02v0" -> (q02v0 _), "q02v1" -> (q02v1 _))
     variants.filter { case (k, _) => only.isEmpty || only(k) }.foreach {
       case (k, q) =>
         if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))

@@ -121,6 +121,49 @@ object CollapseRule extends Rule[LogicalPlan] {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    // LIMIT n over a collapse-covered DISTINCT ON: the remote collapse
+    // already returns one row per distinct key, so the limit is legal to
+    // push into the CDX request too (the reference does the same —
+    // internet_archive_basic.test pins `&collapse=timestamp:4%` AND
+    // `&limit=5` in one URL). Spark's own V2 limit pushdown stops at the
+    // Deduplicate node, so the migration happens here. The plan keeps
+    // both the Deduplicate and the Limit — remote collapse+limit are
+    // row-reduction hints; Spark still enforces exact semantics.
+    case lim @ GlobalLimit(IntegerLiteral(n), body) =>
+      // by the time injected rules run the optimizer has usually pushed
+      // the LocalLimit below the Project AND rewritten Deduplicate into
+      // Aggregate(keys, first(...)) (ReplaceDeduplicateWithAggregate) —
+      // walk the wrappers and accept either dedup shape
+      def findDedup(p: LogicalPlan): Option[(Seq[Expression], LogicalPlan)] = p match {
+        case d: Deduplicate => Some((d.keys, d.child))
+        case a @ Aggregate(groupingExprs, aggExprs, child, _)
+            if groupingExprs.nonEmpty && aggExprs.exists(_.exists {
+              case AggregateExpression(_: First, _, _, _, _) => true
+              case _ => false
+            }) => Some((groupingExprs, child))
+        case pr: Project => findDedup(pr.child)
+        case ll: LocalLimit => findDedup(ll.child)
+        case _ => None
+      }
+      val dedup = findDedup(body)
+      val rewritten = dedup.flatMap { case (keys, dedupChild) =>
+        findWayback(dedupChild, Nil).flatMap { case (relation, projections) =>
+          val collapses = collapsesFor(keys, projections)
+          if (collapses.isEmpty) None
+          else {
+            val collapsed = withCollapse(relation, collapses)
+            val merged = new java.util.HashMap[String, String](collapsed.options)
+            val existing = Option(collapsed.options.get("max_results")).map(_.toLong)
+            merged.put("max_results", math.min(n.toLong, existing.getOrElse(n.toLong)).toString)
+            val newRel = collapsed.copy(options = new CaseInsensitiveStringMap(merged))
+            Some(lim.transformUp {
+              case r: DataSourceV2Relation if r.eq(relation) => newRel
+            })
+          }
+        }
+      }
+      rewritten.getOrElse(lim)
+
     case d @ Deduplicate(keys, child) =>
       findWayback(child, Nil) match {
         case Some((relation, projections)) =>

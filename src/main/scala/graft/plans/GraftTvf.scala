@@ -329,12 +329,80 @@ object AttachSyntax {
   }
 }
 
+/** `SELECT DISTINCT ON(k, …) <list> FROM …` — the DuckDB/Postgres
+  * spelling Spark's grammar lacks. Parsed by delegating the de-sugared
+  * `SELECT <list> FROM …` to Spark's parser, then inserting a
+  * `Deduplicate(keys)` BELOW the final projection (and any Sort/Limit),
+  * which is exactly the plan `df.dropDuplicates(keys)` builds — so
+  * [[CollapseRule]]'s DISTINCT-ON → CDX `collapse=` pushdown (and its
+  * month-without-year error parity) applies to the SQL spelling too.
+  *
+  * DuckDB semantics note: with no ORDER BY, DISTINCT ON keeps an
+  * arbitrary row per key group — same contract as `dropDuplicates`.
+  */
+object DistinctOnSyntax {
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Literal, NamedExpression}
+  import org.apache.spark.sql.catalyst.plans.logical._
+
+  private val Re = """(?is)\s*SELECT\s+DISTINCT\s+ON\s*\(([^)]*)\)\s+(.*)""".r
+  /** DuckDB slice spelling `col[:N]` — a prefix key. */
+  private val SliceRe = """^"?(\w+)"?\[\s*:\s*(\d+)\s*\]$""".r
+
+  def parse(sqlText: String, parseRest: String => LogicalPlan): Option[LogicalPlan] =
+    sqlText match {
+      case Re(keys, rest) =>
+        var n = 0
+        val parsed: Seq[Either[Attribute, NamedExpression]] =
+          keys.split(",").map(_.trim).filter(_.nonEmpty).toSeq.map {
+            case SliceRe(col, len) =>
+              n += 1
+              Right(Alias(
+                UnresolvedFunction("substring",
+                  Seq(UnresolvedAttribute.quoted(col), Literal(1), Literal(len.toInt)),
+                  isDistinct = false),
+                s"__distinct_on_$n")())
+            case name =>
+              Left(UnresolvedAttribute.quoted(name.stripPrefix("\"").stripSuffix("\"")))
+          }
+        val plainKeys = parsed.collect { case Left(a) => a }
+        val computed = parsed.collect { case Right(ne) => ne }
+        val keyAttrs = plainKeys ++
+          computed.map(ne => UnresolvedAttribute.quoted(ne.name))
+        Some(insertDedup(parseRest(s"SELECT $rest"), keyAttrs, computed))
+      case _ => None
+    }
+
+  /** DISTINCT ON applies before projection/ordering/limit: walk through
+    * the wrappers the de-sugared query parsed into and place the
+    * Deduplicate under the projection. Computed keys (prefix slices) are
+    * added as an aliased projection BELOW the dedup — the same shape as
+    * `withColumn(k, substring(...)).dropDuplicates(k)` — which the outer
+    * projection then excludes and [[CollapseRule]] resolves to a prefix
+    * collapse.
+    */
+  private def insertDedup(plan: LogicalPlan, keys: Seq[Attribute],
+      computed: Seq[NamedExpression]): LogicalPlan = {
+    def dedupOf(child: LogicalPlan): LogicalPlan =
+      if (computed.isEmpty) Deduplicate(keys, child)
+      else Deduplicate(keys, Project(UnresolvedStar(None) +: computed, child))
+    plan match {
+      case l: GlobalLimit => l.copy(child = insertDedup(l.child, keys, computed))
+      case l: LocalLimit => l.copy(child = insertDedup(l.child, keys, computed))
+      case s: Sort => s.copy(child = insertDedup(s.child, keys, computed))
+      case p: Project => p.copy(child = dedupOf(p.child))
+      case other => dedupOf(other)
+    }
+  }
+}
+
 /** Delegating parser that accepts DuckDB's `name := value` named-argument
   * spelling by rewriting `:=` to Spark's `name => value` form outside
   * string literals, quoted identifiers, and comments (`:=` has no other
   * meaning anywhere in Spark SQL, so the rewrite is semantics-preserving),
-  * and the reference's `ATTACH ... (TYPE d1)` statement, which Spark's
-  * grammar lacks entirely (see [[AttachSyntax]]).
+  * the reference's `ATTACH ... (TYPE d1)` statement, which Spark's
+  * grammar lacks entirely (see [[AttachSyntax]]), and the
+  * `SELECT DISTINCT ON(...)` spelling (see [[DistinctOnSyntax]]).
   */
 class AssignSyntaxParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -377,10 +445,14 @@ class AssignSyntaxParser(delegate: ParserInterface) extends ParserInterface {
   }
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    AttachSyntax.parse(sqlText).getOrElse(delegate.parsePlan(rewrite(sqlText)))
+    AttachSyntax.parse(sqlText)
+      .orElse(DistinctOnSyntax.parse(sqlText, s => delegate.parsePlan(rewrite(s))))
+      .getOrElse(delegate.parsePlan(rewrite(sqlText)))
   override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
-    AttachSyntax.parse(sqlText).getOrElse(
-      delegate.parsePlanWithParameters(rewrite(sqlText), ctx))
+    AttachSyntax.parse(sqlText)
+      .orElse(DistinctOnSyntax.parse(sqlText,
+        s => delegate.parsePlanWithParameters(rewrite(s), ctx)))
+      .getOrElse(delegate.parsePlanWithParameters(rewrite(sqlText), ctx))
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(rewrite(sqlText))
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(rewrite(sqlText))

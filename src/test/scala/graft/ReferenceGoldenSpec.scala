@@ -26,6 +26,16 @@ class ReferenceGoldenSpec extends AnyFunSuite {
 
   private case class Tally(ok: Int, skipped: Int, skippedSql: Seq[String])
 
+  /** DuckDB quotes struct-field names that are keywords in its grammar
+    * (the golden files show `"error"`, `"version"` quoted, plain
+    * `body`/`headers`/`http_version` not).
+    */
+  private val duckKeywords = Set("error", "version", "timestamp", "order",
+    "limit", "offset", "filter", "values", "status")
+
+  private def duckName(n: String): String =
+    if (duckKeywords(n.toLowerCase)) "\"" + n + "\"" else n
+
   private def duckType(dt: org.apache.spark.sql.types.DataType): String = {
     import org.apache.spark.sql.types._
     dt match {
@@ -35,6 +45,12 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       case BooleanType => "BOOLEAN"
       case DoubleType => "DOUBLE"
       case TimestampType => "TIMESTAMP"
+      case BinaryType => "BLOB"
+      case st: StructType => st.fields
+        .map(f => s"${duckName(f.name)} ${duckType(f.dataType)}")
+        .mkString("STRUCT(", ", ", ")")
+      case MapType(k, v, _) => s"MAP(${duckType(k)}, ${duckType(v)})"
+      case ArrayType(e, _) => duckType(e) + "[]"
       case other => other.sql
     }
   }
@@ -45,25 +61,44 @@ class ReferenceGoldenSpec extends AnyFunSuite {
     case s => s.toString
   }
 
-  private val DescribeRe =
-    """(?is)\s*SELECT\s+(column_name(?:\s*,\s*column_type)?)\s+FROM\s*\(\s*DESCRIBE\s+(SELECT\b.*)\)\s*""".r
+  /** DuckDB allows `DESCRIBE <q>` as a subquery; Spark does not. Replace
+    * every `DESCRIBE SELECT …` span (up to the paren closing its group)
+    * with a VALUES relation built from the described query's schema —
+    * the surrounding projections/filters/ORDER BY then run unchanged.
+    */
+  private def substDescribe(sql: String): String = {
+    val m = """(?i)\bDESCRIBE\s+SELECT\b""".r.findFirstMatchIn(sql)
+    if (m.isEmpty) return sql
+    val idx = m.get.start
+    var i = idx + "DESCRIBE".length
+    var depth = 0
+    while (i < sql.length && !(sql.charAt(i) == ')' && depth == 0)) {
+      if (sql.charAt(i) == '(') depth += 1
+      else if (sql.charAt(i) == ')') depth -= 1
+      i += 1
+    }
+    val inner = sql.substring(idx + "DESCRIBE".length, i)
+    val schema = spark.sql(inner.trim.stripSuffix(";")).schema
+    val rows = schema.fields
+      .map(f => s"('${f.name}', '${duckType(f.dataType)}')").mkString(", ")
+    val repl = s"SELECT column_name, column_type FROM " +
+      s"(VALUES $rows) AS describe_t(column_name, column_type)"
+    substDescribe(sql.substring(0, idx) + repl + sql.substring(i))
+  }
 
   /** Run one translated statement, returning rendered result rows. */
-  private def runSql(sql: String): Seq[String] = sql match {
-    case DescribeRe(cols, inner) =>
-      val schema = spark.sql(inner.trim.stripSuffix(";")).schema
-      val withType = cols.toLowerCase.contains("column_type")
-      schema.fields.toSeq.map(f =>
-        if (withType) s"${f.name}\t${duckType(f.dataType)}" else f.name)
-    case _ =>
-      val translated = sql.replaceAll(
-        """(?i)regexp_matches\(\s*(\w+)\s*,\s*('(?:[^']|'')*')\s*\)""", "($1 RLIKE $2)")
-      spark.sql(translated).collect().toSeq
-        .map(r => (0 until r.length).map(i => render(r.get(i))).mkString("\t"))
+  private def runSql(sql: String): Seq[String] = {
+    val translated = substDescribe(sql).replaceAll(
+      """(?i)regexp_matches\(\s*(\w+)\s*,\s*('(?:[^']|'')*')\s*\)""", "($1 RLIKE $2)")
+    spark.sql(translated).collect().toSeq
+      .map(r => (0 until r.length).map(i => render(r.get(i))).mkString("\t"))
   }
 
   private def untranslatable(sql: String): Boolean =
-    sql.toUpperCase.contains("SIMILAR TO")
+    sql.toUpperCase.contains("SIMILAR TO") ||
+      // host-engine introspection of DuckDB's own extension loader —
+      // no Spark counterpart exists or should
+      sql.toLowerCase.contains("duckdb_extensions")
 
   /** sqllogictest subset: `require` ignored, `statement ok|error`,
     * `query <types>` with an expected block after `----`.
@@ -125,6 +160,39 @@ class ReferenceGoldenSpec extends AnyFunSuite {
       s"skipped too much: ${t.skippedSql.mkString("; ")}")
     info(s"executed ${t.ok}/$total statements; skipped ${t.skipped} (SIMILAR TO)")
   }
+
+  // The remaining reference tiers are offline-safe by construction:
+  // every scan-shaped query is LIMIT 0 (plans collapse before any
+  // network) or selects only cdx_url (URL generation, no fetch). Each
+  // file must execute >= 90% of its statements verbatim.
+  for (f <- Seq("common_crawl", "common_crawl_basic", "common_crawl_filters",
+    "common_crawl_integration", "common_crawl_limit", "common_crawl_structs",
+    "internet_archive_basic")) {
+    test(s"$f.test runs verbatim") {
+      Graft.registerAll(spark)
+      val t = runFile(s"/root/reference/test/sql/$f.test")
+      val total = t.ok + t.skipped
+      assert(total > 0, "no statements parsed")
+      assert(t.ok.toDouble / total >= 0.9,
+        s"executed only ${t.ok}/$total; skipped: ${t.skippedSql.mkString("; ")}")
+      info(s"executed ${t.ok}/$total statements; skipped ${t.skipped}")
+    }
+  }
+
+  // internet_archive_fast_latest.test is deliberately NOT run verbatim.
+  // Two structural mismatches, both on the reference's side of the line:
+  // (a) the file predates cdx_url's debug-gating — every query selects
+  //     cdx_url from wayback_machine() WITHOUT debug := true, which the
+  //     reference's CURRENT binder rejects (internet_archive.cpp:442-443,
+  //     pinned by internet_archive_basic.test's DESCRIBE);
+  // (b) 5 of its 6 queries wrap the TopN in `(...) LIMIT 1` and expect
+  //     the INNER limit in the URL (`limit=-10`). Catalyst legally
+  //     merges limit-over-TopN into TopN(1) — the single largest row of
+  //     the desc-sorted top-10 IS the top-1 — so the engine fetches ONE
+  //     row where the reference fetches ten; the URL-literal expectation
+  //     pins DuckDB's unmerged plan, not observable semantics.
+  // The fastLatest pushdown itself runs verbatim twice in
+  // internet_archive_pushdown.test above and end-to-end in qc02.
 
   test("common_crawl_errors.test runs verbatim (binder parity + LIMIT-0 edge cases)") {
     // every statement is offline-safe: LIMIT 0 plans collapse to an empty
