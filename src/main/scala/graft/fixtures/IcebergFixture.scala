@@ -183,6 +183,61 @@ object IcebergFixture {
     loc
   }
 
+  /** Publish a merge-on-read table: data snapshot plus a POSITION-delete
+    * manifest masking `deletePositions` (0-based row indexes of the
+    * single data file). The delete file is spec-shaped parquet rows
+    * (file_path, pos).
+    */
+  def publishWithPositionDeletes(stub: Stub, ns: String, tbl: String, df: DataFrame,
+                                 deletePositions: Seq[Long],
+                                 asEqualityDeletes: Boolean = false): String = {
+    val loc = publish(stub, ns, tbl, df)
+    val prefix = s"iceberg/$ns/$tbl"
+    val dataPath = s"r2://r2-lake/$prefix/data/part-0.parquet"
+    // spec-shaped position-delete parquet: (file_path, pos)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("icedel").toFile
+    deletePositions.map(p => (dataPath, p)).toDF("file_path", "pos")
+      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
+    val delFile = new java.io.File(tmp, "d").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val delKey = s"$prefix/data/delete-0.parquet"
+    stub.objects.put(delKey, java.nio.file.Files.readAllBytes(delFile.toPath))
+
+    val delEntry = new GenericData.Record(manifestEntrySchema)
+    val delDataFile = new GenericData.Record(
+      manifestEntrySchema.getField("data_file").schema())
+    delDataFile.put("content", if (asEqualityDeletes) 2 else 1) // 1=POSITION, 2=EQUALITY
+    delDataFile.put("file_path", s"r2://r2-lake/$delKey")
+    delDataFile.put("file_format", "PARQUET")
+    delDataFile.put("record_count", deletePositions.length.toLong)
+    delDataFile.put("file_size_in_bytes", stub.objects(delKey).length.toLong)
+    delEntry.put("status", 1)
+    delEntry.put("snapshot_id", 1L)
+    delEntry.put("data_file", delDataFile)
+    val delManifestKey = s"$prefix/metadata/manifest-del-0.avro"
+    val delManifestBytes = writeAvro(manifestEntrySchema, Seq(delEntry))
+    stub.objects.put(delManifestKey, delManifestBytes)
+
+    // manifest list: the existing data manifest + the delete manifest
+    val mlData = new GenericData.Record(manifestListSchema)
+    mlData.put("manifest_path", s"r2://r2-lake/$prefix/metadata/manifest-1-0.avro")
+    mlData.put("manifest_length", 1L)
+    mlData.put("partition_spec_id", 0)
+    mlData.put("content", 0)
+    mlData.put("added_snapshot_id", 1L)
+    val mlDel = new GenericData.Record(manifestListSchema)
+    mlDel.put("manifest_path", s"r2://r2-lake/$delManifestKey")
+    mlDel.put("manifest_length", delManifestBytes.length.toLong)
+    mlDel.put("partition_spec_id", 0)
+    mlDel.put("content", 1)
+    mlDel.put("added_snapshot_id", 1L)
+    stub.objects.put(s"$prefix/metadata/snap-1.avro",
+      writeAvro(manifestListSchema, Seq(mlData, mlDel)))
+    loc
+  }
+
   /** Install the REST catalog protocol routes on `stub` under
     * `/iceberg` (catalog uri = `<stub.base>/iceberg`).
     */

@@ -335,6 +335,34 @@ object Connectors {
                 |ORDER BY n_nationkey""".stripMargin)
       },
       Some("""SELECT n_nationkey, n_name, n_regionkey FROM nation
-             |WHERE n_regionkey <> 1 ORDER BY n_nationkey""".stripMargin))
+             |WHERE n_regionkey <> 1 ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef("qc22_iceberg_mor",
+      (s, d) => {
+        // Merge-on-read: position deletes applied via the
+        // (_metadata.file_path, _metadata.row_index) anti-join —
+        // Iceberg v2 position-delete semantics (a delete row masks the
+        // pos-th row of its data file). Rows at positions 0,2,4 of the
+        // single data file are tombstoned; the data file preserves the
+        // source row order, so the oracle drops the same rows by
+        // row_number over the source table's key order.
+        graft.fixtures.IcebergFixture.installRest(stub)
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.r2.impl", "graft.sources.r2.R2FileSystem")
+        hc.set("fs.r2.impl.disable.cache", "true")
+        hc.set("fs.r2.endpoint", stub.base)
+        val nation = load(s, d, "nation").orderBy(col("n_nationkey"))
+        graft.fixtures.IcebergFixture.publishWithPositionDeletes(
+          stub, "tpch", "nation_mor", nation, Seq(0L, 2L, 4L))
+        graft.sources.iceberg.Iceberg
+          .read(s, s"${stub.base}/iceberg", Seq("tpch"), "nation_mor")
+          .select(col("n_nationkey"), col("n_name"))
+          .orderBy(col("n_nationkey"))
+      },
+      Some("""SELECT n_nationkey, n_name FROM (
+             |  SELECT n_nationkey, n_name,
+             |    row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
+             |  FROM nation)
+             |WHERE pos NOT IN (0, 2, 4) ORDER BY n_nationkey""".stripMargin))
   )
 }

@@ -17,22 +17,32 @@ import org.apache.hadoop.fs.Path
   */
 object IcebergManifests {
 
-  /** All live data-file paths for one snapshot's manifest list. */
-  def dataFiles(conf: Configuration, manifestListPath: String): Seq[DataFileEntry] =
-    manifestPaths(conf, manifestListPath).flatMap(m => dataFilesOfManifest(conf, m))
+  /** All live data-file paths for one snapshot's manifest list —
+    * copy-on-write reads only: any delete manifest fails in-band.
+    * Merge-on-read callers use [[snapshotManifests]] +
+    * [[deleteFilesOfManifest]] instead.
+    */
+  def dataFiles(conf: Configuration, manifestListPath: String): Seq[DataFileEntry] = {
+    val (data, deletes) = snapshotManifests(conf, manifestListPath)
+    if (deletes.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"Iceberg table has delete manifests (merge-on-read); " +
+          s"only copy-on-write tables are readable: $manifestListPath")
+    data.flatMap(m => dataFilesOfManifest(conf, m))
+  }
 
   final case class DataFileEntry(path: String, format: String, recordCount: Long)
 
-  /** Manifest-list → manifest file paths (rejecting delete manifests). */
-  def manifestPaths(conf: Configuration, manifestListPath: String): Seq[String] =
-    readAvro(conf, manifestListPath).map { rec =>
-      val content = longField(rec, "content").getOrElse(0L)
-      if (content == 1L)
-        throw new UnsupportedOperationException(
-          s"Iceberg table has delete manifests (merge-on-read); " +
-            s"only copy-on-write tables are readable: $manifestListPath")
-      rec.get("manifest_path").toString
+  /** Manifest-list → (data manifests, delete manifests), classified by
+    * the spec's `content` field without reading the manifests themselves.
+    */
+  def snapshotManifests(conf: Configuration,
+                        manifestListPath: String): (Seq[String], Seq[String]) = {
+    val all = readAvro(conf, manifestListPath).map { rec =>
+      (rec.get("manifest_path").toString, longField(rec, "content").getOrElse(0L))
     }
+    (all.filter(_._2 == 0L).map(_._1), all.filter(_._2 == 1L).map(_._1))
+  }
 
   /** One manifest → its live data files. Entry `status` 2 = DELETED
     * (dropped); `data_file.content` != 0 = position/equality deletes
@@ -55,6 +65,32 @@ object IcebergManifests {
             s"unsupported Iceberg data-file format $fmt (parquet only)")
         Some(DataFileEntry(df.get("file_path").toString, fmt,
           longField(df, "record_count").getOrElse(0L)))
+      }
+    }
+
+  /** A delete manifest's live POSITION-delete files (`content` = 1:
+    * parquet files of (file_path, pos) rows). Equality deletes
+    * (`content` = 2) need the table's equality-field semantics and are
+    * rejected in-band.
+    */
+  def deleteFilesOfManifest(conf: Configuration, manifestPath: String): Seq[DataFileEntry] =
+    readAvro(conf, manifestPath).flatMap { rec =>
+      val status = longField(rec, "status").getOrElse(1L)
+      if (status == 2L) None
+      else {
+        val df = rec.get("data_file").asInstanceOf[GenericRecord]
+        longField(df, "content").getOrElse(0L) match {
+          case 1L =>
+            Some(DataFileEntry(df.get("file_path").toString,
+              Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
+              longField(df, "record_count").getOrElse(0L)))
+          case 2L =>
+            throw new UnsupportedOperationException(
+              s"Iceberg equality deletes are not supported (position deletes are): $manifestPath")
+          case other =>
+            throw new IllegalArgumentException(
+              s"unexpected content=$other in delete manifest $manifestPath")
+        }
       }
     }
 

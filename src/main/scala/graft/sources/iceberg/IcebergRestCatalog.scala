@@ -66,13 +66,7 @@ class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
   private def auth: Map[String, String] =
     if (token.isEmpty) Map.empty else Map("Authorization" -> s"Bearer $token")
 
-  private def getJson(path: String): JsonNode = {
-    val r = Http.get(s"$uri$path", auth)
-    if (r.status / 100 != 2)
-      throw new RuntimeException(
-        s"Iceberg REST catalog $catalogName: GET $path -> HTTP ${r.status}: ${r.bodyString.take(200)}")
-    mapper.readTree(r.body)
-  }
+  private def getJson(path: String): JsonNode = Iceberg.getJson(uri, token, path)
 
   /** Multipart namespaces join with the unit separator (%1F) per the
     * REST spec.
@@ -125,16 +119,10 @@ class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier): Table = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
-    val result = loadTableResult(ident)
-    // LoadTableResult may inline the metadata or only give its location
-    val meta = Option(result.get("metadata")) match {
-      case Some(m) if !m.isNull => IcebergMeta.parseNode(m)
-      case _ =>
-        val loc = Option(result.get("metadata-location")).map(_.asText).getOrElse(
-          throw new RuntimeException(
-            s"LoadTableResult for $ident has neither metadata nor metadata-location"))
-        IcebergMeta.parse(readString(conf, loc))
-    }
+    val meta = Iceberg.resolveMeta(conf, uri, token, ident.namespace().toSeq, ident.name())
+    // copy-on-write read path: delete manifests fail in-band here (a
+    // DSv2 Table can't express the position-delete anti-join); the
+    // Iceberg.read DataFrame API serves merge-on-read tables
     val files = meta.currentSnapshot match {
       case Some(snap) => IcebergManifests.dataFiles(conf, snap.manifestList).map(_.path)
       case None       => Nil // table exists but has no snapshot yet: empty scan
@@ -146,16 +134,6 @@ class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
       files,
       Some(meta.schema),
       classOf[ParquetFileFormat])
-  }
-
-  private def readString(conf: org.apache.hadoop.conf.Configuration, pathStr: String): String = {
-    val p = new Path(pathStr)
-    val fs = p.getFileSystem(conf)
-    val len = fs.getFileStatus(p).getLen
-    val bytes = new Array[Byte](len.toInt)
-    val in = fs.open(p)
-    try in.readFully(0, bytes) finally in.close()
-    new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
   }
 
   // ---- mutations: rejected (read-only surface, R2FileSystem posture) --

@@ -92,6 +92,48 @@ class IcebergCatalogSpec extends AnyFunSuite {
       e.toString)
   }
 
+  test("merge-on-read: Iceberg.read applies position deletes via the metadata anti-join") {
+    setup()
+    val nation = graft.queries.load(spark, "/root/testdata/sf0.001", "nation")
+    // positions are 0-based row indexes of the single data file, which
+    // preserves the source row order — delete rows 0, 3, 7
+    IcebergFixture.publishWithPositionDeletes(stub, "tpch", "nation_pd",
+      nation, Seq(0L, 3L, 7L))
+    val keysInOrder = nation.collect().map(_.getInt(0))
+    val expected = keysInOrder.zipWithIndex
+      .filterNot { case (_, i) => Set(0, 3, 7)(i) }.map(_._1).sorted
+    val got = graft.sources.iceberg.Iceberg
+      .read(spark, s"${stub.base}/iceberg", Seq("tpch"), "nation_pd")
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).sorted
+    assert(got.sameElements(expected),
+      s"got ${got.mkString(",")} expected ${expected.mkString(",")}")
+  }
+
+  test("merge-on-read: equality deletes are rejected in-band") {
+    setup()
+    IcebergFixture.publishWithPositionDeletes(stub, "tpch", "nation_eq",
+      graft.queries.load(spark, "/root/testdata/sf0.001", "nation"),
+      Seq(0L), asEqualityDeletes = true)
+    val e = intercept[UnsupportedOperationException] {
+      graft.sources.iceberg.Iceberg
+        .read(spark, s"${stub.base}/iceberg", Seq("tpch"), "nation_eq").collect()
+    }
+    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+  }
+
+  test("merge-on-read table still fails in-band through the SQL catalog path") {
+    setup()
+    IcebergFixture.publishWithPositionDeletes(stub, "tpch", "nation_pd2",
+      graft.queries.load(spark, "/root/testdata/sf0.001", "nation"), Seq(1L))
+    val e = intercept[Exception] {
+      spark.sql("SELECT count(*) FROM lake.tpch.nation_pd2").collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("delete manifests"))), e.toString)
+  }
+
   test("writes are rejected: the catalog is read-only") {
     setup()
     val e = intercept[Exception] {
