@@ -99,6 +99,28 @@ object Events {
              |FROM events
              |GROUP BY 1, 2
              |HAVING date_trunc('hour', min(ts)) + INTERVAL 1 HOUR <= (SELECT w FROM wm)
-             |ORDER BY hour, event_type""".stripMargin))
+             |ORDER BY hour, event_type""".stripMargin)),
+
+    QueryDef("qs02_stream_dedup",
+      (s, d) => {
+        // STREAMING ingestion dedup gate: the events table plus a
+        // planted duplicate subset (every 3rd event re-delivered, the
+        // at-least-once upstream shape) streams through the watermarked
+        // dropDuplicatesWithinWatermark; the memory sink must hold
+        // exactly the original row set — aggregated per type so the
+        // oracle is the plain batch aggregation over events.
+        val ev = load(s, d, "events")
+        val tmp = java.nio.file.Files.createTempDirectory("qs02").toString
+        ev.coalesce(1).write.mode("append").parquet(tmp)
+        ev.filter(col("event_id") % 3 === 0)
+          .coalesce(1).write.mode("append").parquet(tmp)
+        val deduped = graft.streaming.EventsStream
+          .runDedupAsStream(s, tmp, "qs02_dedup_mem")
+        deduped.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+          .orderBy(col("event_type"))
+      },
+      Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
   )
 }

@@ -34,6 +34,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows.contains(("11", "view", 1L)))
   }
 
+  test("dedupWithinWatermark drops redelivered ids, keeps state bounded by the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("event_id", "ts", "event_type")
+    val q = EventsStream.dedupWithinWatermark(df, "30 minutes")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_test").start()
+    input.addData(
+      (1L, ts("2024-01-01 10:00:00"), "click"),
+      (1L, ts("2024-01-01 10:05:00"), "click"), // redelivery within delay: dropped
+      (2L, ts("2024-01-01 10:10:00"), "view"))
+    q.processAllAvailable()
+    input.addData((2L, ts("2024-01-01 10:20:00"), "view")) // cross-batch redelivery
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_test").select("event_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq == Seq(1L, 2L), ids.mkString(","))
+  }
+
   test("sessionize emits closed sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[EventsStream.Event]
