@@ -89,28 +89,29 @@ object IcebergFixture {
     s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
   }
 
-  /** Publish `df` as Iceberg table `ns.tbl` in `stub`'s bucket; returns
-    * the metadata location. Calling again with `append=true` data adds a
-    * second snapshot whose file set REPLACES the first in current state
-    * only if `replace` (copy-on-write semantics: each snapshot lists its
-    * full live file set).
+  /** Publish each DataFrame as one copy-on-write snapshot of table
+    * `ns.tbl` (each snapshot lists its full live file set; current =
+    * the last). Returns the metadata location.
     */
-  def publish(stub: Stub, ns: String, tbl: String, df: DataFrame,
-              extraSnapshotOfSameData: Boolean = false): String = {
+  def publishSnapshots(stub: Stub, ns: String, tbl: String,
+                       dfs: Seq[DataFrame]): String = {
     val prefix = s"iceberg/$ns/$tbl"
-    val tmp = java.nio.file.Files.createTempDirectory("icefix").toFile
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
-    val parts = new java.io.File(tmp, "d").listFiles()
-      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
-    val dataFiles = parts.map { case (f, i) =>
-      val key = s"$prefix/data/part-$i.parquet"
-      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
-      stub.objects.put(key, bytes)
-      (s"r2://r2-lake/$key", bytes.length.toLong, df.count())
-    }.toSeq
 
-    def snapshot(snapId: Long): (String, Long) = {
-      val entries = dataFiles.map { case (path, size, rows) =>
+    def writeData(df: DataFrame, snapId: Long): Seq[(String, Long, Long)] = {
+      val tmp = java.nio.file.Files.createTempDirectory("icefix").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
+      new java.io.File(tmp, "d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+        .map { case (f, i) =>
+          val key = s"$prefix/data/part-s$snapId-$i.parquet"
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          stub.objects.put(key, bytes)
+          (s"r2://r2-lake/$key", bytes.length.toLong, df.count())
+        }.toSeq
+    }
+
+    def snapshot(df: DataFrame, snapId: Long): (String, Long) = {
+      val entries = writeData(df, snapId).map { case (path, size, rows) =>
         val dfRec = new GenericData.Record(
           manifestEntrySchema.getField("data_file").schema())
         dfRec.put("content", 0)
@@ -138,9 +139,7 @@ object IcebergFixture {
       (s"r2://r2-lake/$mlKey", snapId)
     }
 
-    val snaps =
-      if (extraSnapshotOfSameData) Seq(snapshot(1L), snapshot(2L))
-      else Seq(snapshot(1L))
+    val snaps = dfs.zipWithIndex.map { case (df, i) => snapshot(df, i + 1L) }
     val current = snaps.last._2
     val snapsJson = snaps.map { case (ml, id) =>
       s"""{"snapshot-id":$id,"timestamp-ms":0,"manifest-list":"$ml","summary":{"operation":"append"}}"""
@@ -148,8 +147,8 @@ object IcebergFixture {
     val metaJson =
       s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-00000000000$current",
          |"location":"r2://r2-lake/$prefix",
-         |"last-sequence-number":$current,"last-updated-ms":0,"last-column-id":${df.schema.length},
-         |"current-schema-id":0,"schemas":[${icebergStruct(df.schema, 1)}],
+         |"last-sequence-number":$current,"last-updated-ms":0,"last-column-id":${dfs.head.schema.length},
+         |"current-schema-id":0,"schemas":[${icebergStruct(dfs.head.schema, 1)}],
          |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
          |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
          |"current-snapshot-id":$current,"snapshots":[$snapsJson]}""".stripMargin
@@ -159,6 +158,13 @@ object IcebergFixture {
     tables.put((ns, tbl), metaLoc)
     metaLoc
   }
+
+  /** Publish `df` as Iceberg table `ns.tbl` in `stub`'s bucket; returns
+    * the metadata location.
+    */
+  def publish(stub: Stub, ns: String, tbl: String, df: DataFrame,
+              extraSnapshotOfSameData: Boolean = false): String =
+    publishSnapshots(stub, ns, tbl, if (extraSnapshotOfSameData) Seq(df, df) else Seq(df))
 
   /** Publish a table whose manifest list declares a DELETE manifest —
     * the reader must reject it (merge-on-read unsupported).
@@ -183,23 +189,18 @@ object IcebergFixture {
     loc
   }
 
-  /** Publish a merge-on-read table: data snapshot plus a POSITION-delete
-    * manifest masking `deletePositions` (0-based row indexes of the
-    * single data file). The delete file is spec-shaped parquet rows
-    * (file_path, pos).
+  /** Publish a merge-on-read table: a data snapshot plus one delete
+    * manifest whose delete file holds `deleteDf` (spec-shaped parquet).
+    * `content` 1 = position deletes ((file_path, pos) rows), 2 =
+    * equality deletes (columns = equality fields).
     */
-  def publishWithPositionDeletes(stub: Stub, ns: String, tbl: String, df: DataFrame,
-                                 deletePositions: Seq[Long],
-                                 asEqualityDeletes: Boolean = false): String = {
+  private def publishWithDeleteFile(stub: Stub, ns: String, tbl: String,
+                                    df: DataFrame, deleteDf: DataFrame,
+                                    content: Int): String = {
     val loc = publish(stub, ns, tbl, df)
     val prefix = s"iceberg/$ns/$tbl"
-    val dataPath = s"r2://r2-lake/$prefix/data/part-0.parquet"
-    // spec-shaped position-delete parquet: (file_path, pos)
-    val spark = df.sparkSession
-    import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("icedel").toFile
-    deletePositions.map(p => (dataPath, p)).toDF("file_path", "pos")
-      .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
+    deleteDf.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
     val delFile = new java.io.File(tmp, "d").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
     val delKey = s"$prefix/data/delete-0.parquet"
@@ -208,10 +209,10 @@ object IcebergFixture {
     val delEntry = new GenericData.Record(manifestEntrySchema)
     val delDataFile = new GenericData.Record(
       manifestEntrySchema.getField("data_file").schema())
-    delDataFile.put("content", if (asEqualityDeletes) 2 else 1) // 1=POSITION, 2=EQUALITY
+    delDataFile.put("content", content) // 1=POSITION, 2=EQUALITY
     delDataFile.put("file_path", s"r2://r2-lake/$delKey")
     delDataFile.put("file_format", "PARQUET")
-    delDataFile.put("record_count", deletePositions.length.toLong)
+    delDataFile.put("record_count", deleteDf.count())
     delDataFile.put("file_size_in_bytes", stub.objects(delKey).length.toLong)
     delEntry.put("status", 1)
     delEntry.put("snapshot_id", 1L)
@@ -237,6 +238,25 @@ object IcebergFixture {
       writeAvro(manifestListSchema, Seq(mlData, mlDel)))
     loc
   }
+
+  /** Position-delete MOR table: masks `deletePositions` (0-based row
+    * indexes of the single data file).
+    */
+  def publishWithPositionDeletes(stub: Stub, ns: String, tbl: String, df: DataFrame,
+                                 deletePositions: Seq[Long]): String = {
+    val dataPath = s"r2://r2-lake/iceberg/$ns/$tbl/data/part-s1-0.parquet"
+    val spark = df.sparkSession
+    import spark.implicits._
+    publishWithDeleteFile(stub, ns, tbl, df,
+      deletePositions.map(p => (dataPath, p)).toDF("file_path", "pos"), content = 1)
+  }
+
+  /** Equality-delete MOR table: masks rows matching `deleteRows` on its
+    * columns (the equality fields).
+    */
+  def publishWithEqualityDeletes(stub: Stub, ns: String, tbl: String, df: DataFrame,
+                                 deleteRows: DataFrame): String =
+    publishWithDeleteFile(stub, ns, tbl, df, deleteRows, content = 2)
 
   /** Install the REST catalog protocol routes on `stub` under
     * `/iceberg` (catalog uri = `<stub.base>/iceberg`).

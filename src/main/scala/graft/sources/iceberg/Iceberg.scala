@@ -65,17 +65,36 @@ object Iceberg {
     }
   }
 
-  /** Read an Iceberg table into a DataFrame — position deletes applied.
+  /** Read an Iceberg table into a DataFrame — position AND equality
+    * deletes applied.
     *
-    * @param uri   REST catalog endpoint (same value as the catalog's
-    *              `spark.sql.catalog.<name>.uri`)
-    * @param token bearer token ("" for none)
+    * Equality deletes anti-join the data on the delete file's columns
+    * with null-safe equality (the spec matches nulls to nulls). Delete
+    * files with different equality-field sets are grouped and applied
+    * as one anti-join per column set. Sequence-number scoping (an
+    * equality delete only masks rows from EARLIER sequence numbers) is
+    * not modeled: with copy-on-write snapshots every delete in a
+    * snapshot's manifest list is newer than its data files, which is
+    * the shape this reader serves.
+    *
+    * @param uri        REST catalog endpoint (same value as the
+    *                   catalog's `spark.sql.catalog.<name>.uri`)
+    * @param token      bearer token ("" for none)
+    * @param snapshotId time travel: read this snapshot instead of the
+    *                   current one
     */
   def read(spark: SparkSession, uri: String, namespace: Seq[String], table: String,
-           token: String = ""): DataFrame = {
+           token: String = "", snapshotId: Option[Long] = None): DataFrame = {
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = resolveMeta(conf, uri.stripSuffix("/"), token, namespace, table)
-    meta.currentSnapshot match {
+    val snapOpt = snapshotId match {
+      case Some(id) => Some(meta.snapshots.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"no snapshot $id in ${namespace.mkString(".")}.$table " +
+            s"(have: ${meta.snapshots.keys.toSeq.sorted.mkString(", ")})")))
+      case None => meta.currentSnapshot
+    }
+    snapOpt match {
       case None =>
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
@@ -88,18 +107,33 @@ object Iceberg {
           return spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
         val data = spark.read.schema(meta.schema).parquet(dataFiles: _*)
-        val deleteFiles = deleteManifests
-          .flatMap(m => IcebergManifests.deleteFilesOfManifest(conf, m)).map(_.path)
-        if (deleteFiles.isEmpty) data
-        else {
-          val withPos = data.select(col("*"),
-            col("_metadata.file_path").as("__ice_file"),
-            col("_metadata.row_index").as("__ice_pos"))
-          val deletes = spark.read.parquet(deleteFiles: _*)
-            .select(col("file_path").as("__ice_file"), col("pos").as("__ice_pos"))
-          withPos.join(deletes, Seq("__ice_file", "__ice_pos"), "left_anti")
-            .drop("__ice_file", "__ice_pos")
-        }
+        val deletes = deleteManifests
+          .flatMap(m => IcebergManifests.deleteFilesOfManifest(conf, m))
+        val posFiles = deletes.filter(_.isPosition).map(_.path)
+        val eqFiles = deletes.filter(_.isEquality).map(_.path)
+
+        val afterPos =
+          if (posFiles.isEmpty) data
+          else {
+            val withPos = data.select(col("*"),
+              col("_metadata.file_path").as("__ice_file"),
+              col("_metadata.row_index").as("__ice_pos"))
+            val dels = spark.read.parquet(posFiles: _*)
+              .select(col("file_path").as("__ice_file"), col("pos").as("__ice_pos"))
+            withPos.join(dels, Seq("__ice_file", "__ice_pos"), "left_anti")
+              .drop("__ice_file", "__ice_pos")
+          }
+
+        // group equality-delete files by their column set; one null-safe
+        // anti-join per set
+        eqFiles.groupBy(f => spark.read.parquet(f).schema.fieldNames.toSeq.sorted)
+          .foldLeft(afterPos) { case (acc, (cols, files)) =>
+            val del = spark.read.parquet(files: _*)
+            val delAliased = del.select(cols.map(c => col(c).as(s"__ice_eq_$c")): _*)
+            val cond = cols.map(c => acc(c) <=> delAliased(s"__ice_eq_$c"))
+              .reduce(_ && _)
+            acc.join(delAliased, cond, "left_anti")
+          }
     }
   }
 }

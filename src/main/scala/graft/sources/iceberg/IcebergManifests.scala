@@ -68,25 +68,23 @@ object IcebergManifests {
       }
     }
 
-  /** A delete manifest's live POSITION-delete files (`content` = 1:
-    * parquet files of (file_path, pos) rows). Equality deletes
-    * (`content` = 2) need the table's equality-field semantics and are
-    * rejected in-band.
+  final case class DeleteFileEntry(path: String, content: Long) {
+    def isPosition: Boolean = content == 1L
+    def isEquality: Boolean = content == 2L
+  }
+
+  /** A delete manifest's live delete files: `content` = 1 position
+    * deletes (parquet of (file_path, pos)), `content` = 2 equality
+    * deletes (parquet whose columns are the equality fields).
     */
-  def deleteFilesOfManifest(conf: Configuration, manifestPath: String): Seq[DataFileEntry] =
+  def deleteFilesOfManifest(conf: Configuration, manifestPath: String): Seq[DeleteFileEntry] =
     readAvro(conf, manifestPath).flatMap { rec =>
       val status = longField(rec, "status").getOrElse(1L)
       if (status == 2L) None
       else {
         val df = rec.get("data_file").asInstanceOf[GenericRecord]
         longField(df, "content").getOrElse(0L) match {
-          case 1L =>
-            Some(DataFileEntry(df.get("file_path").toString,
-              Option(df.get("file_format")).map(_.toString).getOrElse("PARQUET"),
-              longField(df, "record_count").getOrElse(0L)))
-          case 2L =>
-            throw new UnsupportedOperationException(
-              s"Iceberg equality deletes are not supported (position deletes are): $manifestPath")
+          case c @ (1L | 2L) => Some(DeleteFileEntry(df.get("file_path").toString, c))
           case other =>
             throw new IllegalArgumentException(
               s"unexpected content=$other in delete manifest $manifestPath")

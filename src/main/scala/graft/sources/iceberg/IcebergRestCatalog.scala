@@ -116,16 +116,33 @@ class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
   private def loadTableResult(ident: Identifier): JsonNode =
     getJson(s"/v1/namespaces/${nsPath(ident.namespace())}/tables/${Http.encodeUrl(ident.name())}")
 
-  override def loadTable(ident: Identifier): Table = {
+  override def loadTable(ident: Identifier): Table = loadTableAt(ident, None)
+
+  /** Time travel: `SELECT … FROM lake.ns.tbl VERSION AS OF <snapshot-id>`. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadTableAt(ident, Some(
+      try version.toLong
+      catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF for catalog $catalogName takes an Iceberg snapshot id, got '$version'")
+      }))
+
+  private def loadTableAt(ident: Identifier, snapshotId: Option[Long]): Table = {
     val spark = SparkSession.active
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = Iceberg.resolveMeta(conf, uri, token, ident.namespace().toSeq, ident.name())
+    val snap = snapshotId match {
+      case Some(id) => Some(meta.snapshots.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"no snapshot $id in $ident (have: ${meta.snapshots.keys.toSeq.sorted.mkString(", ")})")))
+      case None => meta.currentSnapshot
+    }
     // copy-on-write read path: delete manifests fail in-band here (a
-    // DSv2 Table can't express the position-delete anti-join); the
+    // DSv2 Table can't express the delete anti-joins); the
     // Iceberg.read DataFrame API serves merge-on-read tables
-    val files = meta.currentSnapshot match {
-      case Some(snap) => IcebergManifests.dataFiles(conf, snap.manifestList).map(_.path)
-      case None       => Nil // table exists but has no snapshot yet: empty scan
+    val files = snap match {
+      case Some(s) => IcebergManifests.dataFiles(conf, s.manifestList).map(_.path)
+      case None    => Nil // table exists but has no snapshot yet: empty scan
     }
     ParquetTable(
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",

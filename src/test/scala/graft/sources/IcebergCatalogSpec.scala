@@ -109,16 +109,45 @@ class IcebergCatalogSpec extends AnyFunSuite {
       s"got ${got.mkString(",")} expected ${expected.mkString(",")}")
   }
 
-  test("merge-on-read: equality deletes are rejected in-band") {
+  test("merge-on-read: equality deletes mask matching rows (null-safe)") {
     setup()
-    IcebergFixture.publishWithPositionDeletes(stub, "tpch", "nation_eq",
-      graft.queries.load(spark, "/root/testdata/sf0.001", "nation"),
-      Seq(0L), asEqualityDeletes = true)
-    val e = intercept[UnsupportedOperationException] {
-      graft.sources.iceberg.Iceberg
-        .read(spark, s"${stub.base}/iceberg", Seq("tpch"), "nation_eq").collect()
+    val nation = graft.queries.load(spark, "/root/testdata/sf0.001", "nation")
+    import spark.implicits._
+    IcebergFixture.publishWithEqualityDeletes(stub, "tpch", "nation_eq",
+      nation, Seq(2).toDF("n_regionkey"))
+    val got = graft.sources.iceberg.Iceberg
+      .read(spark, s"${stub.base}/iceberg", Seq("tpch"), "nation_eq")
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).sorted
+    val expected = nation.filter(col("n_regionkey") =!= 2)
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).sorted
+    assert(got.sameElements(expected),
+      s"got ${got.mkString(",")} expected ${expected.mkString(",")}")
+  }
+
+  test("time travel: VERSION AS OF reads the named snapshot through SQL") {
+    setup()
+    val nation = graft.queries.load(spark, "/root/testdata/sf0.001", "nation")
+    IcebergFixture.publishSnapshots(stub, "tpch", "nation_tt",
+      Seq(nation, nation.filter(col("n_regionkey") === 2)))
+    val current = spark.sql("SELECT count(*) AS n FROM lake.tpch.nation_tt")
+      .collect()(0).getLong(0)
+    val v1 = spark.sql("SELECT count(*) AS n FROM lake.tpch.nation_tt VERSION AS OF 1")
+      .collect()(0).getLong(0)
+    val full = nation.count()
+    val filtered = nation.filter(col("n_regionkey") === 2).count()
+    assert(current == filtered && v1 == full, s"current=$current v1=$v1")
+    // same via the DataFrame API
+    val v1api = graft.sources.iceberg.Iceberg
+      .read(spark, s"${stub.base}/iceberg", Seq("tpch"), "nation_tt",
+        snapshotId = Some(1L)).count()
+    assert(v1api == full, s"v1api=$v1api")
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM lake.tpch.nation_tt VERSION AS OF 99").collect()
     }
-    assert(e.getMessage.contains("equality deletes"), e.getMessage)
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(t =>
+      Option(t.getMessage).exists(_.contains("no snapshot 99"))), e.toString)
   }
 
   test("merge-on-read table still fails in-band through the SQL catalog path") {
