@@ -1,8 +1,7 @@
 package graft.sources.iceberg
 
 import java.util
-import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
-import org.apache.hadoop.fs.Path
+import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
@@ -46,7 +45,6 @@ class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
   private var catalogName: String = _
   private var uri: String = _
   private var token: String = _
-  private val mapper = new ObjectMapper()
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -63,17 +61,13 @@ class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
 
   override def name(): String = catalogName
 
-  private def auth: Map[String, String] =
-    if (token.isEmpty) Map.empty else Map("Authorization" -> s"Bearer $token")
-
   private def getJson(path: String): JsonNode = Iceberg.getJson(uri, token, path)
 
-  /** Multipart namespaces join with the unit separator (%1F) per the
-    * REST spec.
+  /** Multipart namespaces join with the percent-encoded unit separator
+    * (%1F) per the REST spec.
     */
   private def nsPath(namespace: Array[String]): String =
-    Http.encodeUrl(namespace.mkString(""))
-      .replace("%2F", "%2F") // already encoded by encodeUrl
+    namespace.map(Http.encodeUrl).mkString("%1F")
 
   // ---- namespaces ----------------------------------------------------
 
