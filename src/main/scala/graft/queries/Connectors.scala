@@ -363,6 +363,35 @@ object Connectors {
              |  SELECT n_nationkey, n_name,
              |    row_number() OVER (ORDER BY n_nationkey) - 1 AS pos
              |  FROM nation)
-             |WHERE pos NOT IN (0, 2, 4) ORDER BY n_nationkey""".stripMargin))
+             |WHERE pos NOT IN (0, 2, 4) ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef("qc23_iceberg_eq_deletes",
+      (s, d) => {
+        // Equality deletes (v2 content=2): a delete file whose columns
+        // are the equality fields masks every matching data row — the
+        // reader anti-joins on the delete file's own column set with
+        // null-safe equality. Here supplier rows in nations 1 and 3 are
+        // tombstoned.
+        graft.fixtures.IcebergFixture.installRest(stub)
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.r2.impl", "graft.sources.r2.R2FileSystem")
+        hc.set("fs.r2.impl.disable.cache", "true")
+        hc.set("fs.r2.endpoint", stub.base)
+        val supplier = load(s, d, "supplier")
+        val dels = supplier.sparkSession.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(1), org.apache.spark.sql.Row(3)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("s_nationkey",
+              supplier.schema("s_nationkey").dataType))))
+        graft.fixtures.IcebergFixture.publishWithEqualityDeletes(
+          stub, "tpch", "supplier_eq", supplier, dels)
+        graft.sources.iceberg.Iceberg
+          .read(s, s"${stub.base}/iceberg", Seq("tpch"), "supplier_eq")
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_nationkey FROM supplier
+             |WHERE s_nationkey NOT IN (1, 3) ORDER BY s_suppkey""".stripMargin))
   )
 }
