@@ -50,9 +50,66 @@ object IcebergFixture {
       |  {"name":"file_path","type":"string","field-id":100},
       |  {"name":"file_format","type":"string","field-id":101},
       |  {"name":"record_count","type":"long","field-id":103},
-      |  {"name":"file_size_in_bytes","type":"long","field-id":104}
+      |  {"name":"file_size_in_bytes","type":"long","field-id":104},
+      |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"k126_v127","fields":[
+      |      {"name":"key","type":"int","field-id":126},
+      |      {"name":"value","type":"bytes","field-id":127}]}}],
+      |   "default":null,"field-id":125},
+      |  {"name":"upper_bounds","type":["null",{"type":"array","items":
+      |    {"type":"record","name":"k129_v130","fields":[
+      |      {"name":"key","type":"int","field-id":129},
+      |      {"name":"value","type":"bytes","field-id":130}]}}],
+      |   "default":null,"field-id":128}
       |]},"field-id":2}
       |]}""".stripMargin)
+
+  /** Spec single-value serialization for bounds: little-endian numerics,
+    * UTF-8 strings. Unsupported types → None (bound omitted).
+    */
+  private def encodeBound(v: Any): Option[Array[Byte]] = v match {
+    case null => None
+    case i: Int => Some(java.nio.ByteBuffer.allocate(4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array())
+    case l: Long => Some(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putLong(l).array())
+    case d: Double => Some(java.nio.ByteBuffer.allocate(8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(d).array())
+    case s: String => Some(s.getBytes(UTF_8))
+    case _ => None
+  }
+
+  /** Per-file (field-id → bytes) bounds, computed by reading the written
+    * parquet back (the accurate source of each file's min/max).
+    */
+  private def fileBounds(spark: org.apache.spark.sql.SparkSession, file: java.io.File,
+                         schema: org.apache.spark.sql.types.StructType)
+      : (Map[Int, Array[Byte]], Map[Int, Array[Byte]]) = {
+    import org.apache.spark.sql.functions.{min, max}
+    val sdf = spark.read.parquet(file.getAbsolutePath)
+    val aggs = schema.fields.flatMap(f =>
+      Seq(min(org.apache.spark.sql.functions.col(f.name)).as(s"lo_${f.name}"),
+        max(org.apache.spark.sql.functions.col(f.name)).as(s"hi_${f.name}")))
+    val row = sdf.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val lo = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    val hi = scala.collection.mutable.Map.empty[Int, Array[Byte]]
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      encodeBound(row.get(row.fieldIndex(s"lo_${f.name}"))).foreach(lo(i + 1) = _)
+      encodeBound(row.get(row.fieldIndex(s"hi_${f.name}"))).foreach(hi(i + 1) = _)
+    }
+    (lo.toMap, hi.toMap)
+  }
+
+  private def boundsArray(kvSchema: Schema, bounds: Map[Int, Array[Byte]]): AnyRef = {
+    val arr = new java.util.ArrayList[GenericRecord]()
+    bounds.toSeq.sortBy(_._1).foreach { case (k, v) =>
+      val r = new GenericData.Record(kvSchema)
+      r.put("key", k)
+      r.put("value", java.nio.ByteBuffer.wrap(v))
+      arr.add(r)
+    }
+    arr
+  }
 
   private def writeAvro(schema: Schema, records: Seq[GenericRecord]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
@@ -94,31 +151,52 @@ object IcebergFixture {
     * the last). Returns the metadata location.
     */
   def publishSnapshots(stub: Stub, ns: String, tbl: String,
-                       dfs: Seq[DataFrame]): String = {
+                       dfs: Seq[DataFrame],
+                       rangeFiles: Option[(String, Int)] = None,
+                       withBounds: Boolean = false): String = {
     val prefix = s"iceberg/$ns/$tbl"
 
-    def writeData(df: DataFrame, snapId: Long): Seq[(String, Long, Long)] = {
+    final case class Written(path: String, size: Long, rows: Long,
+        lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
+
+    def writeData(df: DataFrame, snapId: Long): Seq[Written] = {
       val tmp = java.nio.file.Files.createTempDirectory("icefix").toFile
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
+      val out = rangeFiles match {
+        case Some((col, n)) =>
+          df.repartitionByRange(n, org.apache.spark.sql.functions.col(col))
+        case None => df.coalesce(1)
+      }
+      out.write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
       new java.io.File(tmp, "d").listFiles()
-        .filter(_.getName.endsWith(".parquet")).sortBy(_.getName).zipWithIndex
+        .filter(f => f.getName.endsWith(".parquet") && f.length() > 0)
+        .sortBy(_.getName).zipWithIndex
         .map { case (f, i) =>
           val key = s"$prefix/data/part-s$snapId-$i.parquet"
           val bytes = java.nio.file.Files.readAllBytes(f.toPath)
           stub.objects.put(key, bytes)
-          (s"r2://r2-lake/$key", bytes.length.toLong, df.count())
+          val rows = df.sparkSession.read.parquet(f.getAbsolutePath).count()
+          val (lo, hi) =
+            if (withBounds) fileBounds(df.sparkSession, f, df.schema)
+            else (Map.empty[Int, Array[Byte]], Map.empty[Int, Array[Byte]])
+          Written(s"r2://r2-lake/$key", bytes.length.toLong, rows, lo, hi)
         }.toSeq
     }
 
     def snapshot(df: DataFrame, snapId: Long): (String, Long) = {
-      val entries = writeData(df, snapId).map { case (path, size, rows) =>
+      val kvLower = manifestEntrySchema.getField("data_file").schema()
+        .getField("lower_bounds").schema().getTypes.get(1).getElementType
+      val kvUpper = manifestEntrySchema.getField("data_file").schema()
+        .getField("upper_bounds").schema().getTypes.get(1).getElementType
+      val entries = writeData(df, snapId).map { w =>
         val dfRec = new GenericData.Record(
           manifestEntrySchema.getField("data_file").schema())
         dfRec.put("content", 0)
-        dfRec.put("file_path", path)
+        dfRec.put("file_path", w.path)
         dfRec.put("file_format", "PARQUET")
-        dfRec.put("record_count", rows)
-        dfRec.put("file_size_in_bytes", size)
+        dfRec.put("record_count", w.rows)
+        dfRec.put("file_size_in_bytes", w.size)
+        if (w.lower.nonEmpty) dfRec.put("lower_bounds", boundsArray(kvLower, w.lower))
+        if (w.upper.nonEmpty) dfRec.put("upper_bounds", boundsArray(kvUpper, w.upper))
         val rec = new GenericData.Record(manifestEntrySchema)
         rec.put("status", 1) // ADDED
         rec.put("snapshot_id", snapId)

@@ -31,7 +31,9 @@ object IcebergManifests {
     data.flatMap(m => dataFilesOfManifest(conf, m))
   }
 
-  final case class DataFileEntry(path: String, format: String, recordCount: Long)
+  final case class DataFileEntry(path: String, format: String, recordCount: Long,
+      lowerBounds: Map[Int, Array[Byte]] = Map.empty,
+      upperBounds: Map[Int, Array[Byte]] = Map.empty)
 
   /** Manifest-list → (data manifests, delete manifests), classified by
     * the spec's `content` field without reading the manifests themselves.
@@ -64,8 +66,36 @@ object IcebergManifests {
           throw new UnsupportedOperationException(
             s"unsupported Iceberg data-file format $fmt (parquet only)")
         Some(DataFileEntry(df.get("file_path").toString, fmt,
-          longField(df, "record_count").getOrElse(0L)))
+          longField(df, "record_count").getOrElse(0L),
+          boundsField(df, "lower_bounds"), boundsField(df, "upper_bounds")))
       }
+    }
+
+  /** `lower_bounds`/`upper_bounds` — spec'd `map<int, binary>` keyed by
+    * field id, avro-encoded as an array of key/value records (avro map
+    * keys must be strings). Absent or null → empty.
+    */
+  private def boundsField(rec: GenericRecord, name: String): Map[Int, Array[Byte]] =
+    if (rec.getSchema.getField(name) == null) Map.empty
+    else Option(rec.get(name)) match {
+      case Some(arr: java.util.Collection[_]) =>
+        arr.asInstanceOf[java.util.Collection[GenericRecord]]
+          .toArray(Array.empty[AnyRef]).toSeq.map { kv =>
+            val r = kv.asInstanceOf[GenericRecord]
+            val key = r.get("key") match {
+              case i: java.lang.Integer => i.intValue
+              case l: java.lang.Long    => l.intValue
+              case other                => other.toString.toInt
+            }
+            val bytes = r.get("value") match {
+              case bb: java.nio.ByteBuffer =>
+                val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+              case a: Array[Byte] => a
+              case other => other.toString.getBytes("UTF-8")
+            }
+            key -> bytes
+          }.toMap
+      case _ => Map.empty
     }
 
   final case class DeleteFileEntry(path: String, content: Long) {

@@ -25,7 +25,8 @@ object IcebergMeta {
       location: String,
       schema: StructType,
       currentSnapshotId: Option[Long],
-      snapshots: Map[Long, Snapshot]) {
+      snapshots: Map[Long, Snapshot],
+      fieldIds: Map[Int, String]) {
     def currentSnapshot: Option[Snapshot] = currentSnapshotId.flatMap(snapshots.get)
   }
 
@@ -57,8 +58,17 @@ object IcebergMeta {
         } yield id -> Snapshot(id, ml)
       }.toMap
     val curSnap = Option(root.get("current-snapshot-id")).map(_.asLong).filter(_ != -1L)
-    TableMeta(fv, location, toSparkStruct(schemaNode), curSnap, snaps)
+    TableMeta(fv, location, toSparkStruct(schemaNode), curSnap, snaps,
+      topLevelFieldIds(schemaNode))
   }
+
+  /** Top-level field-id → column name (the key space manifest
+    * `lower_bounds`/`upper_bounds` maps use).
+    */
+  def topLevelFieldIds(node: JsonNode): Map[Int, String] =
+    Option(node.get("fields")).toSeq.flatMap(_.elements().asScala).flatMap { f =>
+      Option(f.get("id")).map(id => id.asInt -> f.get("name").asText)
+    }.toMap
 
   /** Iceberg struct schema node → Spark StructType (spec §Schemas). */
   def toSparkStruct(node: JsonNode): StructType = {

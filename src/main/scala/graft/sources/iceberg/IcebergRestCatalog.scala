@@ -135,16 +135,12 @@ class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
     // DSv2 Table can't express the delete anti-joins); the
     // Iceberg.read DataFrame API serves merge-on-read tables
     val files = snap match {
-      case Some(s) => IcebergManifests.dataFiles(conf, s.manifestList).map(_.path)
+      case Some(s) => IcebergManifests.dataFiles(conf, s.manifestList)
       case None    => Nil // table exists but has no snapshot yet: empty scan
     }
-    ParquetTable(
+    new IcebergTable(
       s"$catalogName.${ident.namespace().mkString(".")}.${ident.name()}",
-      spark,
-      CaseInsensitiveStringMap.empty(),
-      files,
-      Some(meta.schema),
-      classOf[ParquetFileFormat])
+      spark, meta.schema, files, meta.fieldIds)
   }
 
   // ---- mutations: rejected (read-only surface, R2FileSystem posture) --

@@ -163,6 +163,46 @@ class IcebergCatalogSpec extends AnyFunSuite {
       Option(t.getMessage).exists(_.contains("delete manifests"))), e.toString)
   }
 
+  test("manifest-bounds file pruning: a selective filter plans only in-range files") {
+    setup()
+    val customer = graft.queries.load(spark, "/root/testdata/sf0.001", "customer")
+    // 3 range files on c_custkey, each manifest entry carrying min/max
+    // bounds per the spec's single-value serialization
+    IcebergFixture.publishSnapshots(stub, "tpch", "customer_b",
+      Seq(customer), rangeFiles = Some(("c_custkey", 3)), withBounds = true)
+    val dataKeys = stub.objects.keys.filter(_.startsWith("iceberg/tpch/customer_b/data/")).toSeq
+    assert(dataKeys.size == 3, dataKeys.mkString(","))
+
+    stub.requests.clear()
+    val hit = spark.sql(
+      "SELECT c_custkey, c_name FROM lake.tpch.customer_b WHERE c_custkey = 7")
+      .collect()
+    val want = customer.filter(col("c_custkey") === 7)
+      .select(col("c_custkey"), col("c_name")).collect()
+    assert(hit.sameElements(want))
+    // only the single file whose [lower, upper] covers key 7 was touched
+    val touched = stub.requests.toArray.map(_.toString)
+      .filter(_.contains("/r2-lake/iceberg/tpch/customer_b/data/"))
+      .flatMap(r => "part-s1-(\\d+)\\.parquet".r.findFirstIn(r)).distinct
+    assert(touched.length == 1, s"touched: ${touched.mkString(",")}")
+
+    // range predicate: >= max key region → only the last file
+    stub.requests.clear()
+    val maxKey = customer.agg(max(col("c_custkey"))).collect()(0).getLong(0)
+    val topN = spark.sql(
+      s"SELECT count(*) AS n FROM lake.tpch.customer_b WHERE c_custkey >= ${maxKey - 1}")
+      .collect()(0).getLong(0)
+    assert(topN == customer.filter(col("c_custkey") >= maxKey - 1).count())
+    val touched2 = stub.requests.toArray.map(_.toString)
+      .filter(_.contains("/r2-lake/iceberg/tpch/customer_b/data/"))
+      .flatMap(r => "part-s1-(\\d+)\\.parquet".r.findFirstIn(r)).distinct
+    assert(touched2.length == 1, s"touched: ${touched2.mkString(",")}")
+
+    // no filter → all files planned, full row set
+    assert(spark.sql("SELECT count(*) AS n FROM lake.tpch.customer_b")
+      .collect()(0).getLong(0) == customer.count())
+  }
+
   test("writes are rejected: the catalog is read-only") {
     setup()
     val e = intercept[Exception] {
