@@ -5,8 +5,6 @@ import com.fasterxml.jackson.databind.JsonNode
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import scala.jdk.CollectionConverters._
@@ -27,11 +25,12 @@ import graft.core.{Http, Secrets}
   * }}}
   *
   * `loadTable` resolves namespace/table → table metadata (inline in the
-  * LoadTableResult or fetched from `metadata-location`) → current
-  * snapshot → manifest list → data files, and hands the resolved
-  * parquet file set to Spark's own `ParquetTable`, so filter pushdown,
-  * column pruning, row-group skipping and split planning all run
-  * exactly as they do over any parquet lake — against `r2://` paths the
+  * LoadTableResult or fetched from `metadata-location`) → snapshot
+  * (current, or `VERSION AS OF <id>`) → manifest list → data files with
+  * their column bounds, and returns an [[IcebergTable]]: manifest-bounds
+  * file pruning at planning time, then Spark's own parquet machinery
+  * (filter pushdown, column pruning, row-group skipping, split
+  * planning) over the surviving files — against `r2://` paths the
   * byte-ranged `R2FileSystem` serves them. Scan parallelism is Spark's
   * (one task per split), not one HTTP query per table.
   *
