@@ -230,10 +230,14 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** Corpus after MinHash-LSH dedup: drops every verified near-dup that is
-    * not the minimum id of its duplicate set (union-find collapsed to
-    * min-id via iterative propagation is unnecessary here: dropping any
-    * row that appears as the larger id of a pair removes all non-keepers).
+  /** Corpus after MinHash-LSH dedup with PAIR-level semantics: any row
+    * that appears as the larger id of a verified pair is dropped. For a
+    * direct pair this keeps the smaller id; for a transitive CHAIN it
+    * can keep more than one doc per cluster (edges {5–10, 1–10}: 5 never
+    * appears as a larger id and survives alongside 1). When one-doc-per-
+    * CLUSTER semantics are required, run the pairs through
+    * [[ConnectedComponents.dedupByComponents]] instead — it labels each
+    * doc with its component minimum and keeps exactly that one.
     */
   def minhashLshDedup(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.8, numPerm: Int = 128,
