@@ -194,6 +194,7 @@ object Bench {
     val sf1Ref = loadRef("bench/sf1.json")
     val sf3Ref = loadRef("bench/sf3.json")
     val sf10Ref = loadRef("bench/sf10.json")
+    val sf30Ref = loadRef("bench/sf30.json")
     val comparable = duckRef.map { ref =>
       val qs = ref.path("queries")
       val names = results.filter(_._2 >= 0).map(_._1)
@@ -213,12 +214,14 @@ object Bench {
     sf1Ref.foreach(r => println(s"""{"ref":"sf1","data":${mapper.writeValueAsString(r)}}"""))
     sf3Ref.foreach(r => println(s"""{"ref":"sf3","data":${mapper.writeValueAsString(r)}}"""))
     sf10Ref.foreach(r => println(s"""{"ref":"sf10","data":${mapper.writeValueAsString(r)}}"""))
+    sf30Ref.foreach(r => println(s"""{"ref":"sf30","data":${mapper.writeValueAsString(r)}}"""))
 
     val ratioParts = Seq(
       comparable.map(c => s""""sf$sf":$c"""),
       sf1Ref.map(r => s""""sf1":${mapper.writeValueAsString(r.path("comparable"))}"""),
       sf3Ref.map(r => s""""sf3":${mapper.writeValueAsString(r.path("comparable"))}"""),
-      sf10Ref.map(r => s""""sf10":${mapper.writeValueAsString(r.path("comparable"))}""")).flatten
+      sf10Ref.map(r => s""""sf10":${mapper.writeValueAsString(r.path("comparable"))}"""),
+      sf30Ref.map(r => s""""sf30":${mapper.writeValueAsString(r.path("comparable"))}""")).flatten
     val ratiosJson =
       if (ratioParts.isEmpty) "" else ratioParts.mkString(""","comparable":{""", ",", "}")
 
