@@ -16,7 +16,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     Relational.defs ++ Extended.defs ++ Events.defs ++ TextAnalysis.defs ++
-      Vectors.defs ++ Pipeline.defs ++ Connectors.defs
+      Vectors.defs ++ Pipeline.defs ++ Curation.defs ++ Connectors.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -71,6 +71,41 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(text, "\\s+", " ")))
 
+  // --- PII detection/redaction -------------------------------------------
+  // Patterns stay inside the RE2-compatible subset (no lookaround, no
+  // backreferences) so the IDENTICAL pattern string runs under Java's
+  // regex engine here and RE2 in the DuckDB oracle — pattern drift between
+  // detection and the audit query is the classic PII-pipeline bug.
+
+  /** RFC-5322-ish address shape (the practical subset). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** International-format phone: +CC NNN-NNNN. */
+  val phonePattern = "\\+[0-9]{1,3} [0-9]{3}-[0-9]{4}"
+
+  /** Dotted-quad IPv4 (word-bounded so version strings don't match). */
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Per-document PII hit counts as a struct — the audit/reporting side.
+    * Pure codegen'd builtins (`regexp_count`), so a 100 TB PII census is
+    * one whole-stage-codegen'd scan.
+    */
+  def piiCounts(text: Column): Column = struct(
+    regexp_count(text, lit(emailPattern)).as("n_emails"),
+    regexp_count(text, lit(phonePattern)).as("n_phones"),
+    regexp_count(text, lit(ipv4Pattern)).as("n_ips"))
+
+  /** Replace every PII span with a typed placeholder token. Emails are
+    * redacted first (an address can contain digits that would otherwise
+    * partially match the phone pattern), then phones, then IPs.
+    */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        phonePattern, "<PHONE>"),
+      ipv4Pattern, "<IP>")
+
   /** Column wrapper for [[RollingHashExpr]]. */
   def rollingHash(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnShim

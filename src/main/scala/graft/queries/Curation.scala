@@ -1,0 +1,172 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+import graft.operators.{Decontaminate, Sampling}
+
+/** Corpus-curation operators as correctness-gate entries: PII
+  * detection/redaction, repetition-based quality signals (Gopher-style),
+  * benchmark decontamination, and deterministic sampling.
+  *
+  * The synthetic corpus contains no PII, so q69 plants it
+  * deterministically in-query (both engines construct the identical
+  * augmented text) — the gate then verifies real detection/redaction
+  * work, not a trivially-zero count. The decontamination gates use word
+  * 3-grams: the synthetic vocabulary is ~30 words, so 3-grams have the
+  * same discrimination role 8–13-grams have on natural text (n is a
+  * parameter of the operator either way).
+  */
+object Curation {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q69_pii_redact",
+      (s, d) => {
+        val id = col("doc_id")
+        val planted = concat(col("text"),
+          when(id % 3 === 0, concat(lit(" reach me at user"),
+            id.cast("string"), lit("@example.com or admin@test.org today")))
+          .when(id % 3 === 1, concat(lit(" call +1 555-0"),
+            lpad((id % 1000).cast("string"), 3, "0"), lit(" now")))
+          .otherwise(concat(lit(" server 10."), (id % 256).cast("string"),
+            lit(".0.1 and 192.168.1."), (id % 200).cast("string"), lit(" up"))))
+        load(s, d, "documents")
+          .select(id, planted.as("t"))
+          .select(id, TextFunctions.piiCounts(col("t")).as("pii"),
+            TextFunctions.piiRedact(col("t")).as("redacted"))
+          .select(id,
+            col("pii.n_emails").as("n_emails"),
+            col("pii.n_phones").as("n_phones"),
+            col("pii.n_ips").as("n_ips"),
+            col("redacted"))
+          .orderBy(id)
+          .limit(500)
+      },
+      // the oracle re-detects with the same RE2-safe patterns over the
+      // identically-constructed augmented text
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text || CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com or admin@test.org today'
+             |    WHEN 1 THEN ' call +1 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now'
+             |    ELSE ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 and 192.168.1.' || CAST(doc_id % 200 AS VARCHAR) || ' up'
+             |  END AS t FROM documents)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+             |  CAST(len(regexp_extract_all(t, '\+[0-9]{1,3} [0-9]{3}-[0-9]{4}')) AS INT) AS n_phones,
+             |  CAST(len(regexp_extract_all(t, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS INT) AS n_ips,
+             |  regexp_replace(regexp_replace(regexp_replace(t,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |    '\+[0-9]{1,3} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+             |FROM aug ORDER BY doc_id LIMIT 500""".stripMargin)),
+
+    QueryDef("q70_repetition_signals",
+      (s, d) => {
+        // Gopher-style repetition quality: most-frequent-word fraction
+        // (explode + two partial-aggregated shuffles on doc_id) and
+        // duplicate-2-gram fraction (pure array expressions, no shuffle).
+        val docs = load(s, d, "documents")
+        val tok = docs.select(col("doc_id"),
+          explode(split(trim(col("text")), " ")).as("tw"))
+        val top = tok.groupBy(col("doc_id"), col("tw"))
+          .agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id"))
+          .agg(sum(col("c")).cast("int").as("n_words"),
+            max(col("c")).cast("int").as("top_c"))
+        val w = split(trim(col("text")), " ")
+        val grams = when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat_ws(" ", element_at(w, i), element_at(w, i + 1))))
+          .otherwise(expr("CAST(array() AS array<string>)"))
+        val dup = docs.select(col("doc_id"),
+          when(size(grams) === 0, lit(0.0))
+            .otherwise(round(lit(1.0) -
+              size(array_distinct(grams)).cast("double") / size(grams), 4))
+            .as("dup_2gram_frac"))
+        top.join(dup, "doc_id")
+          .select(col("doc_id"), col("n_words"),
+            round(col("top_c").cast("double") / col("n_words"), 4)
+              .as("top_word_frac"),
+            col("dup_2gram_frac"))
+          .orderBy(col("doc_id"))
+          .limit(500)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+             |tok AS (SELECT doc_id, unnest(ws) AS tw FROM w),
+             |wc AS (SELECT doc_id, tw, count(*) AS c FROM tok GROUP BY 1, 2),
+             |top AS (SELECT doc_id, CAST(sum(c) AS INT) AS n_words,
+             |        CAST(max(c) AS INT) AS top_c FROM wc GROUP BY 1),
+             |g AS (SELECT doc_id, [array_to_string(ws[i:i+1], ' ')
+             |      for i in range(1, len(ws))] AS gs FROM w)
+             |SELECT t.doc_id, t.n_words,
+             |  round(CAST(t.top_c AS DOUBLE) / t.n_words, 4) AS top_word_frac,
+             |  CASE WHEN len(g.gs) = 0 THEN 0.0
+             |    ELSE round(1.0 - CAST(len(list_distinct(g.gs)) AS DOUBLE) / len(g.gs), 4)
+             |  END AS dup_2gram_frac
+             |FROM top t JOIN g ON t.doc_id = g.doc_id
+             |ORDER BY t.doc_id LIMIT 500""".stripMargin)),
+
+    QueryDef("q71_decontaminate_hits",
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        Decontaminate.overlapHits(
+            docs.filter(col("doc_id") % 31 =!= 0),
+            docs.filter(col("doc_id") % 31 === 0),
+            "text", "doc_id", n = 3)
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+             |ng AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ')
+             |       for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs FROM w),
+             |bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 31 = 0),
+             |corp AS (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 31 <> 0)
+             |SELECT c.doc_id, count(DISTINCT c.g) AS n_hits
+             |FROM corp c JOIN bench b ON c.g = b.g
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QueryDef("q72_decontaminate_keep",
+      (s, d) => {
+        // The removal side: corpus docs surviving decontamination at
+        // minHits=2 (tolerate one incidental shared n-gram; the oracle
+        // recomputes the same rule independently).
+        val docs = load(s, d, "documents")
+        Decontaminate.decontaminate(
+            docs.filter(col("doc_id") % 31 =!= 0),
+            docs.filter(col("doc_id") % 31 === 0),
+            "text", "doc_id", n = 3, minHits = 2)
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+             |ng AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ')
+             |       for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs FROM w),
+             |bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 31 = 0),
+             |corp AS (SELECT doc_id, unnest(gs) AS g FROM ng WHERE doc_id % 31 <> 0),
+             |flagged AS (
+             |  SELECT c.doc_id FROM corp c JOIN bench b ON c.g = b.g
+             |  GROUP BY 1 HAVING count(DISTINCT c.g) >= 2)
+             |SELECT count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE doc_id % 31 <> 0 AND doc_id NOT IN (SELECT doc_id FROM flagged)""".stripMargin)),
+
+    QueryDef("q73_stratified_sample",
+      (s, d) => Sampling.stratifiedFixed(
+          load(s, d, "documents"), "lang", "doc_id", n = 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id")),
+      Some("""SELECT lang, doc_id FROM (
+             |  SELECT lang, doc_id, row_number() OVER (
+             |    PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+             |  FROM documents) WHERE rn <= 20
+             |ORDER BY lang, doc_id""".stripMargin)),
+
+    QueryDef("q74_hash_sample",
+      (s, d) => Sampling.hashSample(load(s, d, "documents"), "doc_id", 20)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("lang")),
+      Some("""SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM documents
+             |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+             |GROUP BY lang ORDER BY lang""".stripMargin))
+  )
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import graft.functions.TextFunctions
+
+/** Planted-fixture specs for the curation operators: PII
+  * detection/redaction, decontamination, deterministic sampling. The
+  * sf-scale end-to-end checks are the q69–q74 oracle gates.
+  */
+class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
+  lazy val spark: SparkSession = graft.TestSpark.spark
+  import spark.implicits._
+
+  // --- PII ---------------------------------------------------------------
+
+  test("piiRedact replaces emails, phones, and IPs with typed tokens") {
+    val df = Seq(
+      (1L, "mail bob.smith+x@corp.example.org and call +44 123-4567 from 10.1.2.3"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.co c.d@e-f.org; ip 192.168.0.1"))
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.piiRedact(col("t")).as("r"),
+        TextFunctions.piiCounts(col("t")).as("c"))
+    val rows = df.orderBy("id").collect()
+    assert(rows(0).getString(1) ==
+      "mail <EMAIL> and call <PHONE> from <IP>")
+    assert(rows(0).getStruct(2).toSeq == Seq(1, 1, 1))
+    assert(rows(1).getString(1) == "no pii here at all")
+    assert(rows(1).getStruct(2).toSeq == Seq(0, 0, 0))
+    assert(rows(2).getString(1) == "two mails: <EMAIL> <EMAIL>; ip <IP>")
+    assert(rows(2).getStruct(2).toSeq == Seq(2, 0, 1))
+  }
+
+  test("piiRedact does not match three-part version strings as IPs") {
+    // the pattern needs all four dotted octets; v1.2.3 never matches
+    val r = Seq((1L, "semver v1.2.3 stays; 1.2.3.4 goes"))
+      .toDF("id", "t")
+      .select(TextFunctions.piiRedact(col("t"))).head().getString(0)
+    assert(r == "semver v1.2.3 stays; <IP> goes")
+  }
+
+  test("pii functions are null-safe") {
+    val r = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+      .select(TextFunctions.piiRedact(col("t")),
+        TextFunctions.piiCounts(col("t"))).head()
+    assert(r.isNullAt(0))
+  }
+
+  // --- Decontamination ----------------------------------------------------
+
+  lazy val bench = Seq(
+    (100L, "the capital of france is paris obviously"))
+    .toDF("doc_id", "text")
+  lazy val corpus = Seq(
+    (1L, "we know The Capital of France is Paris and more"), // contaminated (case-folded)
+    (2L, "the capital city has many attractions for tourists"),
+    (3L, "completely unrelated text about query engines and shuffles"),
+    (4L, "of france is")) // one 3-gram hit only
+    .toDF("doc_id", "text")
+
+  test("overlapHits counts distinct shared n-grams, case-folded") {
+    val hits = Decontaminate.overlapHits(corpus, bench, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1 shares 'the capital of', 'capital of france', 'of france is',
+    // 'france is paris' = 4; doc 4 shares 'of france is' = 1
+    assert(hits == Map(1L -> 4L, 4L -> 1L))
+  }
+
+  test("decontaminate removes docs at/above minHits and keeps the rest") {
+    val kept2 = Decontaminate.decontaminate(corpus, bench, "text", "doc_id",
+      n = 3, minHits = 2).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept2 == Set(2L, 3L, 4L)) // only doc 1 reaches 2 hits
+    val kept1 = Decontaminate.decontaminate(corpus, bench, "text", "doc_id",
+      n = 3, minHits = 1).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept1 == Set(2L, 3L))
+  }
+
+  test("docs shorter than n words produce no n-grams and are never flagged") {
+    val tiny = Seq((9L, "of france")).toDF("doc_id", "text")
+    assert(Decontaminate.overlapHits(tiny, bench, "text", "doc_id", n = 3)
+      .count() == 0)
+    assert(Decontaminate.decontaminate(tiny, bench, "text", "doc_id", n = 3)
+      .count() == 1)
+  }
+
+  test("decontaminate broadcasts the benchmark n-gram set (corpus never shuffles)") {
+    val plan = Decontaminate.overlapHits(corpus, bench, "text", "doc_id", n = 3)
+      .queryExecution.executedPlan
+    def hasBroadcastJoin(p: SparkPlan): Boolean =
+      collectWithSubqueries(p) {
+        case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      }.nonEmpty
+    assert(hasBroadcastJoin(plan), plan.toString)
+  }
+
+  // --- Sampling ------------------------------------------------------------
+
+  lazy val strat = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("id", "grp")
+
+  test("hashSample is deterministic and approximately proportional") {
+    val a = Sampling.hashSample(strat, "id", 64).select("id")
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(strat.repartition(7), "id", 64).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b) // partitioning-independent
+    assert(a.size > 40 && a.size < 110, s"expected ~75 of 300, got ${a.size}")
+    // monotone: a smaller numerator selects a subset
+    val c = Sampling.hashSample(strat, "id", 16).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(c.subsetOf(a))
+    assert(Sampling.hashSample(strat, "id", 0).count() == 0)
+    assert(Sampling.hashSample(strat, "id", 256).count() == 300)
+  }
+
+  test("stratifiedFixed takes exactly n per stratum, deterministically") {
+    val s1 = Sampling.stratifiedFixed(strat, "grp", "id", 10)
+    val counts = s1.groupBy("grp").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    val ids1 = s1.select("id").collect().map(_.getLong(0)).toSet
+    val ids2 = Sampling.stratifiedFixed(strat.repartition(11), "grp", "id", 10)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("stratifiedFixed returns whole stratum when smaller than n") {
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "grp")
+    val out = Sampling.stratifiedFixed(tiny, "grp", "id", 5)
+    assert(out.count() == 3)
+  }
+}
