@@ -139,11 +139,25 @@ object IcebergFixture {
     case other => throw new IllegalArgumentException(s"fixture: unsupported $other")
   }
 
-  private def icebergStruct(st: StructType, idBase: Int): String = {
+  private def icebergStruct(st: StructType, idBase: Int, schemaId: Int = 0): String = {
     val fields = st.fields.zipWithIndex.map { case (f, i) =>
       s"""{"id":${idBase + i},"name":"${f.name}","required":${!f.nullable},"type":${icebergType(f.dataType)}}"""
     }
-    s"""{"type":"struct","schema-id":0,"fields":[${fields.mkString(",")}]}"""
+    s"""{"type":"struct","schema-id":$schemaId,"fields":[${fields.mkString(",")}]}"""
+  }
+
+  /** Attach `parquet.field.id` metadata (1-based positional, matching
+    * [[icebergStruct]]'s id assignment) so the written parquet embeds
+    * Iceberg field ids — required of every compliant writer; the read
+    * path resolves columns by these ids.
+    */
+  private def withFieldIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.sparkSession.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    df.select(df.schema.fields.zipWithIndex.map { case (f, i) =>
+      col(f.name).as(f.name,
+        new MetadataBuilder().putLong("parquet.field.id", i + 1L).build())
+    }.toSeq: _*)
   }
 
   /** Publish each DataFrame as one copy-on-write snapshot of table
@@ -159,7 +173,8 @@ object IcebergFixture {
     final case class Written(path: String, size: Long, rows: Long,
         lower: Map[Int, Array[Byte]], upper: Map[Int, Array[Byte]])
 
-    def writeData(df: DataFrame, snapId: Long): Seq[Written] = {
+    def writeData(df0: DataFrame, snapId: Long): Seq[Written] = {
+      val df = withFieldIds(df0)
       val tmp = java.nio.file.Files.createTempDirectory("icefix").toFile
       val out = rangeFiles match {
         case Some((col, n)) =>
@@ -243,6 +258,90 @@ object IcebergFixture {
   def publish(stub: Stub, ns: String, tbl: String, df: DataFrame,
               extraSnapshotOfSameData: Boolean = false): String =
     publishSnapshots(stub, ns, tbl, if (extraSnapshotOfSameData) Seq(df, df) else Seq(df))
+
+  /** Publish a SCHEMA-EVOLVED table: `df1`'s file is written under
+    * schema 0 (ids 1..k, `df1`'s names), `df2`'s under the current
+    * schema 1 (ids 1..n, `df2`'s names — positional, so a column of
+    * `df2` sharing a position with `df1` is that column RENAMED, and
+    * columns beyond `df1`'s width are ADDED). The current snapshot's
+    * manifest list carries both files, which is exactly what a real
+    * table looks like after `ALTER TABLE ... RENAME/ADD COLUMN` + a
+    * second append: old data files still carry old column names, and
+    * only field-id resolution reads them correctly.
+    */
+  def publishEvolved(stub: Stub, ns: String, tbl: String,
+                     df1: DataFrame, df2: DataFrame): String = {
+    require(df2.schema.length >= df1.schema.length,
+      "publishEvolved: df2 must not drop columns of df1")
+    val prefix = s"iceberg/$ns/$tbl"
+
+    def writeOne(df0: DataFrame, snapId: Long): (String, Long, Long) = {
+      val df = withFieldIds(df0)
+      val tmp = java.nio.file.Files.createTempDirectory("icefix").toFile
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath + "/d")
+      val f = new java.io.File(tmp, "d").listFiles()
+        .filter(f => f.getName.endsWith(".parquet") && f.length() > 0).head
+      val key = s"$prefix/data/part-s$snapId-0.parquet"
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      stub.objects.put(key, bytes)
+      (s"r2://r2-lake/$key", bytes.length.toLong, df0.count())
+    }
+
+    def manifestFor(file: (String, Long, Long), snapId: Long): String = {
+      val dfRec = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      dfRec.put("content", 0)
+      dfRec.put("file_path", file._1)
+      dfRec.put("file_format", "PARQUET")
+      dfRec.put("record_count", file._3)
+      dfRec.put("file_size_in_bytes", file._2)
+      val rec = new GenericData.Record(manifestEntrySchema)
+      rec.put("status", 1)
+      rec.put("snapshot_id", snapId)
+      rec.put("data_file", dfRec)
+      val key = s"$prefix/metadata/manifest-$snapId-0.avro"
+      stub.objects.put(key, writeAvro(manifestEntrySchema, Seq(rec)))
+      s"r2://r2-lake/$key"
+    }
+
+    def manifestList(snapId: Long, manifests: Seq[String]): String = {
+      val recs = manifests.map { m =>
+        val r = new GenericData.Record(manifestListSchema)
+        r.put("manifest_path", m)
+        r.put("manifest_length", stub.objects(
+          m.stripPrefix("r2://r2-lake/")).length.toLong)
+        r.put("partition_spec_id", 0)
+        r.put("content", 0)
+        r.put("added_snapshot_id", snapId)
+        r
+      }
+      val key = s"$prefix/metadata/snap-$snapId.avro"
+      stub.objects.put(key, writeAvro(manifestListSchema, recs))
+      s"r2://r2-lake/$key"
+    }
+
+    val m1 = manifestFor(writeOne(df1, 1L), 1L)
+    val m2 = manifestFor(writeOne(df2, 2L), 2L)
+    val ml1 = manifestList(1L, Seq(m1))
+    val ml2 = manifestList(2L, Seq(m1, m2)) // live set after the evolution
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000042",
+         |"location":"r2://r2-lake/$prefix",
+         |"last-sequence-number":2,"last-updated-ms":0,"last-column-id":${df2.schema.length},
+         |"current-schema-id":1,
+         |"schemas":[${icebergStruct(df1.schema, 1, schemaId = 0)},
+         |${icebergStruct(df2.schema, 1, schemaId = 1)}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":2,"snapshots":[
+         |{"snapshot-id":1,"timestamp-ms":0,"manifest-list":"$ml1","summary":{"operation":"append"}},
+         |{"snapshot-id":2,"timestamp-ms":0,"manifest-list":"$ml2","summary":{"operation":"append"}}]}""".stripMargin
+    val metaKey = s"$prefix/metadata/v2.metadata.json"
+    stub.objects.put(metaKey, metaJson.getBytes(UTF_8))
+    val metaLoc = s"r2://r2-lake/$metaKey"
+    tables.put((ns, tbl), metaLoc)
+    metaLoc
+  }
 
   /** Publish a table whose manifest list declares a DELETE manifest —
     * the reader must reject it (merge-on-read unsupported).

@@ -392,6 +392,38 @@ object Connectors {
           .orderBy(col("s_suppkey"))
       },
       Some("""SELECT s_suppkey, s_nationkey FROM supplier
-             |WHERE s_nationkey NOT IN (1, 3) ORDER BY s_suppkey""".stripMargin))
+             |WHERE s_nationkey NOT IN (1, 3) ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef("qc24_iceberg_evolution",
+      (s, d) => {
+        // Schema evolution read path: file 1 was written before
+        // `ALTER TABLE ... RENAME COLUMN nation_label TO label` and
+        // `ADD COLUMN region`, file 2 after. Iceberg resolves columns by
+        // FIELD ID, so the renamed column must bind to file 1's physical
+        // `nation_label` column (same id) and `region` must come back
+        // null there — a name-matching reader would silently null the
+        // renamed column instead. Spark's parquet field-id matching does
+        // the per-file resolution; the catalog schema carries the ids.
+        graft.fixtures.IcebergFixture.installRest(stub)
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.r2.impl", "graft.sources.r2.R2FileSystem")
+        hc.set("fs.r2.impl.disable.cache", "true")
+        hc.set("fs.r2.endpoint", stub.base)
+        s.conf.set("spark.sql.catalog.r2lake",
+          "graft.sources.iceberg.IcebergRestCatalog")
+        s.conf.set("spark.sql.catalog.r2lake.uri", s"${stub.base}/iceberg")
+        val nation = load(s, d, "nation")
+        graft.fixtures.IcebergFixture.publishEvolved(stub, "tpch", "nation_evo",
+          nation.filter(col("n_nationkey") < 13)
+            .select(col("n_nationkey"), col("n_name").as("nation_label")),
+          nation.filter(col("n_nationkey") >= 13)
+            .select(col("n_nationkey"), col("n_name").as("label"),
+              col("n_regionkey").as("region")))
+        s.sql("""SELECT n_nationkey, label, region FROM r2lake.tpch.nation_evo
+                |ORDER BY n_nationkey""".stripMargin)
+      },
+      Some("""SELECT n_nationkey, n_name AS label,
+             |CASE WHEN n_nationkey < 13 THEN NULL ELSE n_regionkey END AS region
+             |FROM nation ORDER BY n_nationkey""".stripMargin))
   )
 }

@@ -83,8 +83,18 @@ object Iceberg {
     * @param snapshotId time travel: read this snapshot instead of the
     *                   current one
     */
+  /** Column resolution is BY FIELD ID (the Iceberg rule): table schemas
+    * carry `parquet.field.id` metadata and this flips Spark's parquet
+    * reader into id matching. Data files missing embedded field ids
+    * (which the Iceberg spec requires of every writer) fail loudly
+    * rather than mis-binding by name.
+    */
+  private[iceberg] def enableFieldIdReads(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   def read(spark: SparkSession, uri: String, namespace: Seq[String], table: String,
            token: String = "", snapshotId: Option[Long] = None): DataFrame = {
+    enableFieldIdReads(spark)
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = resolveMeta(conf, uri.stripSuffix("/"), token, namespace, table)
     val snapOpt = snapshotId match {

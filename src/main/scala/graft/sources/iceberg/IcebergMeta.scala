@@ -70,12 +70,24 @@ object IcebergMeta {
       Option(f.get("id")).map(id => id.asInt -> f.get("name").asText)
     }.toMap
 
-  /** Iceberg struct schema node → Spark StructType (spec §Schemas). */
+  /** Iceberg struct schema node → Spark StructType (spec §Schemas).
+    *
+    * Each field carries its Iceberg field id as `parquet.field.id`
+    * metadata: with `spark.sql.parquet.fieldId.read.enabled` the parquet
+    * reader then resolves columns BY ID, not by name — which is the
+    * Iceberg column-resolution rule, and what makes schema evolution
+    * (rename/add/drop) read correctly: a renamed column still binds to
+    * the old data files' physical column through the unchanged id, and
+    * a column added later is absent (null) in files written before it.
+    */
   def toSparkStruct(node: JsonNode): StructType = {
     val fields = Option(node.get("fields")).toSeq.flatMap(_.elements().asScala).map { f =>
       val name = f.get("name").asText
       val required = Option(f.get("required")).exists(_.asBoolean)
-      StructField(name, toSparkType(f.get("type")), nullable = !required)
+      val meta = Option(f.get("id"))
+        .map(id => new MetadataBuilder().putLong("parquet.field.id", id.asLong).build())
+        .getOrElse(Metadata.empty)
+      StructField(name, toSparkType(f.get("type")), nullable = !required, metadata = meta)
     }
     StructType(fields.toSeq)
   }

@@ -122,6 +122,7 @@ class IcebergRestCatalog extends TableCatalog with SupportsNamespaces {
 
   private def loadTableAt(ident: Identifier, snapshotId: Option[Long]): Table = {
     val spark = SparkSession.active
+    Iceberg.enableFieldIdReads(spark)
     val conf = spark.sparkContext.hadoopConfiguration
     val meta = Iceberg.resolveMeta(conf, uri, token, ident.namespace().toSeq, ident.name())
     val snap = snapshotId match {
