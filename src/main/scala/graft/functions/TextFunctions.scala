@@ -113,6 +113,7 @@ object TextFunctions {
   }
 
   def registerAll(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.GraftColumnShim
     spark.udf.register("graft_token_count", (s: String) =>
       if (s == null) 0 else s.split("\\s+").length)
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
@@ -122,6 +123,22 @@ object TextFunctions {
             s"rolling_hash expects exactly 1 argument, got ${exprs.length}")
         RollingHashExpr(exprs.head)
       }, "built-in")
+    // SQL spellings for the Column-level curation/analysis functions:
+    // build the same composite expressions the Scala API produces, so
+    // the SQL path stays codegen'd builtins (never a UDF detour)
+    def unary(name: String, f: Column => Column): Unit =
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, exprs => {
+          if (exprs.length != 1)
+            throw new IllegalArgumentException(
+              s"$name expects exactly 1 argument, got ${exprs.length}")
+          GraftColumnShim.resolvedExpression(f(GraftColumnShim.column(exprs.head)))
+        }, "built-in")
+    unary("pii_redact", piiRedact)
+    unary("pii_counts", piiCounts)
+    unary("doc_fingerprint", fingerprint)
+    unary("lang_id", langId)
+    unary("quality_score", qualityScore)
   }
 }
 

@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** Distributed Lloyd's k-means over an embedding column — the corpus
+  * clustering step training pipelines use for topic balancing and
+  * semantic dedup (cluster-then-sample).
+  *
+  * One Lloyd iteration is two narrow passes:
+  *  1. assignment — centroids broadcast as a literal array (k×dim
+  *     doubles, KBs), nearest-by-cosine computed in the codegen'd
+  *     [[VectorExpressions.cosineSim]]; no shuffle, no UDF.
+  *  2. update — `posexplode` the assigned vectors to (cluster, dim, x)
+  *     and average per (cluster, dim): one map-side-combined shuffle of
+  *     k×dim partial sums per partition, independent of corpus size.
+  *
+  * Iterating is a driver loop collecting only the k×dim centroid matrix
+  * per round (the classic MLlib shape). Determinism: ties break to the
+  * smallest centroid id, init is the `k` smallest-id corpus vectors —
+  * a pure function of the data, reproducible anywhere.
+  */
+object KMeans {
+
+  /** Deterministic init: the k corpus vectors with the smallest ids. */
+  def initCentroids(df: DataFrame, embCol: String, idCol: String,
+                    k: Int): Array[(Long, Array[Double])] =
+    df.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .orderBy(col(idCol))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
+
+  /** Add a `cluster` column: nearest centroid by cosine, ties to the
+    * smallest centroid id. Centroids ride along as broadcast literals.
+    */
+  def assign(df: DataFrame, embCol: String,
+             centroids: Array[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val v = col(embCol).cast("array<double>")
+    val best = centroids.map { case (cid, c) =>
+      struct(VectorExpressions.cosineSim(v, typedLit(c)).as("sim"),
+        lit(-cid).as("neg_cid"))
+    }.reduce((a, b) => greatest(a, b))
+    df.withColumn("cluster", -best.getField("neg_cid"))
+  }
+
+  /** One Lloyd update: element-wise mean of each cluster's members.
+    * Returns (cluster, n_members, centroid: array<double>).
+    */
+  def lloydStep(df: DataFrame, embCol: String,
+                centroids: Array[(Long, Array[Double])]): DataFrame =
+    assign(df, embCol, centroids)
+      .select(col("cluster"), posexplode(col(embCol).cast("array<double>"))
+        .as(Seq("dim", "x")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n"), avg(col("x")).as("mean_x"))
+      .groupBy(col("cluster"))
+      .agg(first(col("n")).as("n_members"),
+        array_sort(collect_list(struct(col("dim"), col("mean_x"))))
+          .getField("mean_x").as("centroid"))
+
+  /** Run `iters` Lloyd iterations from the deterministic init; only the
+    * k×dim centroid matrix crosses the driver per round.
+    */
+  def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
+          iters: Int): Array[(Long, Array[Double])] = {
+    var cs = initCentroids(df, embCol, idCol, k)
+    var i = 0
+    while (i < iters) {
+      cs = lloydStep(df, embCol, cs)
+        .select(col("cluster"), col("centroid"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1)
+      i += 1
+    }
+    cs
+  }
+}

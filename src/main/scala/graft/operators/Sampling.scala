@@ -46,8 +46,12 @@ object Sampling {
   def stratifiedFixed(df: DataFrame, stratumCol: String, idCol: String,
                       n: Int): DataFrame = {
     require(n > 0, s"per-stratum sample size must be > 0, got $n")
+    // rank by the FULL md5 string: the 2-hex-char hashKey prefix is fine
+    // as a Bernoulli threshold but collides ~1/256 per pair as a rank
+    // order, and a prefix collision straddling rank n makes the picked
+    // set tie-break-dependent instead of a pure function of the hash
     val w = Window.partitionBy(col(stratumCol))
-      .orderBy(hashKey(col(idCol)), col(idCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= n)
       .drop("__rn")

@@ -115,6 +115,62 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  // ---- int8 scalar quantization ----------------------------------------
+
+  /** Per-vector int8 scalar quantization: codes = floor(v/s + 0.5) with
+    * s = max|v|/127 — 4× smaller than float32 (16× vs float64) per
+    * stored vector, which at 100 TB is the difference between an index
+    * that fits the cluster's memory/bandwidth and one that doesn't.
+    * COSINE IS SCALE-INVARIANT, so quantized cosine needs no
+    * dequantization: cos(codes_a, codes_b) ≈ cos(a, b) to ~1e-3.
+    * The floor(x+0.5) form (not `round`) is deliberate: identical
+    * semantics in every engine for negative midpoints, so the codes are
+    * reproducible anywhere. One-time ingest pass (HOF lambdas here are
+    * interpreted — fine off the query hot path; queries run on the
+    * codegen'd cosine over the cast code arrays).
+    *
+    * @return (idCol, qcodes: array<tinyint>, qscale: double)
+    */
+  def quantize(df: DataFrame, embCol: String, idCol: String): DataFrame = {
+    val v = col(embCol).cast("array<double>")
+    df.select(col(idCol), v.as("__v"))
+      .withColumn("qscale",
+        greatest(aggregate(transform(col("__v"), x => abs(x)), lit(0.0),
+          (acc, x) => greatest(acc, x)) / 127.0, lit(1e-30)))
+      .select(col(idCol),
+        transform(col("__v"), x => floor(x / col("qscale") + 0.5).cast("tinyint"))
+          .as("qcodes"),
+        col("qscale"))
+  }
+
+  /** Top-k by int8-quantized cosine with exact rescoring: rank the
+    * corpus on the quantized codes (the bandwidth-cheap pass), take a
+    * `pool`-sized candidate set, then re-rank those few by exact cosine
+    * on the original vectors. With pool ≥ 2k the quantization error
+    * (~1e-3 in cosine) is far below candidate gaps on real corpora and
+    * the result equals exact brute force — which is what the q75 gate
+    * holds it to.
+    */
+  def quantizedTopK(df: DataFrame, embCol: String, idCol: String,
+                    query: Array[Double], k: Int, pool: Int = 0,
+                    scale: Int = 4): DataFrame = {
+    val poolN = if (pool > 0) pool else 4 * k
+    val qs = math.max(query.map(math.abs).max / 127.0, 1e-30)
+    val qCodes = query.map(x => math.floor(x / qs + 0.5))
+    val cand = quantize(df, embCol, idCol)
+      .select(col(idCol),
+        cosine(col("qcodes").cast("array<double>"), typedLit(qCodes)).as("__qsim"))
+      .orderBy(col("__qsim").desc, col(idCol))
+      .limit(poolN)
+      .select(col(idCol))
+    val q = typedLit(query)
+    df.join(broadcast(cand), Seq(idCol))
+      .select(col(idCol).as("id"),
+        round(cosine(col(embCol).cast("array<double>"), q), scale).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
   // ---- IVF-flat -------------------------------------------------------
 
   /** Deterministic coarse centroids: the `nlist` corpus vectors with the

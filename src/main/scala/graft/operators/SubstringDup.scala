@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact-substring duplication signals (the Lee et al. 2022
+  * "Deduplicating Training Data Makes Language Models Better" family,
+  * re-expressed relationally): for each document, the share of its
+  * character n-gram start positions whose n-gram also occurs in at
+  * least one OTHER document. High shares mark boilerplate and
+  * cross-document copy-paste that doc-level near-dedup (MinHash) keeps.
+  *
+  * Instead of a suffix array (a global sorted structure that doesn't
+  * shard), the relational shape is: stride-sampled n-gram extraction
+  * (one narrow pass, O(chars/stride) rows) → distinct (doc, gram) →
+  * gram-count — two map-side-combined shuffles keyed on the gram. At
+  * 100 TB the gram key should be `xxhash64(gram)` (8 B vs n B keys, the
+  * count is collision-tolerant); the gate keeps raw grams so the DuckDB
+  * oracle is byte-identical. Stride trades recall for volume exactly
+  * like the paper's sampled suffix scans.
+  */
+object SubstringDup {
+
+  /** Per-document duplicated-span stats: `n_grams` sampled positions,
+    * `n_dup` positions whose n-gram occurs in ≥2 distinct docs,
+    * `dup_frac` their ratio. Docs shorter than `n` chars are dropped
+    * (they have no n-gram position).
+    */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int, stride: Int): DataFrame = {
+    require(n > 0 && stride > 0, s"n and stride must be > 0, got n=$n stride=$stride")
+    val grams = df.filter(length(col(textCol)) >= n)
+      .select(col(idCol).as("__id"),
+        explode(expr(
+          s"transform(sequence(1, length($textCol) - ${n - 1}, $stride), " +
+            s"i -> substring($textCol, i, $n))")).as("gram"))
+    val shared = grams.select(col("__id"), col("gram")).distinct()
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("gram"), lit(1).as("__dup"))
+    grams.join(shared, Seq("gram"), "left")
+      .groupBy(col("__id").as(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__dup")), lit(0)).cast("long").as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 4))
+  }
+}

@@ -18,20 +18,27 @@ import graft.operators.{Decontaminate, Sampling}
   */
 object Curation {
 
+  /** Deterministic synthetic-PII augmentation — the corpus has no PII,
+    * so gates plant it identically in the engine and the oracle (the
+    * same CASE/concat in SQL); shared by q69 and the qs03 stream.
+    */
+  def plantPii(id: org.apache.spark.sql.Column,
+               text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(text,
+      when(id % 3 === 0, concat(lit(" reach me at user"),
+        id.cast("string"), lit("@example.com or admin@test.org today")))
+      .when(id % 3 === 1, concat(lit(" call +1 555-0"),
+        lpad((id % 1000).cast("string"), 3, "0"), lit(" now")))
+      .otherwise(concat(lit(" server 10."), (id % 256).cast("string"),
+        lit(".0.1 and 192.168.1."), (id % 200).cast("string"), lit(" up"))))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q69_pii_redact",
       (s, d) => {
         val id = col("doc_id")
-        val planted = concat(col("text"),
-          when(id % 3 === 0, concat(lit(" reach me at user"),
-            id.cast("string"), lit("@example.com or admin@test.org today")))
-          .when(id % 3 === 1, concat(lit(" call +1 555-0"),
-            lpad((id % 1000).cast("string"), 3, "0"), lit(" now")))
-          .otherwise(concat(lit(" server 10."), (id % 256).cast("string"),
-            lit(".0.1 and 192.168.1."), (id % 200).cast("string"), lit(" up"))))
         load(s, d, "documents")
-          .select(id, planted.as("t"))
+          .select(id, plantPii(id, col("text")).as("t"))
           .select(id, TextFunctions.piiCounts(col("t")).as("pii"),
             TextFunctions.piiRedact(col("t")).as("redacted"))
           .select(id,
@@ -159,6 +166,31 @@ object Curation {
              |  FROM documents) WHERE rn <= 20
              |ORDER BY lang, doc_id""".stripMargin)),
 
+    QueryDef("q76_sequence_pack",
+      (s, d) => {
+        // Shard-parallel sequence packing: per-language fixed-budget
+        // bins in doc_id order (the concat-then-chunk layout LLM
+        // pretraining uses); the oracle recomputes the same exclusive
+        // prefix-sum assignment independently.
+        val docs = load(s, d, "documents")
+          .withColumn("tokens", size(split(col("text"), " ")))
+        graft.operators.Packing.binStats(docs, "lang", "doc_id", "tokens",
+            budget = 2000L)
+          .withColumnRenamed("sum_weight", "sum_tokens")
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some("""WITH t AS (SELECT lang, doc_id,
+             |  CAST(len(string_split(text, ' ')) AS INT) AS tokens FROM documents),
+             |b AS (SELECT lang, doc_id, tokens,
+             |  CAST(floor(coalesce(sum(tokens) OVER (
+             |    PARTITION BY lang ORDER BY doc_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+             |    AS BIGINT) AS bin
+             |  FROM t)
+             |SELECT lang, bin, count(*) AS n_docs,
+             |  CAST(sum(tokens) AS BIGINT) AS sum_tokens
+             |FROM b GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)),
+
     QueryDef("q74_hash_sample",
       (s, d) => Sampling.hashSample(load(s, d, "documents"), "doc_id", 20)
         .groupBy(col("lang"))
@@ -167,6 +199,72 @@ object Curation {
       Some("""SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM documents
              |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
-             |GROUP BY lang ORDER BY lang""".stripMargin))
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q79_mix_upsample",
+      (s, d) => {
+        // Corpus mixing (graft.operators.Mixing): per-source epoch
+        // weights — src0 seen 2.5× (integer copies + md5-Bernoulli
+        // fractional copy), src1 downsampled to 25%, src2 dropped,
+        // everything else 1×. The oracle replays the identical
+        // deterministic coin and replication in SQL.
+        val mixed = graft.operators.Mixing.upsample(
+          load(s, d, "documents"), "source", "doc_id",
+          Map("src0" -> 2.5, "src1" -> 0.25, "src2" -> 0.0))
+        mixed.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("n_chars")).cast("long").as("sum_chars"))
+          .orderBy(col("source"))
+      },
+      Some("""WITH w AS (
+             |  SELECT doc_id, source, n_chars,
+             |    CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+             |                WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt
+             |  FROM documents),
+             |c AS (
+             |  SELECT source, n_chars, CAST(floor(wt) AS BIGINT) +
+             |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             |      printf('%04x', CAST((wt - floor(wt)) * 65536 AS BIGINT))
+             |    THEN 1 ELSE 0 END AS n_copies
+             |  FROM w),
+             |r AS (
+             |  SELECT source, n_chars,
+             |    unnest(generate_series(0, n_copies - 1)) AS replica
+             |  FROM c WHERE n_copies > 0)
+             |SELECT source, count(*) AS n_rows,
+             |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM r GROUP BY source ORDER BY source""".stripMargin)),
+
+    QueryDef("qs03_stream_curation",
+      (s, d) => {
+        // STREAMING curation gate: plant → redact → deterministic sample
+        // → per-language summary runs as a real Structured Streaming
+        // query (file source, complete-mode memory sink) using the SAME
+        // Column expressions and operators as the q69/q74 batch gates —
+        // so the batch path and the ingestion stream provably cannot
+        // drift. The oracle recomputes redaction+sampling in SQL; the
+        // sum over REDACTED lengths only matches if redaction actually
+        // ran inside the stream.
+        val tmp = java.nio.file.Files.createTempDirectory("qs03").toString
+        load(s, d, "documents").coalesce(1).write.mode("append").parquet(tmp)
+        graft.streaming.DocsStream.runCurationAsStream(s, tmp, "qs03_curation_mem")
+          .orderBy(col("lang"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, lang, text || CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com or admin@test.org today'
+             |    WHEN 1 THEN ' call +1 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now'
+             |    ELSE ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 and 192.168.1.' || CAST(doc_id % 200 AS VARCHAR) || ' up'
+             |  END AS t FROM documents),
+             |red AS (
+             |  SELECT doc_id, lang,
+             |    regexp_replace(regexp_replace(regexp_replace(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\+[0-9]{1,3} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+             |  FROM aug
+             |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14')
+             |SELECT lang, count(*) AS n, CAST(sum(length(redacted)) AS BIGINT) AS sum_chars
+             |FROM red GROUP BY lang ORDER BY lang""".stripMargin))
   )
 }

@@ -121,6 +121,32 @@ object Events {
           .orderBy(col("event_type"))
       },
       Some("""SELECT event_type, count(*) AS n, round(sum(value),2) AS total_value
-             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
+    QueryDef("qs04_stream_join",
+      (s, d) => {
+        // STREAM-STREAM JOIN gate: click→purchase attribution (same
+        // user, purchase within 1 h after the click) runs as a real
+        // Structured Streaming two-source inner interval join with
+        // watermarks on both sides. Inner matches emit regardless of
+        // watermark closure, so the oracle is the plain batch interval
+        // join; the summary is computed batch-side from the sink.
+        val ev = load(s, d, "events")
+        val tmp = java.nio.file.Files.createTempDirectory("qs04").toString
+        ev.coalesce(1).write.mode("append").parquet(tmp)
+        graft.streaming.EventsStream
+          .runIntervalJoinAsStream(s, tmp, "qs04_join_mem")
+          .groupBy(col("c_user").as("user_id"))
+          .agg(count(lit(1)).as("n_pairs"),
+            round(sum(col("value")), 2).as("attributed_value"))
+          .orderBy(col("user_id"))
+      },
+      Some("""WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+             |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+             |SELECT c.user_id, count(*) AS n_pairs,
+             |  round(sum(p.value), 2) AS attributed_value
+             |FROM c JOIN p ON c.user_id = p.user_id
+             |  AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+             |GROUP BY c.user_id ORDER BY c.user_id""".stripMargin))
   )
 }

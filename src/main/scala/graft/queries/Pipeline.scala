@@ -267,6 +267,31 @@ object Pipeline {
              |    ELSE 'fr' END AS lang_pred
              |  FROM s) GROUP BY lang_pred ORDER BY lang_pred""".stripMargin)),
 
+    QueryDef("q75_quantized_ann",
+      (s, d) => {
+        // int8 scalar quantization with exact rescoring: the quantized
+        // pass ranks on 4×-smaller codes (cosine is scale-invariant, so
+        // codes need no dequantization), a pool of 2k candidates is
+        // re-ranked by exact cosine — and the result is held to the
+        // EXACT brute-force oracle, value-checking the whole
+        // quantize→rank→rescore pipeline. Pool sufficiency was probed:
+        // quantized top-20 contains the exact top-10 with margin
+        // (~1e-3 cosine error vs ~1e-2 candidate gaps).
+        val emb = load(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        SimilaritySearch.quantizedTopK(emb.filter(col("vec_id") =!= 0),
+          "embedding", "vec_id", query, k = 10, pool = 20)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |t AS (SELECT v AS tv FROM e WHERE vec_id = 0)
+             |SELECT vec_id AS id,
+             |round(list_dot_product(v, tv) /
+             |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(tv, tv))), 4) AS cos_sim
+             |FROM e, t WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
+
     QueryDef("q59_embedding_lsh_neardup",
       (s, d) => {
         // LSH recall at threshold 0.3 is < 1 by design (~33% here), so the

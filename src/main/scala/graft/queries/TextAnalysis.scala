@@ -167,6 +167,63 @@ object TextAnalysis {
              |comp AS (
              |  SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u)
              |SELECT component, count(*) AS n_members FROM comp
-             |GROUP BY component ORDER BY component""".stripMargin))
+             |GROUP BY component ORDER BY component""".stripMargin)),
+
+    QueryDef("q77_vocab_topk",
+      (s, d) => {
+        // Global vocabulary top-k — the corpus-statistics pass behind BPE
+        // training and frequency filtering. Two-level aggregation: the
+        // word groupBy is map-side-combined (partial counts per
+        // partition, one shuffle of distinct words, not token volume);
+        // the final TopN is a driver-side k-row sort.
+        load(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+          .groupBy(col("word"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("word"))
+          .limit(50)
+      },
+      Some("""SELECT word, count(*) AS cnt
+             |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+             |WHERE length(word) > 0
+             |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin)),
+
+    QueryDef("q80_dup_ngram_spans",
+      (s, d) => {
+        // Exact-substring duplication census (Lee et al. 2022 shape):
+        // stride-4-sampled char 16-grams; a position is "duplicated" if
+        // its gram occurs in >= 2 distinct docs. Summarized per language
+        // so the gate result is small; per-doc dup_frac is the library
+        // API (SubstringDup.dupSpanStats).
+        val docs = load(s, d, "documents")
+        graft.operators.SubstringDup
+          .dupSpanStats(docs, "doc_id", "text", n = 16, stride = 4)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_dup")).cast("long").as("total_dup"),
+            round(avg(col("dup_frac")), 4).as("avg_dup_frac"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, substr(text, CAST(i AS INT), 16) AS gram
+             |  FROM (SELECT doc_id, text,
+             |          unnest(generate_series(1, length(text) - 15, 4)) AS i
+             |        FROM documents WHERE length(text) >= 16)),
+             |shared AS (
+             |  SELECT gram FROM (
+             |    SELECT gram, count(DISTINCT doc_id) AS nd FROM g GROUP BY gram)
+             |  WHERE nd >= 2),
+             |per_doc AS (
+             |  SELECT g.doc_id, count(*) AS n_grams,
+             |    sum(CASE WHEN s.gram IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+             |  FROM g LEFT JOIN shared s ON g.gram = s.gram
+             |  GROUP BY g.doc_id)
+             |SELECT d.lang, count(*) AS n_docs,
+             |  CAST(sum(p.n_dup) AS BIGINT) AS total_dup,
+             |  round(avg(round(CAST(p.n_dup AS DOUBLE) / p.n_grams, 4)), 4) AS avg_dup_frac
+             |FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin))
   )
 }

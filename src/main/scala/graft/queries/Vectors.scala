@@ -75,6 +75,40 @@ object Vectors {
              |    (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 4) AS cos_sim
              |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
              |WHERE cos_sim > 0.3
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    QueryDef("q78_kmeans_step",
+      (s, d) => {
+        // One distributed Lloyd iteration (graft.operators.KMeans):
+        // deterministic init (8 smallest-id vectors), broadcast-literal
+        // cosine assignment (codegen'd, no shuffle), posexplode update
+        // (k×dim partial sums per partition). The oracle recomputes the
+        // identical iteration relationally in DuckDB — assignment via
+        // windowed argmax, update via aligned unnest.
+        val emb = load(s, d, "embeddings")
+        val cs = graft.operators.KMeans.initCentroids(emb, "embedding", "vec_id", 8)
+        graft.operators.KMeans.lloydStep(emb, "embedding", cs)
+          .select(col("cluster"), col("n_members"),
+            round(sqrt(aggregate(col("centroid"), lit(0.0),
+              (acc, x) => acc + x * x)), 4).as("centroid_norm"))
+          .orderBy(col("cluster"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+             |      FROM e ORDER BY vec_id LIMIT 8),
+             |a AS (SELECT vec_id, v, cid, row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY list_dot_product(v, cv) /
+             |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+             |        cid) AS rn
+             |      FROM e CROSS JOIN c),
+             |m AS (SELECT cid AS cluster, vec_id, v FROM a WHERE rn = 1),
+             |n AS (SELECT cluster, count(*) AS n_members FROM m GROUP BY cluster),
+             |dims AS (SELECT cluster, unnest(generate_series(0, len(v) - 1)) AS dim,
+             |               unnest(v) AS x FROM m),
+             |g AS (SELECT cluster, dim, avg(x) AS mx FROM dims GROUP BY cluster, dim)
+             |SELECT g.cluster, n.n_members,
+             |  round(sqrt(sum(mx * mx)), 4) AS centroid_norm
+             |FROM g JOIN n USING (cluster)
+             |GROUP BY g.cluster, n.n_members ORDER BY g.cluster""".stripMargin))
   )
 }

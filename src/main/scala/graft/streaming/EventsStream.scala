@@ -95,6 +95,48 @@ object EventsStream {
     spark.table(queryName)
   }
 
+  /** Stream-stream event-time interval join: purchases attributed to a
+    * preceding click by the same user within `window`. Both sides carry
+    * watermarks so Spark bounds the join state — each side buffers only
+    * rows younger than (watermark − window); without the bound a
+    * stream-stream join's state grows with the full history, the classic
+    * 100 TB/day failure mode. Inner-join matches emit as soon as both
+    * rows have arrived (the watermark gates state EVICTION, not
+    * emission).
+    */
+  def clickAttribution(clicks: DataFrame, purchases: DataFrame,
+                       window: String = "1 hour"): DataFrame = {
+    val c = clicks
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", window)
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", window)
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $window"))
+  }
+
+  /** Drive the stream-stream attribution join synchronously over a
+    * parquet directory; returns the raw join pairs from the memory sink.
+    */
+  def runIntervalJoinAsStream(spark: SparkSession, inputDir: String,
+                              queryName: String): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    def side(tpe: String): DataFrame =
+      spark.readStream.schema(schema).parquet(inputDir)
+        .filter(col("event_type") === tpe)
+    val joined = clickAttribution(side("click"), side("purchase"))
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Drive the streaming pipeline synchronously over the batch parquet —
     * the local-mode smoke path (`format("memory")` +
     * `processAllAvailable`).

@@ -10,4 +10,13 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Eagerly convert a Column's node tree to a catalyst Expression.
+    * `expression` wraps non-trivial nodes in a lazy `ColumnNodeExpression`
+    * that only the DataFrame analysis path unwraps — an expression
+    * embedded in a FunctionRegistry builder output never goes through
+    * that path and would reach codegen unresolved.
+    */
+  def resolvedExpression(c: Column): Expression =
+    classic.ColumnNodeToExpressionConverter(c.node)
 }

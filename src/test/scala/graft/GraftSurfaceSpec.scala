@@ -21,6 +21,18 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(u == "https://web.archive.org/cdx/search/cdx?url=example.com&output=csv" +
       "&limit=5&filter=statuscode:200")
     assert(spark.sql("SELECT rolling_hash('abc') AS h").head().getLong(0) != 0L)
+    // curation/analysis functions have SQL spellings built from the same
+    // composite expressions as the Scala API (codegen'd builtins, no UDF)
+    assert(spark.sql("SELECT pii_redact('mail a@b.co from 10.1.2.3') AS r")
+      .head().getString(0) == "mail <EMAIL> from <IP>")
+    assert(spark.sql("SELECT pii_counts('a@b.co c@d.org').n_emails AS n")
+      .head().getInt(0) == 2)
+    assert(spark.sql("SELECT doc_fingerprint('a  b') = doc_fingerprint('A B') AS eq")
+      .head().getBoolean(0))
+    assert(spark.sql("SELECT lang_id('the cat and the hat') AS l")
+      .head().getString(0) == "en")
+    assert(spark.sql("SELECT quality_score('the quick fox').n_words AS w")
+      .head().getInt(0) == 3)
   }
 
   test("createSecret: CREATE SECRET parity — validation wording, SQL UDF, redaction") {

@@ -132,4 +132,74 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     val out = Sampling.stratifiedFixed(tiny, "grp", "id", 5)
     assert(out.count() == 3)
   }
+
+  // --- Packing --------------------------------------------------------------
+
+  test("packBins assigns bins by exclusive prefix sum per shard") {
+    val rows = Seq(
+      ("a", 1L, 60L), ("a", 2L, 50L), ("a", 3L, 10L), ("a", 4L, 100L),
+      ("b", 1L, 250L), ("b", 2L, 10L))
+      .toDF("shard", "ord", "w")
+    val got = Packing.packBins(rows, "shard", "ord", "w", budget = 100L)
+      .select($"shard", $"ord", $"bin").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // shard a: starts at 0, 60, 110, 120 → bins 0, 0, 1, 1
+    assert(got(("a", 1L)) == 0L && got(("a", 2L)) == 0L)
+    assert(got(("a", 3L)) == 1L && got(("a", 4L)) == 1L)
+    // shard b packs independently: starts 0, 250 → bins 0, 2 (row wider
+    // than the budget spills across bin ranges, like a long doc chunked
+    // over training sequences)
+    assert(got(("b", 1L)) == 0L && got(("b", 2L)) == 2L)
+  }
+
+  // --- Mixing ---------------------------------------------------------------
+
+  test("upsample: integer weights replicate exactly, zero drops, default is 1") {
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("id", "src")
+    val out = Mixing.upsample(df, "src", "id", Map("a" -> 3.0, "b" -> 0.0))
+      .groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 6L, "c" -> 1L)) // b dropped, c default 1×
+  }
+
+  test("upsample: fractional weight keeps a deterministic ~frac share") {
+    val df = (0L until 1000L).map(i => (i, "s")).toDF("id", "src")
+    val n1 = Mixing.upsample(df, "src", "id", Map("s" -> 1.5)).count()
+    val n2 = Mixing.upsample(df.repartition(7), "src", "id", Map("s" -> 1.5)).count()
+    assert(n1 == n2)                       // pure function of (ids, weights)
+    assert(n1 > 1350 && n1 < 1650, s"fractional share off: $n1") // ~1500
+    // replica indices are dense 0..n_copies-1
+    val reps = Mixing.upsample(df, "src", "id", Map("s" -> 2.0))
+      .groupBy("id").agg(collect_list(col("replica")).as("r"))
+      .select(array_sort(col("r"))).distinct().collect()
+    assert(reps.length == 1 && reps(0).getSeq[Long](0) == Seq(0L, 1L))
+  }
+
+  // --- SubstringDup ---------------------------------------------------------
+
+  test("dupSpanStats marks cross-doc shared n-grams, not unique text") {
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val df = Seq(
+      (1L, shared + " UNIQUEONE-SUFFIX-AAAA"),
+      (2L, shared + " UNIQUETWO-SUFFIX-BBBB"),
+      (3L, "completely different text with nothing in common here at all"),
+      (4L, "tiny")) // shorter than n -> dropped
+      .toDF("id", "t")
+    val out = SubstringDup.dupSpanStats(df, "id", "t", n = 16, stride = 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!out.contains(4L))
+    assert(out(1L) > 0.5 && out(2L) > 0.5) // shared prefix dominates
+    assert(out(3L) == 0.0)
+  }
+
+  test("packBins is deterministic under repartitioning") {
+    val rows = (0L until 200L).map(i => (s"s${i % 4}", i, 30L + i % 7))
+      .toDF("shard", "ord", "w")
+    val a = Packing.packBins(rows, "shard", "ord", "w", 100L)
+      .select($"shard", $"ord", $"bin").collect().map(_.toSeq).toSet
+    val b = Packing.packBins(rows.repartition(13), "shard", "ord", "w", 100L)
+      .select($"shard", $"ord", $"bin").collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
 }

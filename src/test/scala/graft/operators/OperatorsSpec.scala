@@ -124,6 +124,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.5, s"ANN recall too low: $recall (exact=$exact ann=$ann)")
   }
 
+  test("int8 quantization: codes bounded, scale-invariant cosine, rescored top-k exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = SimilaritySearch.quantize(emb, "embedding", "vec_id")
+    // codes live in [-127, 127]; max-|v| element hits ±127 exactly
+    val stats = q.select(
+      min(array_min(col("qcodes"))), max(array_max(col("qcodes"))),
+      min(col("qscale"))).head()
+    assert(stats.getByte(0) >= -127 && stats.getByte(1) <= 127)
+    assert(stats.getDouble(2) > 0.0)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val exact = SimilaritySearch.bruteForceTopK(corpus, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val quant = SimilaritySearch.quantizedTopK(corpus, "embedding", "vec_id", query,
+      k = 10, pool = 20)
+      .collect().map(_.getLong(0)).toSeq
+    assert(quant == exact, s"rescored quantized top-k diverged: $quant vs $exact")
+  }
+
   test("ivf: cells partition losslessly; planted cluster found at nprobe=1") {
     // corpus: 60 random vectors + a planted tight cluster of 5 around one
     // anchor; query near the anchor
@@ -217,6 +237,35 @@ class OperatorsSpec extends AnyFunSuite {
     TextFunctions.registerAll(spark)
     val viaSql = spark.sql("SELECT rolling_hash('hello world')").head().getLong(0)
     assert(viaSql == expected)
+  }
+
+  test("kmeans: planted clusters recovered, assignment deterministic, counts partition") {
+    import spark.implicits._
+    // 3 tight planted clusters around orthogonal-ish anchors
+    val anchors = Seq(
+      Array(10.0, 0.0, 0.0, 1.0), Array(0.0, 10.0, 0.0, 1.0), Array(0.0, 0.0, 10.0, 1.0))
+    // interleave ids so the deterministic smallest-id init picks one
+    // seed per planted cluster (k-means converges from any reasonable
+    // init; the test isn't about escaping adversarial local minima)
+    val rows = for {
+      (a, c) <- anchors.zipWithIndex; i <- 0 until 20
+    } yield (i.toLong * 3 + c, a.map(x => x + (i % 5) * 0.01))
+    val df = rows.toDF("vec_id", "embedding")
+    val cs = KMeans.fit(df, "embedding", "vec_id", k = 3, iters = 3)
+    assert(cs.length == 3)
+    // every member lands with its planted cluster-mates
+    val assigned = KMeans.assign(df, "embedding", cs)
+      .select(col("vec_id"), col("cluster")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byPlanted = assigned.groupBy(_._1 % 3).view.mapValues(_.map(_._2).distinct)
+    byPlanted.foreach { case (p, cls) =>
+      assert(cls.size == 1, s"planted cluster $p split across $cls") }
+    // the 3 planted groups map to 3 distinct centroids
+    assert(byPlanted.values.flatten.toSet.size == 3)
+    // lloydStep member counts partition the corpus
+    val n = KMeans.lloydStep(df, "embedding", cs)
+      .agg(sum(col("n_members"))).head().getLong(0)
+    assert(n == rows.size)
   }
 
   test("langId picks marker-dominant language deterministically") {

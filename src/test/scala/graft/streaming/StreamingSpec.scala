@@ -87,6 +87,28 @@ class StreamingSpec extends AnyFunSuite {
     s.foreach { case (k, v) => assert(b.get(k).contains(v), s"window $k: $v vs ${b.get(k)}") }
   }
 
+  test("clickAttribution joins purchases to clicks within the window, drops outside") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val joined = EventsStream.clickAttribution(
+      clicks.toDF().toDF("event_id", "user_id", "ts"),
+      purchases.toDF().toDF("event_id", "user_id", "ts", "value"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("attr_test").start()
+    clicks.addData((1L, 7L, ts("2024-01-01 10:00:00")), (2L, 8L, ts("2024-01-01 10:00:00")))
+    purchases.addData(
+      (10L, 7L, ts("2024-01-01 10:30:00"), 5.0),  // in window  -> match
+      (11L, 7L, ts("2024-01-01 12:00:00"), 9.0),  // too late   -> no match
+      (12L, 9L, ts("2024-01-01 10:10:00"), 1.0))  // other user -> no match
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attr_test")
+      .select(col("click_id"), col("purchase_id"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 10L, 5.0)))
+  }
+
   implicit class Tup3Ops(a: Array[(java.sql.Timestamp, String, Long)]) {
     def toMap2: Map[(java.sql.Timestamp, String), Long] =
       a.map(t => (t._1, t._2) -> t._3).toMap
