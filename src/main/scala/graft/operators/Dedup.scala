@@ -358,4 +358,32 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  // ---- canonical selection --------------------------------------------
+
+  /** Pick one canonical representative per near-dup cluster: the member
+    * with the highest `qualityCol` (ties to the smallest id) — the
+    * "keep the best copy" policy that follows pairs→components dedup in
+    * a curation pipeline. `components` is [[ConnectedComponents.components]]
+    * output (id, component); docs absent from it are untouched
+    * singletons and remain implicitly canonical.
+    *
+    * One shuffle on the component key (a window `row_number`); cluster
+    * sizes are near-dup cluster sizes, so skew follows the dup
+    * histogram — the same remedy as any hot key applies, and the
+    * quality argmax never rejoins text payloads (ids + quality only).
+    *
+    * @return (id, component, quality, is_canonical)
+    */
+  def canonicalPerCluster(docs: DataFrame, components: DataFrame,
+                          idCol: String, qualityCol: Column): DataFrame = {
+    val q = docs.select(col(idCol).cast("long").as("id"),
+      qualityCol.cast("double").as("quality"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col("quality").desc, col("id"))
+    components.select(col("id").cast("long").as("id"), col("component"))
+      .join(q, "id")
+      .withColumn("is_canonical", row_number().over(w) === 1)
+  }
 }

@@ -169,6 +169,84 @@ object TextAnalysis {
              |SELECT component, count(*) AS n_members FROM comp
              |GROUP BY component ORDER BY component""".stripMargin)),
 
+    QueryDef("q81_bm25_search",
+      (s, d) => {
+        // BM25 retrieval (graft.operators.Bm25): score the corpus
+        // against a 4-term query; the explode filters to query terms
+        // before any shuffle, corpus stats ride a broadcast 1-row join.
+        // Ordering uses the ROUNDED score + id so the top-k cut is
+        // reproducible across engines.
+        graft.operators.Bm25.topK(load(s, d, "documents"),
+          "doc_id", "text", Seq("spark", "vector", "hash", "stream"), k = 20)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+             |l AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+             |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM l),
+             |tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+             |       FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+             |       WHERE term IN ('spark', 'vector', 'hash', 'stream')
+             |       GROUP BY doc_id, term),
+             |dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+             |sc AS (SELECT tf.doc_id,
+             |         sum(ln(1 + (stats.n - dfq.df + 0.5) / (dfq.df + 0.5)) *
+             |             tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * l.dl / stats.avgdl))) AS s
+             |       FROM tf JOIN dfq USING (term) JOIN l USING (doc_id) CROSS JOIN stats
+             |       GROUP BY tf.doc_id)
+             |SELECT doc_id, round(s, 3) AS score FROM sc
+             |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin)),
+
+    QueryDef("q83_canonical_selection",
+      (s, d) => {
+        // Pairs → components → KEEP THE BEST COPY: the full curation
+        // dedup policy end to end. Reuses the q68 cluster pipeline, then
+        // Dedup.canonicalPerCluster picks the highest-n_chars member
+        // (ties to the smallest id) and reports per-cluster savings.
+        val docs = load(s, d, "documents").filter(col("doc_id") < 200)
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "text", "doc_id",
+          blockCol = floor(length(col("text")) / 100), threshold = 0.8, k = 3)
+        val comps = graft.operators.ConnectedComponents
+          .components(pairs, "id_a", "id_b")
+        graft.operators.Dedup
+          .canonicalPerCluster(docs, comps, "doc_id", col("n_chars"))
+          .groupBy(col("component"))
+          .agg(max(when(col("is_canonical"), col("id"))).as("kept_id"),
+            (count(lit(1)) - 1).as("n_removed"),
+            sum(when(!col("is_canonical"), col("quality")).otherwise(lit(0.0)))
+              .cast("long").as("chars_removed"))
+          .orderBy(col("component"))
+      },
+      Some("""WITH RECURSIVE t AS (
+             |  SELECT doc_id, CAST(floor(length(text) / 100) AS BIGINT) AS blk,
+             |    list_distinct([array_to_string(w[i:i+2], ' ')
+             |      for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
+             |        FROM documents WHERE doc_id < 200)),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM (
+             |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+             |    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+             |  WHERE jaccard >= 0.8),
+             |edges AS (
+             |  SELECT id_a AS u, id_b AS v FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(u, v) AS (
+             |  SELECT u, v FROM edges
+             |  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),
+             |comp AS (
+             |  SELECT u AS id, least(u, min(v)) AS component FROM reach GROUP BY u),
+             |j AS (SELECT c.id, c.component, d.n_chars
+             |      FROM comp c JOIN documents d ON c.id = d.doc_id),
+             |r AS (SELECT id, component, n_chars, row_number() OVER (
+             |        PARTITION BY component ORDER BY n_chars DESC, id) AS rn
+             |      FROM j)
+             |SELECT component, max(CASE WHEN rn = 1 THEN id END) AS kept_id,
+             |  count(*) - 1 AS n_removed,
+             |  CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
+             |FROM r GROUP BY component ORDER BY component""".stripMargin)),
+
     QueryDef("q77_vocab_topk",
       (s, d) => {
         // Global vocabulary top-k — the corpus-statistics pass behind BPE

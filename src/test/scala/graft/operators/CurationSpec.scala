@@ -176,6 +176,33 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(reps.length == 1 && reps(0).getSeq[Long](0) == Seq(0L, 1L))
   }
 
+  // --- Bm25 -----------------------------------------------------------------
+
+  test("bm25: hand-computed single-term score, multi-hit doc ranks first") {
+    val df = Seq((1L, "x x"), (2L, "y")).toDF("id", "t")
+    val got = Bm25.topK(df, "id", "t", Seq("x"), k = 10).collect()
+    // N=2, df=1 -> idf=ln(2); tf=2, dl=2, avgdl=1.5 ->
+    // ln(2)*2*2.2/(2+1.2*(0.25+0.75*2/1.5)) = 0.871
+    assert(got.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 0.871)))
+    val rank = Bm25.topK(
+      Seq((1L, "x x y"), (2L, "x z z"), (3L, "w w w")).toDF("id", "t"),
+      "id", "t", Seq("x", "y"), k = 10).collect().map(_.getLong(0)).toSeq
+    assert(rank == Seq(1L, 2L)) // doc 3 has no query term -> absent
+  }
+
+  // --- canonical selection --------------------------------------------------
+
+  test("canonicalPerCluster keeps the best-quality member, ties to smallest id") {
+    val docs = Seq((1L, 10L), (2L, 30L), (3L, 30L), (4L, 5L), (9L, 99L))
+      .toDF("doc_id", "n_chars")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L))
+      .toDF("id", "component")
+    val out = Dedup.canonicalPerCluster(docs, comps, "doc_id", col("n_chars"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true))
+    // doc 9 is a singleton outside the pair graph: untouched (absent)
+  }
+
   // --- SubstringDup ---------------------------------------------------------
 
   test("dupSpanStats marks cross-doc shared n-grams, not unique text") {
