@@ -41,6 +41,7 @@ object Bench {
     "q47_minhash_lsh_neardup", "q49_simhash_wide",
     "q50_cosine_topk", "q52_embedding_near_dup", "q59_embedding_lsh_neardup",
     "q53_multimodal_decode", "q56_rolling_hash", "q57_quality_signals",
+    "q77_vocab_topk", "q78_kmeans_step", "q80_dup_ngram_spans", "q81_bm25_search",
     "q06_join_5way_bucketed", "q08_semi_join_bucketed")
 
   /** Bench-only queries (operator-level, no oracle counterpart).

@@ -29,20 +29,27 @@ object SubstringDup {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int, stride: Int): DataFrame = {
     require(n > 0 && stride > 0, s"n and stride must be > 0, got n=$n stride=$stride")
-    val grams = df.filter(length(col(textCol)) >= n)
+    // collapse positions to (doc, gram, position-count) FIRST: the
+    // groupBy is map-side-combined, so repetitive text (the common case
+    // in a dup-heavy corpus) shrinks the shuffled volume from
+    // O(positions) to O(distinct grams per doc), and the doc-count join
+    // below runs on the collapsed set
+    val gramCounts = df.filter(length(col(textCol)) >= n)
       .select(col(idCol).as("__id"),
         explode(expr(
           s"transform(sequence(1, length($textCol) - ${n - 1}, $stride), " +
             s"i -> substring($textCol, i, $n))")).as("gram"))
-    val shared = grams.select(col("__id"), col("gram")).distinct()
+      .groupBy(col("__id"), col("gram"))
+      .agg(count(lit(1)).as("__cnt"))
+    val shared = gramCounts
       .groupBy(col("gram"))
-      .agg(count(lit(1)).as("__nd"))
+      .agg(count(lit(1)).as("__nd")) // rows are distinct per doc already
       .filter(col("__nd") >= 2)
       .select(col("gram"), lit(1).as("__dup"))
-    grams.join(shared, Seq("gram"), "left")
+    gramCounts.join(shared, Seq("gram"), "left")
       .groupBy(col("__id").as(idCol))
-      .agg(count(lit(1)).as("n_grams"),
-        coalesce(sum(col("__dup")), lit(0)).cast("long").as("n_dup"))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        coalesce(sum(col("__cnt") * col("__dup")), lit(0L)).cast("long").as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_grams"), 4))
   }

@@ -235,6 +235,62 @@ object Curation {
              |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
              |FROM r GROUP BY source ORDER BY source""".stripMargin)),
 
+    QueryDef("q84_salted_join",
+      (s, d) => {
+        // Explicit salting (graft.operators.Skew): lineitem⋈supplier on
+        // suppkey with the big side spread over 8 salt sub-partitions.
+        // The oracle is the PLAIN unsalted join — salting must be
+        // result-invariant by construction.
+        val li = load(s, d, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+        val sup = load(s, d, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+        graft.operators.Skew.saltedJoin(li, sup, "suppkey", salt = 8)
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_items"),
+            sum(col("l_quantity")).cast("double").as("sum_qty"))
+          .orderBy(col("s_nationkey"))
+      },
+      Some("""SELECT s_nationkey, count(*) AS n_items,
+             |  CAST(sum(l_quantity) AS DOUBLE) AS sum_qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin)),
+
+    QueryDef("q85_profile",
+      (s, d) => graft.operators.Profile
+        .profile(load(s, d, "documents"),
+          Seq("doc_id", "lang", "source", "n_chars"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy(col("col_name")),
+      Some(Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
+    QueryDef("qs05_stream_static_dedup",
+      (s, d) => {
+        // STREAM-STATIC anti-join dedup gate: the full documents table
+        // streams in against a static "already ingested" reference
+        // (doc_id < 250); rows whose normalized fingerprint exists in
+        // the reference are dropped inside the stream. The oracle
+        // recomputes the same anti join in batch SQL.
+        val docs = load(s, d, "documents")
+        val tmp = java.nio.file.Files.createTempDirectory("qs05").toString
+        docs.coalesce(1).write.mode("append").parquet(tmp)
+        graft.streaming.DocsStream.runStaticDedupAsStream(
+            s, tmp, docs.filter(col("doc_id") < 250), "qs05_dedup_mem")
+          .orderBy(col("lang"))
+      },
+      Some("""WITH fp AS (SELECT doc_id, lang, n_chars,
+             |  md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS f FROM documents),
+             |ref AS (SELECT DISTINCT f FROM fp WHERE doc_id < 250)
+             |SELECT lang, count(*) AS n, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+             |FROM fp WHERE f NOT IN (SELECT f FROM ref)
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("qs03_stream_curation",
       (s, d) => {
         // STREAMING curation gate: plant → redact → deterministic sample

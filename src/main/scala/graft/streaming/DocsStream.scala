@@ -20,6 +20,37 @@ import graft.functions.TextFunctions
   */
 object DocsStream {
 
+  /** Stream-static anti-join dedup: streaming documents are dropped when
+    * their normalized fingerprint already exists in a static reference
+    * corpus — the "don't re-ingest what the lake already holds" front
+    * door. Stateless: the static side is a plain DataFrame joined anew
+    * each micro-batch (broadcast when small, shuffled when not), so
+    * unlike watermark dedup there is NO state store to size — the
+    * reference set's footprint is the join's, and at 100 TB the static
+    * side is the deduped corpus's (fp → ()) projection, not its text.
+    * Duplicates WITHIN the stream are untouched (compose with
+    * `dropDuplicatesWithinWatermark` for that half).
+    */
+  def runStaticDedupAsStream(spark: SparkSession, inputDir: String,
+                             staticCorpus: org.apache.spark.sql.DataFrame,
+                             queryName: String): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val stream = spark.readStream.schema(schema).parquet(inputDir)
+    val known = staticCorpus
+      .select(TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+    val fresh = stream
+      .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      .join(known, Seq("fp"), "left_anti")
+    val agg = fresh.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName(queryName).start()
+    q.processAllAvailable()
+    q.stop()
+    spark.table(queryName)
+  }
+
   /** Plant synthetic PII → redact → deterministic md5-prefix sample →
     * per-language counts over the redacted text, as a real Structured
     * Streaming query (parquet file source → memory sink,

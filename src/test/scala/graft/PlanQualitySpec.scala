@@ -147,4 +147,33 @@ class PlanQualitySpec extends AnyFunSuite {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("q81 BM25: df and corpus stats sides broadcast; term filter above the scan") {
+    val p = planOf("q81_bm25_search")
+    // dfreq (≤|terms| rows) and the 1-row stats both ride broadcasts —
+    // the corpus side is never shuffled for them
+    assert("BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoopJoin".r
+      .findAllIn(p).length >= 2, p.take(1500))
+    // query-term filter applies before aggregation (no full-vocab shuffle)
+    assert(p.contains("__term") && p.contains("INSET") || p.contains("IN ("),
+      p.take(1500))
+  }
+
+  test("q80 substring-dup: position explode collapses via partial aggregation") {
+    val p = planOf("q80_dup_ngram_spans")
+    // the (doc, gram) groupBy must be map-side combined: partial_count
+    // below the gram exchange, so shuffled volume is distinct grams, not
+    // positions
+    assert("partial_count".r.findFirstIn(p).isDefined, p.take(1500))
+  }
+
+  test("q79 mixing plans no shuffle: replication is a narrow explode") {
+    val p = SparkEntry.queries("q79_mix_upsample")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // one exchange for the final per-source summary is expected; the
+    // upsample itself (filter + explode) must add none
+    assert(p.contains("Generate explode"), p.take(1500))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"mixing added shuffles ($exchanges):\n${p.take(1500)}")
+  }
 }

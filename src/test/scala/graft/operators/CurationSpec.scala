@@ -176,6 +176,34 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(reps.length == 1 && reps(0).getSeq[Long](0) == Seq(0L, 1L))
   }
 
+  // --- Skew / salted join ---------------------------------------------------
+
+  test("saltedJoin equals the unsalted join; left rows survive; bad types rejected") {
+    val big = (0L until 500L).map(i => (i % 3, i)).toDF("k", "v") // hot keys 0,1,2
+    val small = Seq((0L, "a"), (1L, "b"), (9L, "z")).toDF("k", "name")
+    val plain = big.join(small, Seq("k")).collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8).collect().map(_.toSeq).toSet
+    assert(salted == plain && plain.nonEmpty)
+    val leftPlain = big.join(small, Seq("k"), "left").collect().map(_.toSeq).toSet
+    val leftSalted = Skew.saltedJoin(big, small, "k", 8, "left").collect().map(_.toSeq).toSet
+    assert(leftSalted == leftPlain) // k=2 rows survive with null name exactly once
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(big, small, "k", 8, "right_outer")
+    }
+  }
+
+  // --- Profile --------------------------------------------------------------
+
+  test("profile reports exact per-column null/distinct/min/max") {
+    val df = Seq[(java.lang.Long, String)]((1L, "x"), (2L, null), (2L, "y"))
+      .toDF("id", "s")
+    val got = Profile.profile(df, Seq("id", "s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(got("id") == ((3L, 0L, 2L, "1", "2")))
+    assert(got("s") == ((3L, 1L, 2L, "x", "y")))
+  }
+
   // --- Bm25 -----------------------------------------------------------------
 
   test("bm25: hand-computed single-term score, multi-hit doc ranks first") {

@@ -23,7 +23,8 @@ headline = ["q01_pricing_summary","q02_global_agg","q03_filter_topn","q05_join_a
   "q17_window_running_sum","q19_rollup","q25_date_parts","q28_in_subquery",
   "q33_events_hourly","q34_events_sessions","q36_events_funnel","q40_doc_tokens",
   "q44_dedup_exact","q46_ngram_jaccard","q47_minhash_lsh_neardup","q50_cosine_topk",
-  "q52_embedding_near_dup","q53_multimodal_decode","q57_quality_signals"]
+  "q52_embedding_near_dup","q53_multimodal_decode","q57_quality_signals",
+  "q77_vocab_topk","q78_kmeans_step","q80_dup_ngram_spans","q81_bm25_search"]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
