@@ -270,6 +270,66 @@ object Curation {
            |  CAST(max($c) AS VARCHAR) AS max_val FROM documents""".stripMargin)
         .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
 
+    QueryDef("q86_full_curation",
+      (s, d) => {
+        // FLAGSHIP COMPOSITION: the entire curation front door — exact
+        // dedup → decontaminate → quality floor → deterministic sample
+        // → mix → pack — as ONE call (graft.operators.Curate), held to
+        // ONE SQL statement that recomputes the whole chain. Every
+        // stage is individually proven (q44/q71/q41/q74/q79/q76); this
+        // gate proves the composition.
+        val docs = load(s, d, "documents")
+        graft.operators.Curate.curate(
+            docs.filter(col("doc_id") % 31 =!= 0),
+            docs.filter(col("doc_id") % 31 === 0),
+            "doc_id", "text", "lang", "source",
+            minWords = 20, minUniqRatio = 0.25, sampleNumerator = 128,
+            weights = Map("src0" -> 2.0, "src1" -> 0.5), packBudget = 2000L)
+          .groupBy(col("lang"), col("bin"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("tokens")).cast("long").as("sum_tokens"))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some("""WITH corpus AS (SELECT * FROM documents WHERE doc_id % 31 <> 0),
+             |dedup AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+             |    FROM corpus) WHERE rn = 1),
+             |ngr AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ')
+             |          for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs
+             |        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM dedup)),
+             |bench AS (SELECT DISTINCT unnest(gs) AS g FROM (
+             |    SELECT list_distinct([array_to_string(ws[i:i+2], ' ')
+             |      for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs
+             |    FROM (SELECT string_split(lower(trim(text)), ' ') AS ws
+             |          FROM documents WHERE doc_id % 31 = 0))),
+             |hits AS (SELECT c.doc_id, count(*) AS n_hits
+             |         FROM (SELECT doc_id, unnest(gs) AS g FROM ngr) c
+             |         JOIN bench b ON c.g = b.g GROUP BY 1),
+             |decon AS (SELECT d.* FROM dedup d LEFT JOIN hits h ON d.doc_id = h.doc_id
+             |          WHERE coalesce(h.n_hits, 0) < 2),
+             |q AS (SELECT *, CAST(len(string_split(text, ' ')) AS INT) AS words,
+             |        CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS uniq
+             |      FROM decon),
+             |qf AS (SELECT * FROM q WHERE words >= 20 AND uniq / words >= 0.25),
+             |samp AS (SELECT * FROM qf
+             |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+             |wt AS (SELECT *, CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 0.5
+             |         ELSE 1.0 END AS wgt FROM samp),
+             |cp AS (SELECT *, CAST(floor(wgt) AS BIGINT) +
+             |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             |           printf('%04x', CAST((wgt - floor(wgt)) * 65536 AS BIGINT))
+             |         THEN 1 ELSE 0 END AS n_copies FROM wt),
+             |mix AS (SELECT lang, doc_id, words,
+             |          unnest(generate_series(0, n_copies - 1)) AS replica
+             |        FROM cp WHERE n_copies > 0),
+             |bins AS (SELECT lang, words, CAST(floor(coalesce(sum(words) OVER (
+             |           PARTITION BY lang ORDER BY doc_id * 8 + replica
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+             |           AS BIGINT) AS bin
+             |         FROM mix)
+             |SELECT lang, bin, count(*) AS n_docs, CAST(sum(words) AS BIGINT) AS sum_tokens
+             |FROM bins GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)),
+
     QueryDef("qs05_stream_static_dedup",
       (s, d) => {
         // STREAM-STATIC anti-join dedup gate: the full documents table

@@ -176,6 +176,30 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(reps.length == 1 && reps(0).getSeq[Long](0) == Seq(0L, 1L))
   }
 
+  // --- Curate (end-to-end composition) --------------------------------------
+
+  test("curate: each stage's effect visible on a planted corpus") {
+    val words20 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words20 + " alpha", "en", "src0", 0),        // survives
+      (31L, words20 + " alpha", "en", "src0", 0),       // exact dup of 1 -> dropped
+      (2L, words20 + " bench mark gram one two three", "en", "src1", 0), // contaminated
+      (3L, "short text", "en", "src0", 0),              // under minWords
+      (4L, ("rep rep rep " * 10).trim, "en", "src0", 0) // low uniq ratio
+    ).toDF("doc_id", "text", "lang", "source", "pad")
+    val bench = Seq((0L, "bench mark gram one two three four"))
+      .toDF("doc_id", "text")
+    val out = Curate.curate(docs, bench, "doc_id", "text", "lang", "source",
+      minWords = 20, minUniqRatio = 0.25, sampleNumerator = 256,
+      weights = Map("src0" -> 2.0), packBudget = 10L)
+    val rows = out.select($"doc_id", $"replica", $"bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // only doc 1 survives (dedup keeps id 1 over 31; 2 contaminated with
+    // >= 2 shared 3-grams; 3 too short; 4 repetitive); src0 weight 2.0
+    // doubles it; sample numerator 256 keeps everything
+    assert(rows.toSeq == Seq((1L, 0L), (1L, 1L)))
+  }
+
   // --- Skew / salted join ---------------------------------------------------
 
   test("saltedJoin equals the unsalted join; left rows survive; bad types rejected") {
