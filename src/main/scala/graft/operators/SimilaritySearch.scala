@@ -255,6 +255,54 @@ object SimilaritySearch {
       .limit(k)
   }
 
+  /** Build and PERSIST the IVF index — the lifecycle split a deployment
+    * actually runs: pay assignment once at ingest, then every query is a
+    * partition-pruned scan of nprobe/nlist of the corpus. Layout:
+    * `path/centroids` (cluster, centroid) sidecar — O(nlist·d) metadata —
+    * and `path/corpus` written `partitionBy("cluster")`, so the cluster
+    * predicate in [[ivfQuery]] prunes at PLANNING time (directory-level,
+    * verified in OperatorsSpec), not per-row.
+    */
+  def ivfBuild(df: DataFrame, embCol: String, idCol: String, nlist: Int,
+               path: String): Unit = {
+    val cents = sampleCentroids(df, embCol, idCol, nlist)
+    val spark = df.sparkSession
+    import spark.implicits._
+    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cluster", "centroid")
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assignWith(df, embCol, cents)
+      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
+  }
+
+  /** Query a persisted IVF index: rank exact cosine inside the `nprobe`
+    * nearest cells only. Reads O(nlist·d) centroid metadata plus the
+    * probed partitions — never the full corpus.
+    */
+  def ivfQuery(spark: org.apache.spark.sql.SparkSession, path: String,
+               embCol: String, idCol: String, query: Array[Double], k: Int,
+               nprobe: Int, scale: Int = 6): DataFrame = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select(col("cluster"), col("centroid")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    def cos(p: Array[Double]): Double = {
+      var s = 0.0; var pn = 0.0; var qn = 0.0
+      val n = math.min(p.length, query.length)
+      var j = 0
+      while (j < n) { s += p(j) * query(j); pn += p(j) * p(j); qn += query(j) * query(j); j += 1 }
+      s / (math.sqrt(pn) * math.sqrt(qn))
+    }
+    val probed = cents.sortBy { case (i, p) => (-cos(p), i) }
+      .take(nprobe).map(_._1)
+    val q = typedLit(query)
+    spark.read.parquet(s"$path/corpus")
+      .filter(col("cluster").isin(probed.toSeq: _*))
+      .select(col(idCol).as("id"),
+        round(cosine(col(embCol).cast("array<double>"), q), scale).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH blocking + exact
     * verification — the embedding variant of MinHash dedup.
     */

@@ -200,6 +200,32 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(rows.toSeq == Seq((1L, 0L), (1L, 1L)))
   }
 
+  // --- ShardWriter ----------------------------------------------------------
+
+  test("writeShards: directory per shard, rows sorted within every file") {
+    val rows = (0L until 400L).map(i => (s"s${i % 3}", 400L - i, i))
+      .toDF("shard", "bin", "payload")
+    val path = java.nio.file.Files.createTempDirectory("shards").toString
+    val n = ShardWriter.writeShards(rows, path, "shard", Seq("bin"))
+    assert(n == 3)
+    val back = spark.read.parquet(path)
+    assert(back.count() == 400)
+    // every physical file is internally sorted by bin (read each file
+    // alone so collect() returns rows in file order)
+    val files = new java.io.File(path).listFiles.filter(_.isDirectory)
+      .flatMap(_.listFiles).filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val bins = spark.read.parquet(f.getAbsolutePath)
+        .select(col("bin")).collect().map(_.getLong(0)).toSeq
+      assert(bins == bins.sorted, s"file $f not sorted")
+    }
+    // directory layout prunes: reading one shard touches one directory
+    val one = spark.read.parquet(path).filter(col("shard") === "s1")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("shard"), plan.take(800))
+  }
+
   // --- Skew / salted join ---------------------------------------------------
 
   test("saltedJoin equals the unsalted join; left rows survive; bad types rejected") {

@@ -268,6 +268,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == rows.size)
   }
 
+  test("ivf persisted index: full probe equals brute force, probes prune partitions") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val path = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    SimilaritySearch.ivfBuild(corpus, "embedding", "vec_id", nlist = 8, path)
+    // full probe over the persisted index == brute force over the corpus
+    // (identical rounding scale and tie-break)
+    val full = SimilaritySearch.ivfQuery(spark, path, "embedding", "vec_id",
+      query, k = 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val exact = SimilaritySearch.bruteForceTopK(
+      corpus, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact, s"$full vs $exact")
+    // a narrow probe PLANS a partition filter — pruning happens at the
+    // directory level, the unprobed cells are never scanned
+    val narrow = SimilaritySearch.ivfQuery(spark, path, "embedding", "vec_id",
+      query, k = 5, nprobe = 2)
+    val plan = narrow.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cluster"),
+      plan.take(1200))
+    assert(narrow.count() == 5)
+  }
+
   test("langId picks marker-dominant language deterministically") {
     val preds = Seq(
       ("the cat and the dog of a house", "en"),
