@@ -34,22 +34,27 @@ object SubstringDup {
     // in a dup-heavy corpus) shrinks the shuffled volume from
     // O(positions) to O(distinct grams per doc), and the doc-count join
     // below runs on the collapsed set
+    // explode INT positions and slice the gram after: the per-doc array
+    // holds 4-byte ints, not materialized strings, and the substring
+    // fuses into the aggregation's codegen stage
     val gramCounts = df.filter(length(col(textCol)) >= n)
-      .select(col(idCol).as("__id"),
-        explode(expr(
-          s"transform(sequence(1, length($textCol) - ${n - 1}, $stride), " +
-            s"i -> substring($textCol, i, $n))")).as("gram"))
+      .select(col(idCol).as("__id"), col(textCol).as("__t"),
+        explode(expr(s"sequence(1, length($textCol) - ${n - 1}, $stride)"))
+          .as("__i"))
+      .select(col("__id"), expr(s"substring(__t, __i, $n)").as("gram"))
       .groupBy(col("__id"), col("gram"))
       .agg(count(lit(1)).as("__cnt"))
-    val shared = gramCounts
-      .groupBy(col("gram"))
-      .agg(count(lit(1)).as("__nd")) // rows are distinct per doc already
-      .filter(col("__nd") >= 2)
-      .select(col("gram"), lit(1).as("__dup"))
-    gramCounts.join(shared, Seq("gram"), "left")
+    // doc-count per gram via a whole-partition window instead of a
+    // groupBy + self-join: the collapsed table crosses the gram-keyed
+    // exchange ONCE (the join variant shuffled it twice — once to build
+    // the shared-gram set, once to probe it)
+    val wGram = org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))
+    gramCounts
+      .withColumn("__nd", count(lit(1)).over(wGram))
       .groupBy(col("__id").as(idCol))
       .agg(sum(col("__cnt")).as("n_grams"),
-        coalesce(sum(col("__cnt") * col("__dup")), lit(0L)).cast("long").as("n_dup"))
+        sum(when(col("__nd") >= 2, col("__cnt")).otherwise(lit(0L)))
+          .cast("long").as("n_dup"))
       .withColumn("dup_frac",
         round(col("n_dup").cast("double") / col("n_grams"), 4))
   }

@@ -247,6 +247,38 @@ object TextAnalysis {
              |  CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
              |FROM r GROUP BY component ORDER BY component""".stripMargin)),
 
+    QueryDef("q88_trigram_entropy",
+      (s, d) => {
+        // Perplexity-proxy quality scoring (graft.operators.Perplexity):
+        // per-doc character-trigram cross-entropy against the corpus's
+        // own trigram LM, summarized per language. Two passes — build
+        // (tri, cnt), score via a co-partitioned trigram join — the
+        // CCNet LM-filter deployment shape with a deterministic model.
+        val docs = load(s, d, "documents")
+        graft.operators.Perplexity.selfScore(docs, "doc_id", "text")
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            round(avg(col("entropy")), 3).as("avg_entropy"),
+            round(max(col("entropy")), 3).as("max_entropy"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH t AS (SELECT doc_id, substr(lower(text), CAST(i AS INT), 3) AS tri
+             |           FROM (SELECT doc_id, text,
+             |                   unnest(generate_series(1, length(text) - 2)) AS i
+             |                 FROM documents WHERE length(text) >= 3)),
+             |lm AS (SELECT tri, count(*) AS cnt FROM t GROUP BY tri),
+             |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM lm),
+             |sc AS (SELECT t.doc_id, count(*) AS n_tris,
+             |         round(avg(-ln(lm.cnt / tot.total)), 3) AS entropy
+             |       FROM t JOIN lm USING (tri) CROSS JOIN tot
+             |       GROUP BY t.doc_id)
+             |SELECT d.lang, count(*) AS n_docs,
+             |  round(avg(sc.entropy), 3) AS avg_entropy,
+             |  round(max(sc.entropy), 3) AS max_entropy
+             |FROM sc JOIN documents d USING (doc_id)
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     QueryDef("q77_vocab_topk",
       (s, d) => {
         // Global vocabulary top-k — the corpus-statistics pass behind BPE

@@ -293,6 +293,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(narrow.count() == 5)
   }
 
+  test("trigram entropy: junk scores above in-domain text; unseen trigrams smoothed") {
+    import spark.implicits._
+    val normal = (1L to 20L).map(i => (i, "the quick brown fox jumps over the lazy dog " * 3))
+    val junk = Seq((99L, "qzx jvq wkx pzq vxk zqj xwv kqz jzx qvw pqz zxv"))
+    val df = (normal ++ junk).toDF("id", "t")
+    val scored = Perplexity.selfScore(df, "id", "t")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored(99L) > scored(1L) + 1.0,
+      s"junk ${scored(99L)} not clearly above normal ${scored(1L)}")
+    // reference-LM reuse: a doc with trigrams unseen by the LM falls back
+    // to the additive floor instead of crashing or dropping rows
+    val lm = Perplexity.buildLm(df.filter($"id" < 99L), "id", "t")
+    val unseen = Perplexity.score(Seq((7L, "totally ### unseen $$$ bytes"))
+      .toDF("id", "t"), lm, "id", "t").collect()
+    assert(unseen.length == 1 && unseen(0).getDouble(2) > scored(1L))
+  }
+
   test("langId picks marker-dominant language deterministically") {
     val preds = Seq(
       ("the cat and the dog of a house", "en"),
