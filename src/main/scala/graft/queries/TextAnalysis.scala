@@ -279,6 +279,37 @@ object TextAnalysis {
              |FROM sc JOIN documents d USING (doc_id)
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    QueryDef("q89_context_chunks",
+      (s, d) => {
+        // Context-window chunking (graft.operators.Chunking): 64-token
+        // windows overlapping by 16, the RAG-ingest / long-doc shape.
+        // Narrow explode, no shuffle until the summary; the oracle
+        // recomputes the same start-position arithmetic and slicing.
+        val docs = load(s, d, "documents")
+        graft.operators.Chunking.chunk(docs, "doc_id", "text",
+            maxTokens = 64, overlap = 16)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(col("chunk_tokens")).cast("long").as("sum_chunk_tokens"),
+            max(col("chunk_idx")).as("max_chunk_idx"),
+            sum(length(col("chunk_text"))).cast("long").as("sum_chunk_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+             |k AS (SELECT doc_id, lang, ws, unnest(generate_series(0,
+             |        CASE WHEN len(ws) <= 64 THEN 0
+             |             ELSE (len(ws) - 64 + 47) // 48 END)) AS k
+             |      FROM w),
+             |c AS (SELECT doc_id, lang, k AS chunk_idx,
+             |        ws[k*48+1 : k*48+64] AS cw FROM k)
+             |SELECT lang, count(*) AS n_chunks,
+             |  CAST(sum(len(cw)) AS BIGINT) AS sum_chunk_tokens,
+             |  max(chunk_idx) AS max_chunk_idx,
+             |  CAST(sum(length(array_to_string(cw, ' '))) AS BIGINT) AS sum_chunk_chars
+             |FROM c WHERE len(cw) > 0
+             |GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("q77_vocab_topk",
       (s, d) => {
         // Global vocabulary top-k — the corpus-statistics pass behind BPE

@@ -200,6 +200,27 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(rows.toSeq == Seq((1L, 0L), (1L, 1L)))
   }
 
+  // --- Chunking -------------------------------------------------------------
+
+  test("chunk: overlapping windows cover every word once beyond the overlap") {
+    val text = (1 to 100).map(i => s"w$i").mkString(" ") // 100 words
+    val df = Seq((1L, text), (2L, "only three words")).toDF("id", "t")
+    val chunks = Chunking.chunk(df, "id", "t", maxTokens = 40, overlap = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getInt(3)))
+    // doc 2 fits whole: exactly one chunk
+    assert(chunks.count(_._1 == 2L) == 1)
+    val d1 = chunks.filter(_._1 == 1L).sortBy(_._2)
+    // step 30: starts 0, 30, 60 (chunk at 60 reaches word 100 -> stop)
+    assert(d1.map(_._2).toSeq == Seq(0L, 1L, 2L))
+    assert(d1.map(_._4).toSeq == Seq(40, 40, 40))
+    assert(d1(0)._3.startsWith("w1 ") && d1(2)._3.endsWith(" w100"))
+    // consecutive chunks overlap by exactly 10 words
+    val w1 = d1(0)._3.split(" "); val w2 = d1(1)._3.split(" ")
+    assert(w1.takeRight(10).toSeq == w2.take(10).toSeq)
+    // every word covered
+    assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 100).map(i => s"w$i").toSet)
+  }
+
   // --- ShardWriter ----------------------------------------------------------
 
   test("writeShards: directory per shard, rows sorted within every file") {
