@@ -279,6 +279,36 @@ object TextAnalysis {
              |FROM sc JOIN documents d USING (doc_id)
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    QueryDef("q90_winnow_fingerprints",
+      (s, d) => {
+        // Robust winnowing (Schleimer et al. 2003, the MOSS selection):
+        // md5 k-gram hashes, w-wide sliding window, keep each window's
+        // min — ~2/(w+1) of the hashes stored with a guaranteed hit for
+        // any match of length >= w+k-1. Summarized per language; md5
+        // string ordering makes the selection engine-portable.
+        val docs = load(s, d, "documents").filter(col("doc_id") < 200)
+        graft.operators.Winnowing
+          .fingerprints(docs, "doc_id", "text", k = 8, w = 4)
+          .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_prints"),
+            countDistinct(col("print")).as("n_distinct_prints"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH g AS (SELECT doc_id, i, md5(substr(text, CAST(i AS INT), 8)) AS h
+             |           FROM (SELECT doc_id, text,
+             |                   unnest(generate_series(1, length(text) - 7)) AS i
+             |                 FROM documents WHERE doc_id < 200 AND length(text) >= 8)),
+             |n AS (SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id),
+             |sel AS (SELECT doc_id, i, min(h) OVER (PARTITION BY doc_id ORDER BY i
+             |          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS print FROM g),
+             |f AS (SELECT DISTINCT s.doc_id, s.print
+             |      FROM sel s JOIN n USING (doc_id) WHERE s.i <= n.n - 3)
+             |SELECT d.lang, count(*) AS n_prints,
+             |  count(DISTINCT f.print) AS n_distinct_prints
+             |FROM f JOIN documents d USING (doc_id)
+             |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
+
     QueryDef("q89_context_chunks",
       (s, d) => {
         // Context-window chunking (graft.operators.Chunking): 64-token

@@ -221,6 +221,28 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(d1.flatMap(_._3.split(" ")).toSet == (1 to 100).map(i => s"w$i").toSet)
   }
 
+  // --- Winnowing ------------------------------------------------------------
+
+  test("winnowing: shared passage guarantees a shared print; density ~2/(w+1)") {
+    val passage = "the quick brown fox jumps over the lazy dog tonight"
+    val df = Seq(
+      (1L, "AAAA unique prefix one " + passage),
+      (2L, passage + " BBBB different suffix two"),
+      (3L, "completely unrelated content with zero overlap at all here"))
+      .toDF("id", "t")
+    val shared = Winnowing.sharedPrints(df, "id", "t", k = 8, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1 and 2 share a 51-char passage >> w+k-1 = 11 -> guaranteed hit
+    assert(shared.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1))
+    // doc 3 shares nothing with either
+    assert(!shared.exists(p => p._1 == 3L || p._2 == 3L))
+    // winnowing stores far fewer prints than grams (density ~2/(w+1))
+    val n = Winnowing.fingerprints(df, "id", "t", 8, 4)
+      .groupBy("id").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val grams1 = ("AAAA unique prefix one " + passage).length - 7
+    assert(n(1L) < grams1 * 0.8, s"no compression: ${n(1L)} of $grams1 grams kept")
+  }
+
   // --- ShardWriter ----------------------------------------------------------
 
   test("writeShards: directory per shard, rows sorted within every file") {
