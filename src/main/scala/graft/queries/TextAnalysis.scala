@@ -279,6 +279,53 @@ object TextAnalysis {
              |FROM sc JOIN documents d USING (doc_id)
              |GROUP BY d.lang ORDER BY d.lang""".stripMargin)),
 
+    QueryDef("q91_pagerank",
+      (s, d) => {
+        // Fixed-iteration PageRank (graft.operators.PageRank) over the
+        // symmetric q46 near-dup graph — central docs in a near-dup
+        // neighborhood are canonical-representative candidates. Three
+        // rounds, damping 0.85; the oracle unrolls the identical three
+        // iterations in SQL.
+        val docs = load(s, d, "documents").filter(col("doc_id") < 200)
+        val pairs = graft.operators.Dedup.ngramJaccardPairs(
+          docs, "text", "doc_id",
+          blockCol = floor(length(col("text")) / 100), threshold = 0.8, k = 3)
+        val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+          .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+        graft.operators.PageRank.ranks(edges, "u", "v", damping = 0.85, iters = 3)
+          .select(col("u").as("doc_id"), round(col("pr"), 6).as("pr"))
+          .orderBy(col("pr").desc, col("doc_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, CAST(floor(length(text) / 100) AS BIGINT) AS blk,
+             |    list_distinct([array_to_string(w[i:i+2], ' ')
+             |      for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, text, string_split(lower(trim(text)), ' ') AS w
+             |        FROM documents WHERE doc_id < 200)),
+             |pairs AS (
+             |  SELECT id_a, id_b FROM (
+             |    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             |      round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+             |            len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+             |    FROM t a JOIN t b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+             |  WHERE jaccard >= 0.8),
+             |e AS (SELECT id_a AS u, id_b AS v FROM pairs
+             |      UNION ALL SELECT id_b, id_a FROM pairs),
+             |deg AS (SELECT u, count(*) AS dg FROM e GROUP BY u),
+             |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+             |p0 AS (SELECT deg.u, 1.0 / nn.n AS pr FROM deg, nn),
+             |p1 AS (SELECT e.v AS u, 0.15 / nn.n + 0.85 * sum(p0.pr / deg.dg) AS pr
+             |       FROM e JOIN p0 ON e.u = p0.u JOIN deg ON e.u = deg.u, nn
+             |       GROUP BY e.v, nn.n),
+             |p2 AS (SELECT e.v AS u, 0.15 / nn.n + 0.85 * sum(p1.pr / deg.dg) AS pr
+             |       FROM e JOIN p1 ON e.u = p1.u JOIN deg ON e.u = deg.u, nn
+             |       GROUP BY e.v, nn.n),
+             |p3 AS (SELECT e.v AS u, 0.15 / nn.n + 0.85 * sum(p2.pr / deg.dg) AS pr
+             |       FROM e JOIN p2 ON e.u = p2.u JOIN deg ON e.u = deg.u, nn
+             |       GROUP BY e.v, nn.n)
+             |SELECT u AS doc_id, round(pr, 6) AS pr FROM p3
+             |ORDER BY pr DESC, doc_id""".stripMargin)),
+
     QueryDef("q90_winnow_fingerprints",
       (s, d) => {
         // Robust winnowing (Schleimer et al. 2003, the MOSS selection):

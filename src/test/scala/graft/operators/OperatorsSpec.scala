@@ -310,6 +310,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(unseen.length == 1 && unseen(0).getDouble(2) > scored(1L))
   }
 
+  test("pagerank: mass conserved, hub outranks leaves, deterministic") {
+    import spark.implicits._
+    // star graph: 1 <-> {2,3,4}, plus an isolated pair 8 <-> 9
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (8L, 9L))
+    val edges = (pairs ++ pairs.map(_.swap)).toDF("u", "v")
+    val pr = PageRank.ranks(edges, "u", "v", 0.85, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(pr.size == 6)
+    // symmetric graph: total rank mass conserved at 1.0 per round
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.values.sum.toString)
+    // the hub holds more rank than its leaves; leaves are symmetric-equal
+    assert(pr(1L) > pr(2L) && pr(2L) == pr(3L) && pr(3L) == pr(4L))
+    // pair nodes exchange rank symmetrically
+    assert(math.abs(pr(8L) - pr(9L)) < 1e-12)
+  }
+
   test("langId picks marker-dominant language deterministically") {
     val preds = Seq(
       ("the cat and the dog of a house", "en"),
