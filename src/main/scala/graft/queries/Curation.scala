@@ -351,6 +351,40 @@ object Curation {
              |FROM fp WHERE f NOT IN (SELECT f FROM ref)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    QueryDef("qs06_stream_to_shards",
+      (s, d) => {
+        // STREAMING SINK gate: the curated stream lands as
+        // language-partitioned shard files via foreachBatch; the gate
+        // reads the shards BACK and holds them to the same oracle as
+        // the in-stream qs03 summary — gating the file-commit path, not
+        // just the computation.
+        val tmp = java.nio.file.Files.createTempDirectory("qs06in").toString
+        val out = java.nio.file.Files.createTempDirectory("qs06out").toString + "/shards"
+        load(s, d, "documents").coalesce(1).write.mode("append").parquet(tmp)
+        graft.streaming.DocsStream.runCurationToShards(s, tmp, out)
+        s.read.parquet(out)
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"),
+            sum(length(col("redacted"))).cast("long").as("sum_chars"))
+          .orderBy(col("lang"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, lang, text || CASE CAST(doc_id % 3 AS INT)
+             |    WHEN 0 THEN ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com or admin@test.org today'
+             |    WHEN 1 THEN ' call +1 555-0' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || ' now'
+             |    ELSE ' server 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 and 192.168.1.' || CAST(doc_id % 200 AS VARCHAR) || ' up'
+             |  END AS t FROM documents),
+             |red AS (
+             |  SELECT doc_id, lang,
+             |    regexp_replace(regexp_replace(regexp_replace(t,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             |      '\+[0-9]{1,3} [0-9]{3}-[0-9]{4}', '<PHONE>', 'g'),
+             |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS redacted
+             |  FROM aug
+             |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14')
+             |SELECT lang, count(*) AS n, CAST(sum(length(redacted)) AS BIGINT) AS sum_chars
+             |FROM red GROUP BY lang ORDER BY lang""".stripMargin)),
+
     QueryDef("qs03_stream_curation",
       (s, d) => {
         // STREAMING curation gate: plant → redact → deterministic sample
