@@ -167,6 +167,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("partial_count".r.findFirstIn(p).isDefined, p.take(1500))
   }
 
+  test("q88 LM scoring: trigram counts partial-aggregate below the exchange") {
+    val p = planOf("q88_trigram_entropy")
+    assert("partial_count".r.findFirstIn(p).isDefined, p.take(1500))
+    // the 1-row total rides a broadcast, never a shuffle of the corpus
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      p.take(1500))
+  }
+
+  test("q91 pagerank round: rank contributions partial-aggregate; teleport scalar broadcasts") {
+    val p = planOf("q91_pagerank")
+    assert("partial_sum".r.findFirstIn(p).isDefined, p.take(1500))
+    assert(p.contains("BroadcastExchange"), p.take(1500))
+  }
+
   test("q79 mixing plans no shuffle: replication is a narrow explode") {
     val p = SparkEntry.queries("q79_mix_upsample")(spark, dir)
       .queryExecution.executedPlan.toString
