@@ -57,6 +57,35 @@ object Events {
              |FROM events WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 50
              |ORDER BY event_id LIMIT 300""".stripMargin)),
 
+    QueryDef("q92_retention_cohorts",
+      (s, d) => {
+        // Weekly retention cohorts: users grouped by first-seen week,
+        // counted per week offset they remain active — the standard
+        // product-analytics triangle. Two aggregations + one join on
+        // user_id; both week values are Monday-truncated so the
+        // day-difference is an exact multiple of 7 in both engines.
+        val ev = load(s, d, "events")
+        val first = ev.groupBy(col("user_id"))
+          .agg(date_trunc("week", min(col("ts"))).as("cohort"))
+        val active = ev
+          .select(col("user_id"), date_trunc("week", col("ts")).as("wk"))
+          .distinct()
+        active.join(first, "user_id")
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_week"),
+            (datediff(col("wk").cast("date"), col("cohort").cast("date")) / 7)
+              .cast("int").as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      Some("""WITH f AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+             |          FROM events GROUP BY user_id),
+             |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events)
+             |SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+             |  CAST(date_diff('day', f.cohort, a.wk) / 7 AS INT) AS week_offset,
+             |  count(*) AS n_users
+             |FROM a JOIN f USING (user_id)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
     QueryDef("q36_events_funnel",
       (s, d) => {
         // Per-user funnel: signup -> click -> purchase presence flags.
