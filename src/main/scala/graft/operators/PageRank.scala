@@ -46,6 +46,10 @@ object PageRank {
         .crossJoin(broadcast(n))
         .select(col("u"),
           (lit(1.0 - damping) / col("n") + lit(damping) * col("__in")).as("pr"))
+      // truncate lineage every few rounds — an unbounded iteration chain
+      // re-plans the whole history each action and eventually overwhelms
+      // the optimizer (same reason ConnectedComponents checkpoints)
+      if (i % 5 == 4) pr = pr.localCheckpoint()
       i += 1
     }
     pr
