@@ -10,6 +10,16 @@ import org.apache.spark.sql.SparkSession
 class GraftSurfaceSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.TestSpark.spark
 
+  test("gate inventory: 120 queries, every one oracled, names well-formed") {
+    val qs = SparkEntry.queries
+    assert(qs.size == 120, s"gate count drifted: ${qs.size}")
+    // every gate carries a DuckDB oracle — a dropped oracle silently
+    // downgrades the driver's check to rows-only; fail loudly instead
+    assert(SparkEntry.oracleSql.keySet == qs.keySet,
+      s"unoracled gates: ${(qs.keySet -- SparkEntry.oracleSql.keySet).toSeq.sorted}")
+    assert(qs.keySet.forall(_.matches("q[cs]?\\d+_[a-z0-9_]+")))
+  }
+
   test("registerAll exposes the reference's table names to SQL") {
     Graft.registerAll(spark)
     val cols = spark.sql("SELECT * FROM common_crawl_index LIMIT 0").schema.fieldNames
