@@ -136,15 +136,19 @@ object Bench {
     val bucketSetupSec = {
       val t0 = System.nanoTime()
       import graft.operators.Bucketing
-      Bucketing.writeBucketed(
-        graft.queries.load(spark, sfDir, "lineitem"), "bench_lineitem_bo", "l_orderkey")
-      Bucketing.writeBucketed(
-        graft.queries.load(spark, sfDir, "orders"), "bench_orders_bo", "o_orderkey")
-      Bucketing.writeBucketed(
-        graft.queries.load(spark, sfDir, "customer"), "bench_customer_bc", "c_custkey")
-      Bucketing.writeBucketed(
-        graft.queries.load(spark, sfDir, "orders").select("o_custkey"),
-        "bench_orders_bc", "o_custkey")
+      // bucket count ∝ data volume (constant per-bucket bytes), sized
+      // from each join pair's DOMINANT table and shared by both sides —
+      // mismatched counts would reintroduce an exchange, and a fixed
+      // count regresses once buckets outgrow a merge task (sf30, r6)
+      val li = graft.queries.load(spark, sfDir, "lineitem")
+      val orders = graft.queries.load(spark, sfDir, "orders")
+      val cust = graft.queries.load(spark, sfDir, "customer")
+      val nbBo = Bucketing.autoBuckets(li)
+      Bucketing.writeBucketed(li, "bench_lineitem_bo", "l_orderkey", nbBo)
+      Bucketing.writeBucketed(orders, "bench_orders_bo", "o_orderkey", nbBo)
+      val nbBc = Bucketing.autoBuckets(orders)
+      Bucketing.writeBucketed(cust, "bench_customer_bc", "c_custkey", nbBc)
+      Bucketing.writeBucketed(orders.select("o_custkey"), "bench_orders_bc", "o_custkey", nbBc)
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -32,19 +32,26 @@ object Bm25 {
            terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
            scale: Int = 3): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    val words = df.select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
-    val lens = words.select(col(idCol), size(col("__w")).cast("double").as("__dl"))
-    val stats = lens.agg(count(lit(1)).cast("double").as("__n"),
-      avg(col("__dl")).as("__avgdl"))
-    val tf = words
-      .select(col(idCol), explode(col("__w")).as("__term"))
+    // ONE tokenize pass carries both the exploded terms and the doc
+    // length: __dl rides through the (doc, term) aggregation as a
+    // constant-per-doc max, so no full-corpus lengths table is ever
+    // built or joined — only docs that hit a query term have a length
+    // row downstream. Corpus stats (N, avgdl) come from a separate
+    // scan-and-reduce with no split-array materialization beyond
+    // size(): a cheap full scan, zero shuffle, broadcast as one row.
+    val stats = df.agg(
+      count(lit(1)).cast("double").as("__n"),
+      avg(size(split(col(textCol), " ")).cast("double")).as("__avgdl"))
+    val tf = df
+      .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
+      .select(col(idCol), size(col("__w")).cast("double").as("__dl"),
+        explode(col("__w")).as("__term"))
       .filter(col("__term").isin(terms: _*))
       .groupBy(col(idCol), col("__term"))
-      .agg(count(lit(1)).cast("double").as("__tf"))
+      .agg(count(lit(1)).cast("double").as("__tf"), max(col("__dl")).as("__dl"))
     val dfreq = tf.groupBy(col("__term"))
       .agg(count(lit(1)).cast("double").as("__df")) // tf rows are distinct per doc
     tf.join(broadcast(dfreq), "__term")
-      .join(lens, idCol)
       .crossJoin(broadcast(stats))
       .withColumn("__idf", log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
       .withColumn("__s", col("__idf") * col("__tf") * lit(k1 + 1.0) /

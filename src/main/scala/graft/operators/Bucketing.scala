@@ -12,7 +12,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bucketing {
 
-  /** Write `df` as a bucketed+sorted managed table.
+  /** Bucket count from source size, holding per-bucket volume constant
+    * (~`targetBytesPerBucket` of source data per bucket) so the layout
+    * scales with the data instead of the other way around. A fixed
+    * count silently fails at scale: 32 buckets were exchange-free AND
+    * faster than the shuffled plan at sf10 (~64 MB/bucket) but LOST to
+    * it at sf30 (~190 MB/bucket — each merge task overflows memory and
+    * the single-file-per-bucket sort dominates). Both sides of a
+    * co-located join must use the SAME count — size from the pair's
+    * dominant table (see Bench setup).
+    */
+  def autoBuckets(df: DataFrame, targetBytesPerBucket: Long = 64L << 20,
+                  minBuckets: Int = 32): Int = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes + (targetBytesPerBucket - 1)) / targetBytesPerBucket
+    n.max(minBuckets).min(1 << 20).toInt
+  }
+
+  /** Write `df` as a bucketed+sorted managed table. `numBuckets <= 0`
+    * (the default) derives the count from the source size via
+    * [[autoBuckets]].
     *
     * The pre-write `repartition(numBuckets, key)` uses the same
     * murmur3/pmod hash as bucket assignment, so every write task holds
@@ -23,10 +42,11 @@ object Bucketing {
     * without it the read side re-sorts every bucket on every query.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    numBuckets: Int = 32): Unit = {
-    df.repartition(numBuckets, org.apache.spark.sql.functions.col(key))
+                    numBuckets: Int = 0): Unit = {
+    val nb = if (numBuckets > 0) numBuckets else autoBuckets(df)
+    df.repartition(nb, org.apache.spark.sql.functions.col(key))
       .write.mode("overwrite")
-      .bucketBy(numBuckets, key)
+      .bucketBy(nb, key)
       .sortBy(key)
       .format("parquet")
       .saveAsTable(table)

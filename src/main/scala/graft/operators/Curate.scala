@@ -53,10 +53,18 @@ object Curate {
     // 5. per-source mixing (q79 semantics)
     val mixed = Mixing.upsample(sampled, sourceCol, idCol, weights)
     // 6. sequence packing per language (q76 semantics); the order key
-    // folds the replica in so mixed copies pack at distinct positions
+    // folds the replica in so mixed copies pack at distinct positions.
+    // The stride is derived from the weights map (max possible copies =
+    // floor(max weight) + 1), NOT a hardcoded constant: a fixed stride
+    // aliases whenever replica >= stride, making the window order
+    // non-unique and bin assignment partition-dependent — breaking the
+    // bit-reproducibility contract. Any stride > max replica yields the
+    // SAME lexicographic (id, replica) order, so the oracle's literal
+    // stride stays equivalent as long as it also exceeds max replica.
+    val maxCopies = weights.values.foldLeft(1.0)(math.max).floor.toLong + 1L
     val ordered = mixed.select(col(langCol), col(sourceCol), id,
         col("replica"), col("__words").as("tokens"),
-        (id * 8 + col("replica")).as("__ord"))
+        (id * maxCopies + col("replica")).as("__ord"))
     Packing.packBins(ordered, langCol, "__ord", "tokens", packBudget)
       .drop("__ord")
   }

@@ -23,7 +23,11 @@ object Decontaminate {
     */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val w = split(lower(trim(text)), " ")
+    // \s+ (not a literal space) so tabs/newlines/space-runs never yield
+    // empty tokens inside an n-gram — the same word boundary
+    // Dedup.shingles and the fingerprint normalizer use; the DuckDB
+    // oracles mirror it with regexp_split_to_array.
+    val w = split(lower(trim(text)), "\\s+")
     when(size(w) >= n,
       array_distinct(transform(sequence(lit(1), size(w) - lit(n - 1)),
         i => array_join(slice(w, i, lit(n)), " "))))

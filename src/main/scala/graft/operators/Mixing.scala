@@ -35,8 +35,12 @@ object Mixing {
     val full = floor(w).cast("long")
     // keep the fractional extra copy iff the first 4 md5 hex digits of
     // the id sort below frac * 0x10000 (hex-string compare == numeric
-    // compare at fixed width; lowercase on both engines)
-    val fracThreshold = lpad(lower(hex(((w - full) * 65536).cast("long"))), 4, "0")
+    // compare at fixed width; lowercase on both engines). The explicit
+    // floor() pins truncation semantics: a bare cast-to-long truncates
+    // in Spark but CAST AS BIGINT rounds in DuckDB, so a non-integer
+    // frac*65536 (e.g. 0.1 → 6553.6) would pick different thresholds
+    // and break the cross-engine determinism contract.
+    val fracThreshold = lpad(lower(hex(floor((w - full) * 65536).cast("long"))), 4, "0")
     val copies = full +
       when(substring(md5(col(idCol).cast("string")), 1, 4) < fracThreshold, 1L)
         .otherwise(0L)

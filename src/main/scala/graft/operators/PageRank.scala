@@ -18,9 +18,15 @@ import org.apache.spark.sql.functions._
   * k rounds are a pure function of the edge list, so the q91 oracle
   * unrolls the identical k iterations in SQL.
   *
-  * Dangling nodes: callers pass edges; nodes appear iff they have an
-  * edge. With a symmetric (undirected) edge list every node has
-  * in-degree ≥ 1 and rank mass is conserved per round.
+  * Dangling (sink) nodes are handled the standard way: n counts the
+  * distinct endpoints of the edge list (sources AND destinations), every
+  * node gets init mass and a rank row each round, and the aggregate rank
+  * of zero-out-degree nodes is redistributed uniformly (the dangling
+  * term d·Σ_sinks pr/n), so rank mass is conserved at 1.0 per round on
+  * ANY edge list — directed with sinks included, not just the symmetric
+  * graphs the gates feed. On a symmetric edge list the dangling term is
+  * identically 0 and this reduces to the classic formulation the q91
+  * SQL oracle unrolls.
   */
 object PageRank {
 
@@ -35,17 +41,26 @@ object PageRank {
     val e = edges.select(col(srcCol).cast("long").as("u"),
       col(dstCol).cast("long").as("v"))
     val deg = e.groupBy(col("u")).agg(count(lit(1)).as("dg"))
-    val n = deg.agg(count(lit(1)).cast("double").as("n"))
-    var pr = deg.crossJoin(broadcast(n))
+    // node set = distinct endpoints (a sink appears only as a v)
+    val nodes = e.select(col("u")).union(e.select(col("v").as("u"))).distinct()
+    val n = nodes.agg(count(lit(1)).cast("double").as("n"))
+    var pr = nodes.crossJoin(broadcast(n))
       .select(col("u"), (lit(1.0) / col("n")).as("pr"))
     var i = 0
     while (i < iters) {
-      pr = e.join(pr, "u").join(deg, "u")
+      // in-flow per destination: only nodes with out-edges contribute
+      val contribs = e.join(pr, "u").join(deg, "u")
         .groupBy(col("v").as("u"))
         .agg(sum(col("pr") / col("dg")).as("__in"))
-        .crossJoin(broadcast(n))
+      // aggregate sink rank (nodes with no out-edge) — a 1-row broadcast,
+      // redistributed uniformly so no mass leaks out of the graph
+      val dangling = pr.join(deg, Seq("u"), "left_anti")
+        .agg(coalesce(sum(col("pr")), lit(0.0)).as("__dm"))
+      pr = nodes.join(contribs, Seq("u"), "left")
+        .crossJoin(broadcast(n)).crossJoin(broadcast(dangling))
         .select(col("u"),
-          (lit(1.0 - damping) / col("n") + lit(damping) * col("__in")).as("pr"))
+          (lit(1.0 - damping) / col("n") + lit(damping) *
+            (coalesce(col("__in"), lit(0.0)) + col("__dm") / col("n"))).as("pr"))
       // truncate lineage every few rounds — an unbounded iteration chain
       // re-plans the whole history each action and eventually overwhelms
       // the optimizer (same reason ConnectedComponents checkpoints)

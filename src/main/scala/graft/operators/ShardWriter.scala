@@ -17,7 +17,11 @@ import org.apache.spark.sql.functions._
 object ShardWriter {
 
   /** Write `df` partitioned by `shardCol`, each file sorted by
-    * `orderCols`. Returns the distinct shard count.
+    * `orderCols`. Returns the distinct shard count, read from the
+    * written directory layout — NOT by re-running the input plan (a
+    * recompute is a harmless second job locally but a full second pass
+    * over the corpus at scale; the writer already materialized every
+    * shard as a `<shardCol>=<v>` directory, so listing is O(shards)).
     */
   def writeShards(df: DataFrame, path: String, shardCol: String,
                   orderCols: Seq[String]): Long = {
@@ -25,6 +29,10 @@ object ShardWriter {
     df.repartition(col(shardCol))
       .sortWithinPartitions((shardCol +: orderCols).map(col): _*)
       .write.mode("overwrite").partitionBy(shardCol).parquet(path)
-    df.select(col(shardCol)).distinct().count()
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .count(s => s.isDirectory && s.getPath.getName.startsWith(shardCol + "="))
+      .toLong
   }
 }

@@ -122,7 +122,7 @@ object Curation {
             "text", "doc_id", n = 3)
           .orderBy(col("doc_id"))
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
              |ng AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ')
              |       for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs FROM w),
              |bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 31 = 0),
@@ -143,7 +143,7 @@ object Curation {
             "text", "doc_id", n = 3, minHits = 2)
           .agg(count(lit(1)).as("n_kept"), sum(col("n_chars")).as("sum_chars"))
       },
-      Some("""WITH w AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM documents),
+      Some("""WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM documents),
              |ng AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ')
              |       for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs FROM w),
              |bench AS (SELECT DISTINCT unnest(gs) AS g FROM ng WHERE doc_id % 31 = 0),
@@ -224,7 +224,7 @@ object Curation {
              |c AS (
              |  SELECT source, n_chars, CAST(floor(wt) AS BIGINT) +
              |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-             |      printf('%04x', CAST((wt - floor(wt)) * 65536 AS BIGINT))
+             |      printf('%04x', CAST(floor((wt - floor(wt)) * 65536) AS BIGINT))
              |    THEN 1 ELSE 0 END AS n_copies
              |  FROM w),
              |r AS (
@@ -296,11 +296,11 @@ object Curation {
              |    FROM corpus) WHERE rn = 1),
              |ngr AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ')
              |          for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs
-             |        FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS ws FROM dedup)),
+             |        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws FROM dedup)),
              |bench AS (SELECT DISTINCT unnest(gs) AS g FROM (
              |    SELECT list_distinct([array_to_string(ws[i:i+2], ' ')
              |      for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs
-             |    FROM (SELECT string_split(lower(trim(text)), ' ') AS ws
+             |    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
              |          FROM documents WHERE doc_id % 31 = 0))),
              |hits AS (SELECT c.doc_id, count(*) AS n_hits
              |         FROM (SELECT doc_id, unnest(gs) AS g FROM ngr) c
@@ -317,7 +317,7 @@ object Curation {
              |         ELSE 1.0 END AS wgt FROM samp),
              |cp AS (SELECT *, CAST(floor(wgt) AS BIGINT) +
              |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
-             |           printf('%04x', CAST((wgt - floor(wgt)) * 65536 AS BIGINT))
+             |           printf('%04x', CAST(floor((wgt - floor(wgt)) * 65536) AS BIGINT))
              |         THEN 1 ELSE 0 END AS n_copies FROM wt),
              |mix AS (SELECT lang, doc_id, words,
              |          unnest(generate_series(0, n_copies - 1)) AS replica

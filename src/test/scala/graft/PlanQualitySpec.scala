@@ -165,6 +165,11 @@ class PlanQualitySpec extends AnyFunSuite {
     // below the gram exchange, so shuffled volume is distinct grams, not
     // positions
     assert("partial_count".r.findFirstIn(p).isDefined, p.take(1500))
+    // doc-count per gram must NOT be a gram-partitioned window: a hot
+    // boilerplate gram would pin O(corpus) rows in one task and AQE
+    // cannot split window partitions. The groupBy+join shape keeps both
+    // sides of the gram exchange skew-splittable.
+    assert(!p.contains("Window"), "q80 must not window over gram:\n" + p.take(1500))
   }
 
   test("q88 LM scoring: trigram counts partial-aggregate below the exchange") {

@@ -341,6 +341,19 @@ class CurationSpec extends AnyFunSuite with AdaptiveSparkPlanHelper {
     assert(out(3L) == 0.0)
   }
 
+  test("dupSpanStats hashGrams variant matches the raw-gram stats") {
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val df = Seq(
+      (1L, shared + " UNIQUEONE-SUFFIX-AAAA"),
+      (2L, shared + " UNIQUETWO-SUFFIX-BBBB"),
+      (3L, "completely different text with nothing in common here at all"))
+      .toDF("id", "t")
+    def stats(h: Boolean) =
+      SubstringDup.dupSpanStats(df, "id", "t", n = 16, stride = 1, hashGrams = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(stats(h = true) == stats(h = false))
+  }
+
   test("packBins is deterministic under repartitioning") {
     val rows = (0L until 200L).map(i => (s"s${i % 4}", i, 30L + i % 7))
       .toDF("shard", "ord", "w")

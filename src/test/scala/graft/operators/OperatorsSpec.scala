@@ -326,6 +326,20 @@ class OperatorsSpec extends AnyFunSuite {
     assert(math.abs(pr(8L) - pr(9L)) < 1e-12)
   }
 
+  test("pagerank: directed graph with a sink conserves mass, sink gets rank") {
+    import spark.implicits._
+    // 1 -> 2 -> 3, 3 is a pure sink (no out-edges)
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val pr = PageRank.ranks(edges, "u", "v", 0.85, 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // n counts ALL endpoints: the sink appears with a rank row
+    assert(pr.size == 3 && pr.contains(3L))
+    // dangling mass is redistributed, so total rank stays 1.0
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, pr.values.sum.toString)
+    // downstream of the chain accumulates rank: 3 > 2 > 1
+    assert(pr(3L) > pr(2L) && pr(2L) > pr(1L), pr.toString)
+  }
+
   test("langId picks marker-dominant language deterministically") {
     val preds = Seq(
       ("the cat and the dog of a house", "en"),
