@@ -38,13 +38,15 @@ object IcebergFixture {
       |{"name":"manifest_length","type":"long","field-id":501},
       |{"name":"partition_spec_id","type":"int","field-id":502},
       |{"name":"content","type":"int","field-id":517},
-      |{"name":"added_snapshot_id","type":"long","field-id":503}
+      |{"name":"added_snapshot_id","type":"long","field-id":503},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":515}
       |]}""".stripMargin)
 
   private val manifestEntrySchema = new Schema.Parser().parse(
     """{"type":"record","name":"manifest_entry","fields":[
       |{"name":"status","type":"int","field-id":0},
       |{"name":"snapshot_id","type":["null","long"],"default":null,"field-id":1},
+      |{"name":"sequence_number","type":["null","long"],"default":null,"field-id":3},
       |{"name":"data_file","type":{"type":"record","name":"r2_data_file","fields":[
       |  {"name":"content","type":"int","field-id":134},
       |  {"name":"file_path","type":"string","field-id":100},
@@ -434,6 +436,92 @@ object IcebergFixture {
   def publishWithEqualityDeletes(stub: Stub, ns: String, tbl: String, df: DataFrame,
                                  deleteRows: DataFrame): String =
     publishWithDeleteFile(stub, ns, tbl, df, deleteRows, content = 2)
+
+  /** Delete-then-reinsert MOR history, exercising the v2 sequence-number
+    * scoping rule: `df1` lands at data sequence 1, an equality delete
+    * on `deleteRows`' columns at sequence 2, and `df2` (rows matching
+    * the delete, re-inserted) at sequence 3. A spec-correct reader
+    * masks only `df1` rows (seq 1 < 2) and keeps every `df2` row
+    * (seq 3 > 2); a reader that applies deletes globally silently drops
+    * the re-inserts. Sequence numbers are carried on the manifest-list
+    * entries — entry-level `sequence_number` stays null, so this also
+    * exercises the inheritance rule.
+    */
+  def publishDeleteThenReinsert(stub: Stub, ns: String, tbl: String,
+                                df1: DataFrame, deleteRows: DataFrame,
+                                df2: DataFrame): String = {
+    val prefix = s"iceberg/$ns/$tbl"
+
+    def writeParquet(df: DataFrame, key: String): (Long, Long) = {
+      val tmp = java.nio.file.Files.createTempDirectory("iceseq").toFile
+      withFieldIds(df).coalesce(1).write.mode("overwrite")
+        .parquet(tmp.getAbsolutePath + "/d")
+      val f = new java.io.File(tmp, "d").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+      stub.objects.put(key, bytes)
+      (bytes.length.toLong, df.count())
+    }
+
+    def manifest(key: String, filePath: String, content: Int,
+                 size: Long, rows: Long): Array[Byte] = {
+      val dfRec = new GenericData.Record(
+        manifestEntrySchema.getField("data_file").schema())
+      dfRec.put("content", content)
+      dfRec.put("file_path", filePath)
+      dfRec.put("file_format", "PARQUET")
+      dfRec.put("record_count", rows)
+      dfRec.put("file_size_in_bytes", size)
+      val rec = new GenericData.Record(manifestEntrySchema)
+      rec.put("status", 1)
+      rec.put("snapshot_id", 3L)
+      rec.put("data_file", dfRec) // sequence_number left null -> inherited
+      val bytes = writeAvro(manifestEntrySchema, Seq(rec))
+      stub.objects.put(key, bytes)
+      bytes
+    }
+
+    val (sz1, n1) = writeParquet(df1, s"$prefix/data/part-s1-0.parquet")
+    val (szD, nD) = writeParquet(deleteRows, s"$prefix/data/delete-0.parquet")
+    val (sz2, n2) = writeParquet(df2, s"$prefix/data/part-s3-0.parquet")
+    val m1 = manifest(s"$prefix/metadata/manifest-1-0.avro",
+      s"r2://r2-lake/$prefix/data/part-s1-0.parquet", 0, sz1, n1)
+    val mD = manifest(s"$prefix/metadata/manifest-del-0.avro",
+      s"r2://r2-lake/$prefix/data/delete-0.parquet", 2, szD, nD)
+    val m2 = manifest(s"$prefix/metadata/manifest-3-0.avro",
+      s"r2://r2-lake/$prefix/data/part-s3-0.parquet", 0, sz2, n2)
+
+    def mlRec(path: String, len: Long, content: Int, seq: Long): GenericRecord = {
+      val r = new GenericData.Record(manifestListSchema)
+      r.put("manifest_path", path)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_snapshot_id", 3L)
+      r.put("sequence_number", seq)
+      r
+    }
+    stub.objects.put(s"$prefix/metadata/snap-3.avro", writeAvro(manifestListSchema, Seq(
+      mlRec(s"r2://r2-lake/$prefix/metadata/manifest-1-0.avro", m1.length.toLong, 0, 1L),
+      mlRec(s"r2://r2-lake/$prefix/metadata/manifest-del-0.avro", mD.length.toLong, 1, 2L),
+      mlRec(s"r2://r2-lake/$prefix/metadata/manifest-3-0.avro", m2.length.toLong, 0, 3L))))
+
+    val metaJson =
+      s"""{"format-version":2,"table-uuid":"00000000-0000-0000-0000-000000000077",
+         |"location":"r2://r2-lake/$prefix",
+         |"last-sequence-number":3,"last-updated-ms":0,"last-column-id":${df1.schema.length},
+         |"current-schema-id":0,"schemas":[${icebergStruct(df1.schema, 1)}],
+         |"default-spec-id":0,"partition-specs":[{"spec-id":0,"fields":[]}],
+         |"default-sort-order-id":0,"sort-orders":[{"order-id":0,"fields":[]}],
+         |"current-snapshot-id":3,"snapshots":[
+         |{"snapshot-id":3,"timestamp-ms":0,"manifest-list":"r2://r2-lake/$prefix/metadata/snap-3.avro",
+         |"summary":{"operation":"overwrite"}}]}""".stripMargin
+    val metaKey = s"$prefix/metadata/v3.metadata.json"
+    stub.objects.put(metaKey, metaJson.getBytes(UTF_8))
+    val metaLoc = s"r2://r2-lake/$metaKey"
+    tables.put((ns, tbl), metaLoc)
+    metaLoc
+  }
 
   /** Install the REST catalog protocol routes on `stub` under
     * `/iceberg` (catalog uri = `<stub.base>/iceberg`).

@@ -329,6 +329,83 @@ object AttachSyntax {
   }
 }
 
+/** `CREATE [OR REPLACE] SECRET [IF NOT EXISTS] [name] (TYPE d1|r2_sql,
+  * ACCOUNT_ID '…', API_TOKEN '…')` and `DROP SECRET [IF EXISTS] name` —
+  * the reference registers these through DuckDB's secret manager
+  * (d1_secret.cpp:12-67, r2_secret.cpp:11-60); Spark's grammar has no
+  * secret statement, so the delegating parser (the ATTACH pattern)
+  * accepts the literal spelling the engine's own error messages
+  * advertise ("Create it with: CREATE SECRET n (TYPE d1, ...)").
+  * Parameter validation and error wording delegate to
+  * [[graft.Graft.createSecret]], which mirrors the reference's
+  * CreateD1SecretFunction/CreateR2SQLSecret checks verbatim. An omitted
+  * name registers the type's default (`__default_<type>`) — the name the
+  * D1 ATTACH probe order already looks up. SCOPE and PROVIDER 'config'
+  * are accepted (the reference's only provider is config); any other
+  * provider is rejected.
+  */
+object SecretSyntax {
+  import org.apache.spark.sql.{Row, SparkSession}
+
+  private val CreateRe =
+    """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(?:PERSISTENT|TEMPORARY)\s+)?SECRET\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(?:([A-Za-z_]\w*)\s*)?\((.*)\)\s*;?\s*""".r
+  private val DropRe =
+    """(?is)\s*DROP\s+SECRET\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*;?\s*""".r
+  private val OptRe = """(?i)([A-Za-z_]\w*)\s+(?:'([^']*)'|(\S+))""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case CreateRe(orReplace, ifNotExists, nameOrNull, optBody) =>
+      val opts = optBody.split(",").map(_.trim).filter(_.nonEmpty).map { o =>
+        OptRe.findFirstMatchIn(o) match {
+          case Some(m) => m.group(1).toLowerCase -> Option(m.group(2)).getOrElse(m.group(3))
+          case None => throw new IllegalArgumentException(
+            s"Cannot parse CREATE SECRET option: '$o'")
+        }
+      }.toSeq
+      val tpe = opts.collectFirst { case ("type", v) => v.toLowerCase }.getOrElse(
+        throw new IllegalArgumentException("CREATE SECRET requires a TYPE option"))
+      opts.collectFirst { case ("provider", v) => v }.foreach { p =>
+        if (!p.equalsIgnoreCase("config")) throw new IllegalArgumentException(
+          s"Secret provider '$p' not found for secret type '$tpe' (supported: config)")
+      }
+      val params = opts.filterNot { case (k, _) =>
+        k == "type" || k == "provider" || k == "scope"
+      }.toMap
+      Some(CreateSecretCommand(Option(nameOrNull), tpe, params,
+        orReplace != null, ifNotExists != null))
+    case DropRe(ifExists, name) =>
+      Some(DropSecretCommand(name, ifExists != null))
+    case _ => None
+  }
+
+  case class CreateSecretCommand(name: Option[String], tpe: String,
+                                 params: Map[String, String],
+                                 orReplace: Boolean, ifNotExists: Boolean)
+      extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val n = name.getOrElse(s"__default_$tpe")
+      val exists = graft.core.Secrets.lookup(tpe, n).isDefined
+      if (exists && ifNotExists) return Seq.empty
+      if (exists && !orReplace) throw new IllegalArgumentException(
+        s"Secret with name '$n' already exists")
+      graft.Graft.createSecret(n, tpe, params)
+      Seq.empty
+    }
+  }
+
+  case class DropSecretCommand(name: String, ifExists: Boolean)
+      extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      val types = Seq("d1", "r2_sql")
+        .filter(t => graft.core.Secrets.lookup(t, name).isDefined)
+      if (types.isEmpty && !ifExists) throw new IllegalArgumentException(
+        s"Failed to remove non-existent secret with name '$name'")
+      types.foreach(t => graft.core.Secrets.drop(t, name))
+      Seq.empty
+    }
+  }
+}
+
 /** `SELECT DISTINCT ON(k, …) <list> FROM …` — the DuckDB/Postgres
   * spelling Spark's grammar lacks. Parsed by delegating the de-sugared
   * `SELECT <list> FROM …` to Spark's parser, then inserting a
@@ -401,8 +478,9 @@ object DistinctOnSyntax {
   * string literals, quoted identifiers, and comments (`:=` has no other
   * meaning anywhere in Spark SQL, so the rewrite is semantics-preserving),
   * the reference's `ATTACH ... (TYPE d1)` statement, which Spark's
-  * grammar lacks entirely (see [[AttachSyntax]]), and the
-  * `SELECT DISTINCT ON(...)` spelling (see [[DistinctOnSyntax]]).
+  * grammar lacks entirely (see [[AttachSyntax]]), the
+  * `CREATE SECRET` / `DROP SECRET` statements (see [[SecretSyntax]]),
+  * and the `SELECT DISTINCT ON(...)` spelling (see [[DistinctOnSyntax]]).
   */
 class AssignSyntaxParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -446,10 +524,12 @@ class AssignSyntaxParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
     AttachSyntax.parse(sqlText)
+      .orElse(SecretSyntax.parse(sqlText))
       .orElse(DistinctOnSyntax.parse(sqlText, s => delegate.parsePlan(rewrite(s))))
       .getOrElse(delegate.parsePlan(rewrite(sqlText)))
   override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
     AttachSyntax.parse(sqlText)
+      .orElse(SecretSyntax.parse(sqlText))
       .orElse(DistinctOnSyntax.parse(sqlText,
         s => delegate.parsePlanWithParameters(rewrite(s), ctx)))
       .getOrElse(delegate.parsePlanWithParameters(rewrite(sqlText), ctx))

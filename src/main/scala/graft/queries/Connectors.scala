@@ -424,6 +424,62 @@ object Connectors {
       },
       Some("""SELECT n_nationkey, n_name AS label,
              |CASE WHEN n_nationkey < 13 THEN NULL ELSE n_regionkey END AS region
-             |FROM nation ORDER BY n_nationkey""".stripMargin))
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    QueryDef("qc25_create_secret_sql",
+      (s, _) => {
+        // CREATE SECRET / DROP SECRET SQL statements end-to-end
+        // (reference d1_secret.cpp:12-67): the secret is created through
+        // spark.sql ALONE — the literal spelling the engine's own error
+        // hints advertise ("Create it with: CREATE SECRET n (TYPE d1,
+        // ...)") — then a d1_query TVF call resolves credentials through
+        // it and scans the fixture; DROP SECRET runs after the bind-time
+        // credential capture, proving both statements execute.
+        graft.plans.GraftTvf.registerConnectors(s,
+          d1ApiBase = s"${stub.base}/client/v4", r2ApiBase = stub.base)
+        s.sql("CREATE OR REPLACE SECRET qcsql " +
+          "(TYPE d1, ACCOUNT_ID 'fixture-acct', API_TOKEN 'fixture-tok')")
+        val out = s.sql(
+          """SELECT id, name FROM d1_query('SELECT * FROM users LIMIT 2',
+            |  secret := 'qcsql',
+            |  database_id := '11111111-2222-3333-4444-555555555555')
+            |ORDER BY id""".stripMargin)
+        s.sql("DROP SECRET qcsql")
+        out
+      },
+      Some("""SELECT * FROM (VALUES ('1', 'alice'), ('2', 'bob'))
+             |t(id, name) ORDER BY id""".stripMargin)),
+
+    QueryDef("qc26_iceberg_seq_scoping",
+      (s, d) => {
+        // v2 sequence-number scoping (Iceberg spec "Sequencing"): insert
+        // suppliers (seq 1) → equality-delete nations 1,3 (seq 2) →
+        // re-insert those rows (seq 3). The delete masks only the seq-1
+        // copies; the seq-3 re-inserts are strictly newer and survive,
+        // so a spec-correct read returns the FULL supplier table. A
+        // reader applying deletes globally loses the re-inserts; one
+        // ignoring deletes duplicates them.
+        graft.fixtures.IcebergFixture.installRest(stub)
+        val hc = s.sparkContext.hadoopConfiguration
+        hc.set("fs.r2.impl", "graft.sources.r2.R2FileSystem")
+        hc.set("fs.r2.impl.disable.cache", "true")
+        hc.set("fs.r2.endpoint", stub.base)
+        val supplier = load(s, d, "supplier")
+        val dels = supplier.sparkSession.createDataFrame(
+          java.util.Arrays.asList(
+            org.apache.spark.sql.Row(1), org.apache.spark.sql.Row(3)),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("s_nationkey",
+              supplier.schema("s_nationkey").dataType))))
+        graft.fixtures.IcebergFixture.publishDeleteThenReinsert(
+          stub, "tpch", "supplier_seq", supplier, dels,
+          supplier.filter(col("s_nationkey").isin(1, 3)))
+        graft.sources.iceberg.Iceberg
+          .read(s, s"${stub.base}/iceberg", Seq("tpch"), "supplier_seq")
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .orderBy(col("s_suppkey"))
+      },
+      Some("""SELECT s_suppkey, s_nationkey FROM supplier
+             |ORDER BY s_suppkey""".stripMargin))
   )
 }

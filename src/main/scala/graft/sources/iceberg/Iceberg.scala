@@ -71,11 +71,18 @@ object Iceberg {
     * Equality deletes anti-join the data on the delete file's columns
     * with null-safe equality (the spec matches nulls to nulls). Delete
     * files with different equality-field sets are grouped and applied
-    * as one anti-join per column set. Sequence-number scoping (an
-    * equality delete only masks rows from EARLIER sequence numbers) is
-    * not modeled: with copy-on-write snapshots every delete in a
-    * snapshot's manifest list is newer than its data files, which is
-    * the shape this reader serves.
+    * as one anti-join per column set. Sequence-number scoping follows
+    * the v2 spec: an equality delete masks only rows of data files with
+    * a STRICTLY SMALLER data sequence number — a row re-inserted after
+    * the delete (larger sequence number) survives. Data files are
+    * grouped by sequence number and each group anti-joins only the
+    * deletes newer than it (distinct sequence numbers are bounded by
+    * snapshots, so the union stays small; each branch is still one
+    * multi-file parquet scan). When a writer recorded no sequence
+    * numbers (v1 metadata), every delete applies to every data file —
+    * the copy-on-write-then-delete shape. Position deletes need no
+    * scoping: data files are immutable, so a (file_path, pos) pair
+    * never identifies a re-inserted row.
     *
     * @param uri        REST catalog endpoint (same value as the
     *                   catalog's `spark.sql.catalog.<name>.uri`)
@@ -111,39 +118,62 @@ object Iceberg {
       case Some(snap) =>
         val (dataManifests, deleteManifests) =
           IcebergManifests.snapshotManifests(conf, snap.manifestList)
-        val dataFiles = dataManifests
-          .flatMap(m => IcebergManifests.dataFilesOfManifest(conf, m)).map(_.path)
-        if (dataFiles.isEmpty)
+        val dataEntries = dataManifests
+          .flatMap(m => IcebergManifests.dataFilesOfManifest(conf, m.path, m.sequenceNumber))
+        if (dataEntries.isEmpty)
           return spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], meta.schema)
-        val data = spark.read.schema(meta.schema).parquet(dataFiles: _*)
         val deletes = deleteManifests
-          .flatMap(m => IcebergManifests.deleteFilesOfManifest(conf, m))
+          .flatMap(m => IcebergManifests.deleteFilesOfManifest(conf, m.path, m.sequenceNumber))
         val posFiles = deletes.filter(_.isPosition).map(_.path)
-        val eqFiles = deletes.filter(_.isEquality).map(_.path)
+        val eqDeletes = deletes.filter(_.isEquality)
 
-        val afterPos =
-          if (posFiles.isEmpty) data
-          else {
-            val withPos = data.select(col("*"),
-              col("_metadata.file_path").as("__ice_file"),
-              col("_metadata.row_index").as("__ice_pos"))
-            val dels = spark.read.parquet(posFiles: _*)
-              .select(col("file_path").as("__ice_file"), col("pos").as("__ice_pos"))
-            withPos.join(dels, Seq("__ice_file", "__ice_pos"), "left_anti")
-              .drop("__ice_file", "__ice_pos")
-          }
+        // each branch reads as one multi-file scan; _metadata columns
+        // must be selected per-scan (they don't resolve through a union)
+        def readData(paths: Seq[String]): DataFrame = {
+          val base = spark.read.schema(meta.schema).parquet(paths: _*)
+          if (posFiles.isEmpty) base
+          else base.select(col("*"),
+            col("_metadata.file_path").as("__ice_file"),
+            col("_metadata.row_index").as("__ice_pos"))
+        }
 
         // group equality-delete files by their column set; one null-safe
         // anti-join per set
-        eqFiles.groupBy(f => spark.read.parquet(f).schema.fieldNames.toSeq.sorted)
-          .foldLeft(afterPos) { case (acc, (cols, files)) =>
-            val del = spark.read.parquet(files: _*)
-            val delAliased = del.select(cols.map(c => col(c).as(s"__ice_eq_$c")): _*)
-            val cond = cols.map(c => acc(c) <=> delAliased(s"__ice_eq_$c"))
-              .reduce(_ && _)
-            acc.join(delAliased, cond, "left_anti")
+        def applyEq(df: DataFrame,
+                    eq: Seq[IcebergManifests.DeleteFileEntry]): DataFrame =
+          eq.map(_.path).groupBy(f => spark.read.parquet(f).schema.fieldNames.toSeq.sorted)
+            .foldLeft(df) { case (acc, (cols, files)) =>
+              val del = spark.read.parquet(files: _*)
+              val delAliased = del.select(cols.map(c => col(c).as(s"__ice_eq_$c")): _*)
+              val cond = cols.map(c => acc(c) <=> delAliased(s"__ice_eq_$c"))
+                .reduce(_ && _)
+              acc.join(delAliased, cond, "left_anti")
+            }
+
+        // strict sequence scoping: a delete with sequence s masks only
+        // data files with sequence < s; unknown sequences (v1 writers)
+        // fall back to delete-applies (the COW-then-delete shape)
+        def applies(del: IcebergManifests.DeleteFileEntry, dataSeq: Option[Long]): Boolean =
+          (del.sequenceNumber, dataSeq) match {
+            case (Some(ds), Some(fs)) => ds > fs
+            case _ => true
           }
+
+        val afterEq =
+          if (eqDeletes.isEmpty) readData(dataEntries.map(_.path))
+          else dataEntries.groupBy(_.sequenceNumber).toSeq.sortBy(_._1)
+            .map { case (sq, entries) =>
+              applyEq(readData(entries.map(_.path)), eqDeletes.filter(applies(_, sq)))
+            }.reduce(_ unionAll _)
+
+        if (posFiles.isEmpty) afterEq
+        else {
+          val dels = spark.read.parquet(posFiles: _*)
+            .select(col("file_path").as("__ice_file"), col("pos").as("__ice_pos"))
+          afterEq.join(dels, Seq("__ice_file", "__ice_pos"), "left_anti")
+            .drop("__ice_file", "__ice_pos")
+        }
     }
   }
 }

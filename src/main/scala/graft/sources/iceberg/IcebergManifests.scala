@@ -28,29 +28,39 @@ object IcebergManifests {
       throw new UnsupportedOperationException(
         s"Iceberg table has delete manifests (merge-on-read); " +
           s"only copy-on-write tables are readable: $manifestListPath")
-    data.flatMap(m => dataFilesOfManifest(conf, m))
+    data.flatMap(m => dataFilesOfManifest(conf, m.path, m.sequenceNumber))
   }
 
   final case class DataFileEntry(path: String, format: String, recordCount: Long,
       lowerBounds: Map[Int, Array[Byte]] = Map.empty,
-      upperBounds: Map[Int, Array[Byte]] = Map.empty)
+      upperBounds: Map[Int, Array[Byte]] = Map.empty,
+      sequenceNumber: Option[Long] = None)
+
+  /** A manifest-list entry: path, plus the manifest's data sequence
+    * number (spec field-id 515) when the writer recorded one — the
+    * inheritance root for entries whose own `sequence_number` is null.
+    */
+  final case class ManifestRef(path: String, sequenceNumber: Option[Long])
 
   /** Manifest-list → (data manifests, delete manifests), classified by
     * the spec's `content` field without reading the manifests themselves.
     */
   def snapshotManifests(conf: Configuration,
-                        manifestListPath: String): (Seq[String], Seq[String]) = {
+                        manifestListPath: String): (Seq[ManifestRef], Seq[ManifestRef]) = {
     val all = readAvro(conf, manifestListPath).map { rec =>
-      (rec.get("manifest_path").toString, longField(rec, "content").getOrElse(0L))
+      (ManifestRef(rec.get("manifest_path").toString, longField(rec, "sequence_number")),
+        longField(rec, "content").getOrElse(0L))
     }
     (all.filter(_._2 == 0L).map(_._1), all.filter(_._2 == 1L).map(_._1))
   }
 
   /** One manifest → its live data files. Entry `status` 2 = DELETED
     * (dropped); `data_file.content` != 0 = position/equality deletes
-    * (rejected).
+    * (rejected). An entry's null/absent `sequence_number` inherits the
+    * manifest's (the spec's v2 inheritance rule for ADDED entries).
     */
-  def dataFilesOfManifest(conf: Configuration, manifestPath: String): Seq[DataFileEntry] =
+  def dataFilesOfManifest(conf: Configuration, manifestPath: String,
+                          manifestSeq: Option[Long] = None): Seq[DataFileEntry] =
     readAvro(conf, manifestPath).flatMap { rec =>
       val status = longField(rec, "status").getOrElse(1L)
       if (status == 2L) None
@@ -67,7 +77,8 @@ object IcebergManifests {
             s"unsupported Iceberg data-file format $fmt (parquet only)")
         Some(DataFileEntry(df.get("file_path").toString, fmt,
           longField(df, "record_count").getOrElse(0L),
-          boundsField(df, "lower_bounds"), boundsField(df, "upper_bounds")))
+          boundsField(df, "lower_bounds"), boundsField(df, "upper_bounds"),
+          longField(rec, "sequence_number").orElse(manifestSeq)))
       }
     }
 
@@ -98,23 +109,27 @@ object IcebergManifests {
       case _ => Map.empty
     }
 
-  final case class DeleteFileEntry(path: String, content: Long) {
+  final case class DeleteFileEntry(path: String, content: Long,
+      sequenceNumber: Option[Long] = None) {
     def isPosition: Boolean = content == 1L
     def isEquality: Boolean = content == 2L
   }
 
   /** A delete manifest's live delete files: `content` = 1 position
     * deletes (parquet of (file_path, pos)), `content` = 2 equality
-    * deletes (parquet whose columns are the equality fields).
+    * deletes (parquet whose columns are the equality fields). Sequence
+    * numbers inherit from the manifest like data entries do.
     */
-  def deleteFilesOfManifest(conf: Configuration, manifestPath: String): Seq[DeleteFileEntry] =
+  def deleteFilesOfManifest(conf: Configuration, manifestPath: String,
+                            manifestSeq: Option[Long] = None): Seq[DeleteFileEntry] =
     readAvro(conf, manifestPath).flatMap { rec =>
       val status = longField(rec, "status").getOrElse(1L)
       if (status == 2L) None
       else {
         val df = rec.get("data_file").asInstanceOf[GenericRecord]
         longField(df, "content").getOrElse(0L) match {
-          case c @ (1L | 2L) => Some(DeleteFileEntry(df.get("file_path").toString, c))
+          case c @ (1L | 2L) => Some(DeleteFileEntry(df.get("file_path").toString, c,
+            longField(rec, "sequence_number").orElse(manifestSeq)))
           case other =>
             throw new IllegalArgumentException(
               s"unexpected content=$other in delete manifest $manifestPath")

@@ -10,9 +10,9 @@ import org.apache.spark.sql.SparkSession
 class GraftSurfaceSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.TestSpark.spark
 
-  test("gate inventory: 120 queries, every one oracled, names well-formed") {
+  test("gate inventory: 122 queries, every one oracled, names well-formed") {
     val qs = SparkEntry.queries
-    assert(qs.size == 120, s"gate count drifted: ${qs.size}")
+    assert(qs.size == 122, s"gate count drifted: ${qs.size}")
     // every gate carries a DuckDB oracle — a dropped oracle silently
     // downgrades the driver's check to rows-only; fail loudly instead
     assert(SparkEntry.oracleSql.keySet == qs.keySet,
@@ -72,6 +72,53 @@ class GraftSurfaceSpec extends AnyFunSuite {
     // drop via SQL
     spark.sql("SELECT graft_drop_secret('sqlsec', 'd1')").collect()
     assert(graft.core.Secrets.lookup("d1", "sqlsec").isEmpty)
+  }
+
+  test("CREATE SECRET / DROP SECRET statements — the literal spelling the error hints advertise") {
+    import graft.core.Secrets
+    // the exact statement shape the engine's own errors print:
+    //   "Create it with: CREATE SECRET n (TYPE d1, ...)"
+    spark.sql("CREATE SECRET stmtsec (TYPE d1, ACCOUNT_ID 'acct-9', API_TOKEN 'tok-9')")
+    val sec = Secrets.lookup("d1", "stmtsec").get
+    assert(sec.accountId == "acct-9" && sec.apiToken == "tok-9")
+    // duplicate without OR REPLACE errors; IF NOT EXISTS and OR REPLACE don't
+    val dup = intercept[Exception] {
+      spark.sql("CREATE SECRET stmtsec (TYPE d1, ACCOUNT_ID 'x', API_TOKEN 'y')")
+    }
+    assert(dup.getMessage.contains("already exists"), dup.getMessage)
+    spark.sql("CREATE SECRET IF NOT EXISTS stmtsec (TYPE d1, ACCOUNT_ID 'x', API_TOKEN 'y')")
+    assert(Secrets.lookup("d1", "stmtsec").get.accountId == "acct-9")
+    spark.sql("CREATE OR REPLACE SECRET stmtsec (TYPE d1, ACCOUNT_ID 'acct-10', API_TOKEN 'tok-10')")
+    assert(Secrets.lookup("d1", "stmtsec").get.accountId == "acct-10")
+    // unnamed secret registers the default name the D1 ATTACH probe order
+    // already looks up (the ATTACH error hint's own spelling)
+    spark.sql("CREATE OR REPLACE SECRET (TYPE d1, ACCOUNT_ID 'defacct', API_TOKEN 'deftok')")
+    assert(Secrets.lookup("d1", "__default_d1").get.accountId == "defacct")
+    // the reference's parameter validation wording surfaces through SQL
+    val e1 = intercept[Exception] {
+      spark.sql("CREATE SECRET badsec (TYPE d1, ACCOUNT_ID 'a', BOGUS 'b', API_TOKEN 't')")
+    }
+    assert(e1.getMessage.contains(
+      "Unknown parameter for D1 secret: 'bogus'. Expected: account_id, api_token"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql("CREATE SECRET badsec (TYPE r2_sql, ACCOUNT_ID 'a')")
+    }
+    assert(e2.getMessage.contains("R2 SQL secret requires 'api_token' parameter"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      spark.sql("CREATE SECRET badsec (TYPE nope, ACCOUNT_ID 'a')")
+    }
+    assert(e3.getMessage.contains("secret types are: d1, r2_sql"), e3.getMessage)
+    // r2_sql secrets flow through the same statement
+    spark.sql("CREATE OR REPLACE SECRET stmtr2 (TYPE r2_sql, ACCOUNT_ID 'ra', API_TOKEN 'rt')")
+    assert(Secrets.lookup("r2_sql", "stmtr2").isDefined)
+    // DROP SECRET, its not-found error, and IF EXISTS
+    spark.sql("DROP SECRET stmtsec")
+    assert(Secrets.lookup("d1", "stmtsec").isEmpty)
+    val e4 = intercept[Exception] { spark.sql("DROP SECRET stmtsec") }
+    assert(e4.getMessage.contains("non-existent secret"), e4.getMessage)
+    spark.sql("DROP SECRET IF EXISTS stmtsec") // no-op, no error
+    spark.sql("DROP SECRET stmtr2")
+    spark.sql("DROP SECRET __default_d1")
   }
 
   test("named-arg TVF SQL: := spelling, option override, pushdown through the TVF") {

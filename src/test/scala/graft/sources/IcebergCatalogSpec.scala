@@ -124,6 +124,28 @@ class IcebergCatalogSpec extends AnyFunSuite {
       s"got ${got.mkString(",")} expected ${expected.mkString(",")}")
   }
 
+  test("merge-on-read: equality deletes scope by sequence number — re-inserted rows survive") {
+    setup()
+    val nation = graft.queries.load(spark, "/root/testdata/sf0.001", "nation")
+    import spark.implicits._
+    // history: insert all rows (seq 1) → equality-delete regionkey 2
+    // (seq 2) → re-insert the deleted rows (seq 3). Spec-correct reads
+    // return the FULL table: the delete masks only seq-1 rows, and the
+    // seq-3 re-inserts are strictly newer. A reader that applies deletes
+    // globally drops the re-inserts; one that ignores sequence grouping
+    // but unions naively duplicates them.
+    val reinserted = nation.filter(col("n_regionkey") === 2)
+    IcebergFixture.publishDeleteThenReinsert(stub, "tpch", "nation_seq",
+      nation, Seq(2).toDF("n_regionkey"), reinserted)
+    val got = graft.sources.iceberg.Iceberg
+      .read(spark, s"${stub.base}/iceberg", Seq("tpch"), "nation_seq")
+      .select(col("n_nationkey")).collect().map(_.getInt(0)).sorted
+    val expected = nation.select(col("n_nationkey"))
+      .collect().map(_.getInt(0)).sorted
+    assert(got.sameElements(expected),
+      s"got ${got.mkString(",")} expected ${expected.mkString(",")}")
+  }
+
   test("time travel: VERSION AS OF reads the named snapshot through SQL") {
     setup()
     val nation = graft.queries.load(spark, "/root/testdata/sf0.001", "nation")
