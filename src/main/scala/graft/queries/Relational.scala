@@ -91,8 +91,26 @@ object Relational {
     // ---- joins --------------------------------------------------------
     QueryDef("q05_join_agg",
       (s, d) => {
+        // Broadcastability is decided on the PROJECTION that ships —
+        // (c_custkey, c_mktsegment) column-chunk bytes from the parquet
+        // footers, the ANALYZE stat — not the 8-column table size Spark's
+        // file-relation estimate uses (at sf30 that gap is the whole
+        // plan: 76 MB table vs ~20 MB projection against a 64 MB
+        // threshold). Broadcast ⇒ the fact side never shuffles and the
+        // 5-segment aggregate is map-side partial. Past the threshold,
+        // a SHUFFLE_HASH build on the dim side keeps the narrow
+        // (o_custkey, o_totalprice) exchange but drops both SMJ sorts —
+        // at 45M+ fact rows the sort dominates the join itself.
         val o = load(s, d, "orders"); val c = load(s, d, "customer")
-        o.join(c, o("o_custkey") === c("c_custkey"))
+        val cProj = c.select(col("c_custkey"), col("c_mktsegment"))
+        val bcastLimit = s.sessionState.conf.autoBroadcastJoinThreshold
+        val dim =
+          if (bcastLimit > 0 &&
+              projectedBytes(d, "customer",
+                Seq("c_custkey", "c_mktsegment")) <= bcastLimit)
+            broadcast(cProj)
+          else cProj.hint("SHUFFLE_HASH")
+        o.join(dim, o("o_custkey") === cProj("c_custkey"))
           .groupBy(col("c_mktsegment"))
           .agg(r2(sum(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n"))
           .orderBy(col("c_mktsegment"))
@@ -331,12 +349,24 @@ object Relational {
 
     // ---- grouping extensions / conditional agg ------------------------
     QueryDef("q19_rollup",
-      (s, d) => load(s, d, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"))
-        .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
-          coalesce(col("l_linestatus"), lit("(all)")).as("status"), col("n"))
-        .orderBy(col("flag"), col("status")),
+      (s, d) => {
+        // Rollup from the FINEST grouping. Spark plans rollup as Expand —
+        // every scan row is replicated once per grouping set (3× the
+        // 180M-row lineitem at sf30) BEFORE the partial aggregate ever
+        // combines. count() decomposes over grouping levels, so aggregate
+        // (flag, status) first — map-side combine collapses each scan
+        // partition to ≤6 rows — then expand the rollup over that tiny
+        // aggregate. Identical rows; the scan feeds one partial aggregate
+        // instead of three.
+        val base = load(s, d, "lineitem")
+          .groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(count(lit(1)).as("n"))
+        base.rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("n")).as("n"))
+          .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+            coalesce(col("l_linestatus"), lit("(all)")).as("status"), col("n"))
+          .orderBy(col("flag"), col("status"))
+      },
       Some("""SELECT COALESCE(l_returnflag,'(all)') AS flag,
              |COALESCE(l_linestatus,'(all)') AS status, count(*) AS n
              |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)

@@ -53,4 +53,35 @@ package object queries {
       else f.length()
     size(new java.io.File(s"$dir/$table.parquet"))
   }
+
+  /** Compressed bytes of just `cols` in a parquet table, summed from the
+    * file footers' column-chunk metadata — the per-column size stat an
+    * ANALYZE'd catalog carries. Broadcastability is a property of the
+    * PROJECTION that actually ships, not the whole table: a 2-of-8-column
+    * dim projection (e.g. `customer(c_custkey, c_mktsegment)`, where
+    * the segment column dictionary-encodes to well under a byte a row)
+    * is often 4–8× smaller than [[tableBytes]], and gating on the
+    * full-table size passes up broadcast joins the cost model should
+    * take. Footers only — no data pages are read.
+    */
+  def projectedBytes(dir: String, table: String, cols: Seq[String]): Long = {
+    import scala.jdk.CollectionConverters._
+    val root = new java.io.File(s"$dir/$table.parquet")
+    val files =
+      if (root.isDirectory)
+        root.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      else Seq(root)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val wanted = cols.map(_.toLowerCase).toSet
+    files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getFooter.getBlocks.asScala.iterator
+        .flatMap(_.getColumns.asScala)
+        .filter(c => wanted(c.getPath.toDotString.toLowerCase))
+        .map(_.getTotalSize).sum
+      finally r.close()
+    }.sum
+  }
 }
