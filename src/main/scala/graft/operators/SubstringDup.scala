@@ -42,30 +42,48 @@ object SubstringDup {
     // explode INT positions and slice the gram after: the per-doc array
     // holds 4-byte ints, not materialized strings, and the substring
     // fuses into the aggregation's codegen stage
-    val rawGram = expr(s"substring(__t, __i, $n)")
-    val gramKey = if (hashGrams) xxhash64(rawGram) else rawGram
-    val gramCounts = df.filter(length(col(textCol)) >= n)
-      .select(col(idCol).as("__id"), col(textCol).as("__t"),
-        explode(expr(s"sequence(1, length($textCol) - ${n - 1}, $stride)"))
-          .as("__i"))
-      .select(col("__id"), gramKey.as("gram"))
-      .groupBy(col("__id"), col("gram"))
+    // hashed path: one GramHashesExpr pass per doc emits the sampled
+    // XXH64 keys directly (value-identical to xxhash64(substring(...)),
+    // no per-position string slice); raw path keeps the literal gram
+    // for byte-exact cross-engine comparison
+    val positions =
+      if (hashGrams)
+        df.filter(length(col(textCol)) >= n)
+          .select(col(idCol).as("__id"),
+            explode(graft.functions.GramHash.gramHashes(col(textCol), n, stride))
+              .as("gram"))
+      else
+        df.filter(length(col(textCol)) >= n)
+          .select(col(idCol).as("__id"), col(textCol).as("__t"),
+            explode(expr(s"sequence(1, length($textCol) - ${n - 1}, $stride)"))
+              .as("__i"))
+          .select(col("__id"), expr(s"substring(__t, __i, $n)").as("gram"))
+    // ONE gram-keyed exchange for the whole census. Positions are
+    // hash-repartitioned on `gram` alone, and every downstream step is
+    // then gram-COLOCATED: hash(gram) satisfies the (gram, id)
+    // aggregation's clustering (subset rule), the per-gram doc-count
+    // re-aggregates in place, and the shared-gram join's two sides
+    // share the same partitioning — Catalyst inserts no further
+    // exchange until the final small per-doc rollup. The previous
+    // decomposition (groupBy(id, gram) → groupBy(gram) → join back on
+    // gram) was skew-safe but re-shuffled the O(positions) set on
+    // every hop — three full exchanges; measured 46 s → 65 s at sf30
+    // against this plan's single exchange. No window over gram either
+    // way: a ubiquitous boilerplate gram must never pin one
+    // unsplittable window task. The hot-gram cost here is one
+    // aggregation task counting that gram's rows — bounded by
+    // docs-containing-gram, the same bound the window plan had, minus
+    // its sort.
+    val parted = positions.repartition(col("gram"))
+    val gramCounts = parted.groupBy(col("gram"), col("__id"))
       .agg(count(lit(1)).as("__cnt"))
-    // shared-gram set via groupBy + join back, NOT a gram-partitioned
-    // window: a window forces every row of a gram into ONE task, and a
-    // ubiquitous boilerplate gram (present in a large fraction of a
-    // dup-heavy corpus) becomes an unsplittable straggler — AQE's skew
-    // handling applies to joins, not window partitions. The join back
-    // costs one more gram-keyed exchange, but both its sides are
-    // AQE-skew-splittable, and the probe side is only the grams that
-    // ARE shared (one row per dup gram — tiny, often broadcastable).
-    // Spark reuses gramCounts' exchange across the two consumers
-    // (ReusedExchange), so the extraction pass still runs once.
     val dupGrams = gramCounts.groupBy(col("gram"))
       .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2)
       .select(col("gram"), lit(1).as("__dup"))
-    gramCounts.join(dupGrams, Seq("gram"), "left")
+    // colocated join; hash-build the shared-gram side (no per-partition
+    // sort of the big side)
+    gramCounts.join(dupGrams.hint("SHUFFLE_HASH"), Seq("gram"), "left")
       .groupBy(col("__id").as(idCol))
       .agg(sum(col("__cnt")).as("n_grams"),
         sum(when(col("__dup").isNotNull, col("__cnt")).otherwise(lit(0L)))

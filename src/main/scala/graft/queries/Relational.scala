@@ -91,19 +91,23 @@ object Relational {
     // ---- joins --------------------------------------------------------
     QueryDef("q05_join_agg",
       (s, d) => {
-        // Broadcastability is decided on the PROJECTION that ships —
-        // (c_custkey, c_mktsegment) column-chunk bytes from the parquet
-        // footers, the ANALYZE stat — not the 8-column table size Spark's
-        // file-relation estimate uses (at sf30 that gap is the whole
-        // plan: 76 MB table vs ~20 MB projection against a 64 MB
-        // threshold). Broadcast ⇒ the fact side never shuffles and the
-        // 5-segment aggregate is map-side partial. Past the threshold,
-        // a SHUFFLE_HASH build on the dim side keeps the narrow
-        // (o_custkey, o_totalprice) exchange but drops both SMJ sorts —
-        // at 45M+ fact rows the sort dominates the join itself.
+        // Two cost-based choices, decided on the PROJECTION that ships
+        // — (c_custkey, c_mktsegment) column-chunk bytes read from the
+        // parquet footers (the ANALYZE stat), not the 8-column table
+        // size Spark's file-relation estimate uses:
+        // - projection under Spark's DEFAULT 10 MB broadcast threshold
+        //   (the value calibrated to the single-threaded driver build):
+        //   broadcast — the fact side never shuffles.
+        // - past that: SHUFFLE_HASH build on the dim side. The fact
+        //   exchange is narrow (o_custkey, o_totalprice) and parallel,
+        //   while a driver-built broadcast of a multimillion-row dim is
+        //   serial (measured at sf30: 2.2 s vs 3.6 s; the session's
+        //   64 MB threshold would have picked the broadcast). Never an
+        //   SMJ: sorting 45M fact rows dominates the join itself.
         val o = load(s, d, "orders"); val c = load(s, d, "customer")
         val cProj = c.select(col("c_custkey"), col("c_mktsegment"))
-        val bcastLimit = s.sessionState.conf.autoBroadcastJoinThreshold
+        val bcastLimit = math.min(
+          s.sessionState.conf.autoBroadcastJoinThreshold, 10L << 20)
         val dim =
           if (bcastLimit > 0 &&
               projectedBytes(d, "customer",

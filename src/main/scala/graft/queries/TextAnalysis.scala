@@ -415,8 +415,15 @@ object TextAnalysis {
         // so the gate result is small; per-doc dup_frac is the library
         // API (SubstringDup.dupSpanStats).
         val docs = load(s, d, "documents")
+        // hashGrams: the shuffle key is xxhash64(gram) — the 100 TB
+        // deployment shape (8-byte fixed keys instead of 16-char
+        // strings; ~3× less exchange volume). The OUTPUT is identical
+        // to raw-gram keying unless two distinct grams collide in 64
+        // bits (p ≈ n²/2⁶⁵; ~4e-8 at the sf0.01 oracle gate), so the
+        // DuckDB oracle — which groups raw grams — still hash-matches.
         graft.operators.SubstringDup
-          .dupSpanStats(docs, "doc_id", "text", n = 16, stride = 4)
+          .dupSpanStats(docs, "doc_id", "text", n = 16, stride = 4,
+            hashGrams = true)
           .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"),

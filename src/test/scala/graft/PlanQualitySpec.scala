@@ -159,17 +159,37 @@ class PlanQualitySpec extends AnyFunSuite {
       p.take(1500))
   }
 
-  test("q80 substring-dup: position explode collapses via partial aggregation") {
+  test("q80 substring-dup: single gram exchange, colocated census, no window") {
     val p = planOf("q80_dup_ngram_spans")
-    // the (doc, gram) groupBy must be map-side combined: partial_count
-    // below the gram exchange, so shuffled volume is distinct grams, not
-    // positions
-    assert("partial_count".r.findFirstIn(p).isDefined, p.take(1500))
+    // the whole census rides ONE gram-keyed exchange: positions are
+    // hash-repartitioned on gram, and the (gram, doc) aggregate, the
+    // per-gram doc-count, and the shared-gram join are all satisfied by
+    // that partitioning (subset rule) — the only other shuffle is the
+    // final small per-doc/per-lang rollup. Three gram-sized exchanges
+    // here (the old groupBy → groupBy → join-back decomposition) cost
+    // 65 s vs 46 s at sf30.
+    // no exchange may key on (gram, id) — that was the old first hop,
+    // re-shuffled twice more downstream
+    assert(!("hashpartitioning\\((gram[^)]*__id|__id[^)]*gram)".r
+        .findFirstIn(p).isDefined),
+      "no exchange may key on (gram, id):\n" + p.take(2000))
+    // the gram-keyed repartition subtree prints once per consumer (the
+    // census side and the shared-gram side — runtime reuses one
+    // exchange); anything beyond 2 means a real extra shuffle crept in
+    val bigExchanges = "Exchange hashpartitioning\\(gram".r.findAllIn(p).length
+    assert(bigExchanges <= 2,
+      s"expected <=2 printed gram exchanges (1 reused), found $bigExchanges:\n" + p.take(2000))
+    // the colocated join must not sort the big side
+    assert(p.contains("ShuffledHashJoin"),
+      "shared-gram join must be a hash join, not SMJ:\n" + p.take(1500))
     // doc-count per gram must NOT be a gram-partitioned window: a hot
     // boilerplate gram would pin O(corpus) rows in one task and AQE
-    // cannot split window partitions. The groupBy+join shape keeps both
-    // sides of the gram exchange skew-splittable.
+    // cannot split window partitions.
     assert(!p.contains("Window"), "q80 must not window over gram:\n" + p.take(1500))
+    // extraction emits hashed gram keys in one pass per doc (the
+    // GramHashesExpr kernel), not per-position substring slices
+    assert(p.contains("gramhashes") || p.contains("GramHashes"),
+      "q80 extraction must use the one-pass gram-hash kernel:\n" + p.take(1500))
   }
 
   test("q88 LM scoring: trigram counts partial-aggregate below the exchange") {

@@ -19,6 +19,30 @@ class OperatorsSpec extends AnyFunSuite {
     (5L, "short doc"))
     .toDF("doc_id", "text")
 
+  test("gram-hash kernel is value-identical to xxhash64(substring) — incl. multi-byte UTF-8") {
+    // GramHashesExpr's whole claim: element k == xxhash64(substring(s, 1+k*stride, n)).
+    // Cover ASCII, 2- and 3-byte UTF-8 chars (char-boundary slicing, not
+    // byte windows), a string of exactly n chars, one shorter than n,
+    // and empty.
+    val rows = Seq("the quick brown fox jumps over it",
+      "héllo wörld — ünïcode tëxt with àccents répeated héllo wörld",
+      "日本語のテキストとmixed ascii 内容が混在する文書です",
+      "exactly16charss!", "shorter", "").toDF("text")
+    for ((n, stride) <- Seq((16, 4), (5, 1), (7, 3))) {
+      val got = rows.select(
+        graft.functions.GramHash.gramHashes(col("text"), n, stride).as("fast"),
+        expr(s"CASE WHEN length(text) >= $n THEN " +
+          s"transform(sequence(1, length(text) - ${n - 1}, $stride)," +
+          s" i -> xxhash64(substring(text, i, $n))) " +
+          s"ELSE CAST(array() AS array<bigint>) END").as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"n=$n stride=$stride: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+      }
+    }
+  }
+
   test("exact dedup keeps lowest id per content hash") {
     val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
       .collect().map(_.getLong(0)).toSet
