@@ -406,6 +406,47 @@ object SecretSyntax {
   }
 }
 
+/** `BEGIN [TRANSACTION]` / `COMMIT` / `ROLLBACK` (`ABORT`) — the
+  * transaction spellings the reference inherits from its host grammar
+  * and serves with a custom transaction manager that buffers D1 writes
+  * and flushes them as one batch POST at commit
+  * (reference src/storage/d1_transaction_manager.cpp:11-46,
+  * d1_transaction.cpp:24-58). Spark's grammar has none of these, so the
+  * delegating parser claims them and drives [[graft.sources.d1.D1Txn]];
+  * state-error wording is DuckDB's ("cannot commit - no transaction is
+  * active", "cannot start a transaction within a transaction").
+  *
+  * The regexes match only the bare statements — Spark 4's SQL-scripting
+  * `BEGIN … END` compound blocks have a body after the keyword and fall
+  * through to the delegate untouched.
+  */
+object TxnSyntax {
+  import org.apache.spark.sql.{Row, SparkSession}
+
+  private val BeginRe = """(?is)\s*BEGIN(?:\s+TRANSACTION)?\s*;?\s*""".r
+  private val CommitRe = """(?is)\s*COMMIT\s*;?\s*""".r
+  private val RollbackRe = """(?is)\s*(?:ROLLBACK|ABORT)\s*;?\s*""".r
+
+  def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
+    case BeginRe() => Some(TxnCommand("begin"))
+    case CommitRe() => Some(TxnCommand("commit"))
+    case RollbackRe() => Some(TxnCommand("rollback"))
+    case _ => None
+  }
+
+  case class TxnCommand(op: String)
+      extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
+    override def run(spark: SparkSession): Seq[Row] = {
+      op match {
+        case "begin" => graft.sources.d1.D1Txn.begin()
+        case "commit" => graft.sources.d1.D1Txn.commit()
+        case "rollback" => graft.sources.d1.D1Txn.rollback()
+      }
+      Seq.empty
+    }
+  }
+}
+
 /** `SELECT DISTINCT ON(k, …) <list> FROM …` — the DuckDB/Postgres
   * spelling Spark's grammar lacks. Parsed by delegating the de-sugared
   * `SELECT <list> FROM …` to Spark's parser, then inserting a
@@ -480,7 +521,9 @@ object DistinctOnSyntax {
   * the reference's `ATTACH ... (TYPE d1)` statement, which Spark's
   * grammar lacks entirely (see [[AttachSyntax]]), the
   * `CREATE SECRET` / `DROP SECRET` statements (see [[SecretSyntax]]),
-  * and the `SELECT DISTINCT ON(...)` spelling (see [[DistinctOnSyntax]]).
+  * the `BEGIN`/`COMMIT`/`ROLLBACK` transaction statements (see
+  * [[TxnSyntax]]), and the `SELECT DISTINCT ON(...)` spelling (see
+  * [[DistinctOnSyntax]]).
   */
 class AssignSyntaxParser(delegate: ParserInterface) extends ParserInterface {
 
@@ -525,11 +568,13 @@ class AssignSyntaxParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
     AttachSyntax.parse(sqlText)
       .orElse(SecretSyntax.parse(sqlText))
+      .orElse(TxnSyntax.parse(sqlText))
       .orElse(DistinctOnSyntax.parse(sqlText, s => delegate.parsePlan(rewrite(s))))
       .getOrElse(delegate.parsePlan(rewrite(sqlText)))
   override def parsePlanWithParameters(sqlText: String, ctx: ParameterContext): LogicalPlan =
     AttachSyntax.parse(sqlText)
       .orElse(SecretSyntax.parse(sqlText))
+      .orElse(TxnSyntax.parse(sqlText))
       .orElse(DistinctOnSyntax.parse(sqlText,
         s => delegate.parsePlanWithParameters(rewrite(s), ctx)))
       .getOrElse(delegate.parsePlanWithParameters(rewrite(sqlText), ctx))

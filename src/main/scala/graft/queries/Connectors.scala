@@ -480,6 +480,30 @@ object Connectors {
           .orderBy(col("s_suppkey"))
       },
       Some("""SELECT s_suppkey, s_nationkey FROM supplier
-             |ORDER BY s_suppkey""".stripMargin))
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    QueryDef("qc27_d1_txn_sql",
+      (s, _) => {
+        // BEGIN / COMMIT transaction spelling end-to-end (reference
+        // d1_transaction.cpp:24-48): two d1_execute writes buffer inside
+        // the transaction — nothing posts until COMMIT flushes both as
+        // ONE batch POST (D1TxnSpec asserts the wire shape) — then the
+        // read-back flows through the ordinary d1_scan path.
+        Secrets.register(Secrets.Secret("__default_d1", "d1", "fixture-acct", "fixture-tok"))
+        val db = "11111111-2222-3333-4444-555555555555"
+        val api = s"${stub.base}/client/v4"
+        graft.sources.d1.D1.execute("DELETE FROM kv_test", None, db, api)
+        graft.sources.d1.D1.registerExecuteUdf(s, api)
+        s.sql("BEGIN TRANSACTION")
+        s.sql("SELECT d1_execute('INSERT INTO kv_test (k, v) VALUES (''p'', 7)', " +
+          s"'__default_d1', '$db')").collect()
+        s.sql("SELECT d1_execute('INSERT INTO kv_test (k, v) VALUES (''q'', 8)', " +
+          s"'__default_d1', '$db')").collect()
+        s.sql("COMMIT")
+        d1Opts(s.read.format("d1")).option("table", "kv_test").load()
+          .orderBy(col("k"))
+      },
+      Some("""SELECT * FROM (VALUES ('p', CAST(7 AS BIGINT)), ('q', CAST(8 AS BIGINT)))
+             |t(k, v) ORDER BY k""".stripMargin))
   )
 }

@@ -64,13 +64,21 @@ object D1 {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), tablesSchema)
   }
 
-  /** Execute DML/DDL; returns affected-row count (meta.changes). */
+  /** Execute DML/DDL; returns affected-row count (meta.changes).
+    * Inside a `BEGIN`/`COMMIT` transaction ([[D1Txn]]) the statement
+    * buffers instead and 0 is returned — the change count is unknowable
+    * until the batch posts at COMMIT (same contract as
+    * [[D1BatchSession.execute]]).
+    */
   def execute(sql: String, secret: Option[String], databaseId: String,
               apiBase: String = "https://api.cloudflare.com/client/v4"): Long = {
     val cfg = configOf(secret, databaseId, apiBase)
-    val res = D1Client.executeQuery(cfg, sql)
-    if (!res.success) throw new java.io.IOException(s"D1 execute failed: ${res.error}")
-    res.meta.changes
+    if (D1Txn.active) { D1Txn.buffer(cfg, sql); 0L }
+    else {
+      val res = D1Client.executeQuery(cfg, sql)
+      if (!res.success) throw new java.io.IOException(s"D1 execute failed: ${res.error}")
+      res.meta.changes
+    }
   }
 
   def batchSession(secret: Option[String], databaseId: String,

@@ -1,0 +1,109 @@
+package graft.sources.d1
+
+import scala.collection.mutable
+
+import graft.core.D1Client
+
+/** Driver-side transaction buffer behind the `BEGIN` / `COMMIT` /
+  * `ROLLBACK` SQL spellings — the Spark shape of the reference's
+  * D1TransactionManager (reference src/storage/d1_transaction_manager.cpp:11-46
+  * and d1_transaction.cpp:17-58): statements issued inside a transaction
+  * buffer per database config, `COMMIT` flushes each touched database as
+  * ONE batch POST, and `ROLLBACK` drops the buffer. It cannot undo
+  * remotely-committed statements — D1 auto-commits per statement — the
+  * same honest non-ACID contract as [[D1BatchSession]] and the reference
+  * (d1_transaction.cpp:50-57 "can't rollback already-committed
+  * statements on D1").
+  *
+  * Fidelity note: in the reference the buffering path is aspirational —
+  * catalog DML throws "use d1_execute() function"
+  * (src/d1_storage.cpp:44-57) and the `d1_execute` scalar always executes
+  * immediately (src/d1_functions.cpp:423-450), so `BufferStatement` has
+  * no caller. This engine gives the SQL spelling the semantics the
+  * reference's transaction manager was built for: `D1.execute` (and the
+  * `d1_execute` UDF) buffer while a transaction is active, and the DSv2
+  * `df.write.format("d1")` path defers its batch POST to `COMMIT` by
+  * carrying statements back through the WriterCommitMessage protocol
+  * (see [[D1BatchWrite]]).
+  *
+  * Scale contract: the buffer lives on the DRIVER (exactly the
+  * reference's single-node `buffered_statements` vector), so a
+  * transaction holds O(buffered statements) driver memory. Distributed
+  * writes inside a transaction ship their statements driver-ward via the
+  * standard DSv2 commit protocol — correct on a real cluster, but sized
+  * for control-plane writes (the reference's D1 use case), not bulk
+  * loads; outside a transaction the writer streams per-task batches and
+  * never accumulates. The `d1_execute` UDF evaluates task-side, so its
+  * in-transaction buffering is guaranteed in local mode (shared JVM) and
+  * for the driver-side `D1.execute` API; cluster jobs should use the
+  * DSv2 writer or [[D1BatchSession]].
+  */
+object D1Txn {
+
+  private val buffers =
+    mutable.LinkedHashMap.empty[D1Client.Config, mutable.ArrayBuffer[String]]
+  private var isActive = false
+
+  def active: Boolean = synchronized(isActive)
+
+  /** DuckDB's TransactionException wording (the grammar the reference
+    * inherits its BEGIN/COMMIT surface from).
+    */
+  def begin(): Unit = synchronized {
+    if (isActive) throw new IllegalStateException(
+      "cannot start a transaction within a transaction")
+    buffers.clear()
+    isActive = true
+  }
+
+  /** Buffer one statement (reference D1Transaction::BufferStatement,
+    * d1_transaction.cpp:60-65). Order is preserved per database.
+    */
+  def buffer(config: D1Client.Config, sql: String): Unit = synchronized {
+    if (!isActive) throw new IllegalStateException("no transaction is active")
+    buffers.getOrElseUpdate(config, mutable.ArrayBuffer.empty) += sql
+  }
+
+  def bufferAll(config: D1Client.Config, sqls: Seq[String]): Unit =
+    synchronized { sqls.foreach(buffer(config, _)) }
+
+  /** One batch POST per touched database; error wording from
+    * D1Transaction::Commit (d1_transaction.cpp:30-45). The transaction
+    * ends even if the flush fails — earlier statements may have
+    * committed remotely and a retry would double-apply them.
+    */
+  def commit(): Unit = {
+    val toFlush = synchronized {
+      if (!isActive) throw new IllegalStateException(
+        "cannot commit - no transaction is active")
+      val f = buffers.toSeq.map { case (c, b) => (c, b.toSeq) }
+      buffers.clear()
+      isActive = false
+      f
+    }
+    toFlush.foreach { case (cfg, stmts) =>
+      if (stmts.nonEmpty) {
+        val results =
+          try D1Client.executeBatch(cfg, stmts)
+          catch {
+            case e: java.io.IOException =>
+              throw new java.io.IOException(s"D1 batch commit failed: ${e.getMessage}")
+          }
+        results.zipWithIndex.foreach { case (r, i) =>
+          if (!r.success) throw new java.io.IOException(
+            s"D1 statement $i failed: ${r.error}")
+        }
+      }
+    }
+  }
+
+  def rollback(): Unit = synchronized {
+    if (!isActive) throw new IllegalStateException(
+      "cannot rollback - no transaction is active")
+    buffers.clear()
+    isActive = false
+  }
+
+  /** Buffered statements across all databases, in buffer order (tests). */
+  def pending: Seq[String] = synchronized(buffers.values.flatten.toSeq)
+}

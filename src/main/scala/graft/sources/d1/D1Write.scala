@@ -23,23 +23,38 @@ class D1WriteBuilder(config: D1Client.Config, tableName: String, schema: StructT
   }
 }
 
+/** Inside a `BEGIN`/`COMMIT` transaction ([[D1Txn]], checked driver-side
+  * at plan time) the writers DEFER: instead of posting per-task batches
+  * they carry their compiled statements back through the standard DSv2
+  * [[WriterCommitMessage]] protocol, and the driver buffers them into the
+  * transaction here in `commit()` — so `BEGIN; df.write...; COMMIT` posts
+  * nothing until COMMIT, even on a real cluster. Outside a transaction
+  * the writers stream per-task batches exactly as before.
+  */
 class D1BatchWrite(config: D1Client.Config, tableName: String, schema: StructType)
     extends BatchWrite {
+  private val deferred = D1Txn.active
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
-    new D1DataWriterFactory(config, tableName, schema.json)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = {}
+    new D1DataWriterFactory(config, tableName, schema.json, deferred)
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    if (deferred) messages.foreach {
+      case D1DeferredStatements(stmts) => D1Txn.bufferAll(config, stmts)
+      case _ =>
+    }
   override def abort(messages: Array[WriterCommitMessage]): Unit = {}
 }
 
-class D1DataWriterFactory(config: D1Client.Config, tableName: String, schemaJson: String)
+class D1DataWriterFactory(config: D1Client.Config, tableName: String, schemaJson: String,
+                          deferred: Boolean = false)
     extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new D1DataWriter(config, tableName,
-      DataType.fromJson(schemaJson).asInstanceOf[StructType])
+      DataType.fromJson(schemaJson).asInstanceOf[StructType], deferred = deferred)
 }
 
 class D1DataWriter(config: D1Client.Config, tableName: String, schema: StructType,
-                   batchSize: Int = 50) extends DataWriter[InternalRow] {
+                   batchSize: Int = 50, deferred: Boolean = false)
+    extends DataWriter[InternalRow] {
 
   private val buffer = scala.collection.mutable.ArrayBuffer.empty[String]
 
@@ -69,7 +84,7 @@ class D1DataWriter(config: D1Client.Config, tableName: String, schema: StructTyp
       sqlLit(if (record.isNullAt(i)) null else record.get(i, f.dataType), f.dataType)
     }
     buffer += s"INSERT INTO $tableName (${schema.fieldNames.mkString(", ")}) VALUES (${values.mkString(", ")})"
-    if (buffer.size >= batchSize) flush()
+    if (!deferred && buffer.size >= batchSize) flush()
   }
 
   private def flush(): Unit = {
@@ -85,12 +100,20 @@ class D1DataWriter(config: D1Client.Config, tableName: String, schema: StructTyp
     }
   }
 
-  override def commit(): WriterCommitMessage = { flush(); D1CommitMessage }
+  override def commit(): WriterCommitMessage =
+    if (deferred) { val m = D1DeferredStatements(buffer.toSeq); buffer.clear(); m }
+    else { flush(); D1CommitMessage }
   override def abort(): Unit = buffer.clear()
   override def close(): Unit = {}
 }
 
 case object D1CommitMessage extends WriterCommitMessage
+
+/** Statements compiled by a task inside a transaction, shipped back to
+  * the driver for [[D1Txn]] buffering (serializable by Spark's commit
+  * protocol).
+  */
+case class D1DeferredStatements(statements: Seq[String]) extends WriterCommitMessage
 
 /** Explicit batch-writer session — the `BEGIN; ...; COMMIT` surface
   * (reference transaction manager): reads execute immediately, writes
