@@ -34,49 +34,45 @@ object SubstringDup {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int, stride: Int, hashGrams: Boolean = false): DataFrame = {
     require(n > 0 && stride > 0, s"n and stride must be > 0, got n=$n stride=$stride")
-    // collapse positions to (doc, gram, position-count) FIRST: the
-    // groupBy is map-side-combined, so repetitive text (the common case
-    // in a dup-heavy corpus) shrinks the shuffled volume from
-    // O(positions) to O(distinct grams per doc), and the doc-count join
-    // below runs on the collapsed set
-    // explode INT positions and slice the gram after: the per-doc array
-    // holds 4-byte ints, not materialized strings, and the substring
-    // fuses into the aggregation's codegen stage
-    // hashed path: one GramHashesExpr pass per doc emits the sampled
-    // XXH64 keys directly (value-identical to xxhash64(substring(...)),
-    // no per-position string slice); raw path keeps the literal gram
-    // for byte-exact cross-engine comparison
-    val positions =
+    // ONE gram-keyed exchange for the whole census, map-side-combined
+    // BEFORE it: the extraction kernel (GramHashCountsExpr) collapses
+    // each document's sampled positions to distinct (gram, count) pairs
+    // in the same single string pass that hashes them, so the exchange
+    // ships O(distinct grams per doc) rows — never O(positions) — and a
+    // ubiquitous boilerplate 16-gram's post-shuffle partition holds one
+    // row per doc containing it (docs-bounded), not its raw position
+    // count. After the repartition everything is gram-COLOCATED: the
+    // per-gram doc-count aggregates in place and the shared-gram join's
+    // two sides share the partitioning — Catalyst inserts no further
+    // exchange until the final small per-doc rollup. The previous
+    // decomposition (groupBy(id, gram) → groupBy(gram) → join back on
+    // gram) was skew-safe but re-shuffled the set on every hop — three
+    // full exchanges; 65 s vs 46 s at sf30. No window over gram either
+    // way: AQE cannot split a window partition.
+    val gramCounts =
       if (hashGrams)
         df.filter(length(col(textCol)) >= n)
           .select(col(idCol).as("__id"),
-            explode(graft.functions.GramHash.gramHashes(col(textCol), n, stride))
-              .as("gram"))
-      else
+            explode(graft.functions.GramHash.gramHashCounts(col(textCol), n, stride))
+              .as("__g"))
+          .select(col("__id"), col("__g.gram").as("gram"), col("__g.cnt").as("__cnt"))
+          .repartition(col("gram"))
+      else {
+        // raw-gram path: the byte-exact DuckDB oracle shape, run at
+        // small sf only. It keeps literal gram strings (explode INT
+        // positions, slice in the aggregation's codegen stage) and
+        // collapses (gram, id) AFTER the exchange, so it lacks the
+        // hashed path's docs-bounded hot-gram guarantee — the 100 TB
+        // deployment shape is hashGrams=true.
         df.filter(length(col(textCol)) >= n)
           .select(col(idCol).as("__id"), col(textCol).as("__t"),
             explode(expr(s"sequence(1, length($textCol) - ${n - 1}, $stride)"))
               .as("__i"))
           .select(col("__id"), expr(s"substring(__t, __i, $n)").as("gram"))
-    // ONE gram-keyed exchange for the whole census. Positions are
-    // hash-repartitioned on `gram` alone, and every downstream step is
-    // then gram-COLOCATED: hash(gram) satisfies the (gram, id)
-    // aggregation's clustering (subset rule), the per-gram doc-count
-    // re-aggregates in place, and the shared-gram join's two sides
-    // share the same partitioning — Catalyst inserts no further
-    // exchange until the final small per-doc rollup. The previous
-    // decomposition (groupBy(id, gram) → groupBy(gram) → join back on
-    // gram) was skew-safe but re-shuffled the O(positions) set on
-    // every hop — three full exchanges; measured 46 s → 65 s at sf30
-    // against this plan's single exchange. No window over gram either
-    // way: a ubiquitous boilerplate gram must never pin one
-    // unsplittable window task. The hot-gram cost here is one
-    // aggregation task counting that gram's rows — bounded by
-    // docs-containing-gram, the same bound the window plan had, minus
-    // its sort.
-    val parted = positions.repartition(col("gram"))
-    val gramCounts = parted.groupBy(col("gram"), col("__id"))
-      .agg(count(lit(1)).as("__cnt"))
+          .repartition(col("gram"))
+          .groupBy(col("gram"), col("__id"))
+          .agg(count(lit(1)).as("__cnt"))
+      }
     val dupGrams = gramCounts.groupBy(col("gram"))
       .agg(count(lit(1)).as("__nd"))
       .filter(col("__nd") >= 2)

@@ -351,17 +351,44 @@ object SecretSyntax {
     """(?is)\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?(?:(?:PERSISTENT|TEMPORARY)\s+)?SECRET\s+(?:(IF\s+NOT\s+EXISTS)\s+)?(?:([A-Za-z_]\w*)\s*)?\((.*)\)\s*;?\s*""".r
   private val DropRe =
     """(?is)\s*DROP\s+SECRET\s+(?:(IF\s+EXISTS)\s+)?([A-Za-z_]\w*)\s*;?\s*""".r
-  private val OptRe = """(?i)([A-Za-z_]\w*)\s+(?:'([^']*)'|(\S+))""".r
+  private val OptRe = """(?i)([A-Za-z_]\w*)\s+(?:'((?:[^']|'')*)'|([^\s,']+))""".r
+
+  /** Split the option body on commas OUTSIDE single-quoted literals —
+    * a naive split(",") breaks values that contain commas (API tokens
+    * can, in principle). `''` is the in-literal quote escape, DuckDB's
+    * spelling.
+    */
+  private def splitOptions(body: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var inQuote = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inQuote) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < body.length && body.charAt(i + 1) == '\'') {
+            cur.append('\''); i += 1
+          } else inQuote = false
+        }
+      } else if (c == '\'') { inQuote = true; cur.append(c) }
+      else if (c == ',') { out += cur.toString; cur.clear() }
+      else cur.append(c)
+      i += 1
+    }
+    out += cur.toString
+    out.result()
+  }
 
   def parse(sqlText: String): Option[LogicalPlan] = sqlText match {
     case CreateRe(orReplace, ifNotExists, nameOrNull, optBody) =>
-      val opts = optBody.split(",").map(_.trim).filter(_.nonEmpty).map { o =>
-        OptRe.findFirstMatchIn(o) match {
-          case Some(m) => m.group(1).toLowerCase -> Option(m.group(2)).getOrElse(m.group(3))
-          case None => throw new IllegalArgumentException(
-            s"Cannot parse CREATE SECRET option: '$o'")
-        }
-      }.toSeq
+      val opts = splitOptions(optBody).map(_.trim).filter(_.nonEmpty).map {
+        case OptRe(k, quoted, bare) =>
+          k.toLowerCase -> (if (quoted != null) quoted.replace("''", "'") else bare)
+        case o => throw new IllegalArgumentException(
+          s"Cannot parse CREATE SECRET option: '$o'")
+      }
       val tpe = opts.collectFirst { case ("type", v) => v.toLowerCase }.getOrElse(
         throw new IllegalArgumentException("CREATE SECRET requires a TYPE option"))
       opts.collectFirst { case ("provider", v) => v }.foreach { p =>
@@ -437,10 +464,21 @@ object TxnSyntax {
   case class TxnCommand(op: String)
       extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
+      import graft.sources.d1.D1Txn
+      // the local property rides driver thread → task, so a d1_execute
+      // evaluating on a real cluster executor (different JVM, where
+      // D1Txn.active is necessarily false) can still detect the open
+      // transaction and fail loudly instead of posting inside BEGIN
       op match {
-        case "begin" => graft.sources.d1.D1Txn.begin()
-        case "commit" => graft.sources.d1.D1Txn.commit()
-        case "rollback" => graft.sources.d1.D1Txn.rollback()
+        case "begin" =>
+          D1Txn.begin()
+          spark.sparkContext.setLocalProperty(D1Txn.FlagKey, "true")
+        case "commit" =>
+          try D1Txn.commit()
+          finally spark.sparkContext.setLocalProperty(D1Txn.FlagKey, null)
+        case "rollback" =>
+          try D1Txn.rollback()
+          finally spark.sparkContext.setLocalProperty(D1Txn.FlagKey, null)
       }
       Seq.empty
     }

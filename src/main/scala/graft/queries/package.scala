@@ -63,6 +63,12 @@ package object queries {
     * is often 4–8× smaller than [[tableBytes]], and gating on the
     * full-table size passes up broadcast joins the cost model should
     * take. Footers only — no data pages are read.
+    *
+    * LOCAL-FILESYSTEM ONLY: file enumeration uses `java.io.File`, which
+    * serves the bench/test harness this cost model feeds (local parquet
+    * dirs). Do not promote into the engine proper as-is — a lake path
+    * (s3a://, r2://) needs the Hadoop FileSystem API for listing, and at
+    * that point the stats should come from the catalog, not footer scans.
     */
   def projectedBytes(dir: String, table: String, cols: Seq[String]): Long = {
     import scala.jdk.CollectionConverters._

@@ -75,6 +75,18 @@ object D1 {
     val cfg = configOf(secret, databaseId, apiBase)
     if (D1Txn.active) { D1Txn.buffer(cfg, sql); 0L }
     else {
+      // JVM-local txn state says no transaction — but on a cluster
+      // executor that is exactly what an open DRIVER-side transaction
+      // looks like. Check the propagated flag and fail loudly rather
+      // than silently posting inside BEGIN (local mode never trips
+      // this: its tasks run in the driver JVM as executorId "driver").
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null) {
+        val env = org.apache.spark.SparkEnv.get
+        D1Txn.assertBufferReachable(inTask = true,
+          executorId = if (env == null) "driver" else env.executorId,
+          txnFlagged = Option(tc.getLocalProperty(D1Txn.FlagKey)).contains("true"))
+      }
       val res = D1Client.executeQuery(cfg, sql)
       if (!res.success) throw new java.io.IOException(s"D1 execute failed: ${res.error}")
       res.meta.changes

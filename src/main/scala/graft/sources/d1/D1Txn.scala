@@ -35,8 +35,11 @@ import graft.core.D1Client
   * loads; outside a transaction the writer streams per-task batches and
   * never accumulates. The `d1_execute` UDF evaluates task-side, so its
   * in-transaction buffering is guaranteed in local mode (shared JVM) and
-  * for the driver-side `D1.execute` API; cluster jobs should use the
-  * DSv2 writer or [[D1BatchSession]].
+  * for the driver-side `D1.execute` API; on a real cluster an
+  * executor-side `d1_execute` inside a transaction FAILS LOUDLY (see
+  * [[assertBufferReachable]] — the open transaction is detected via a
+  * propagated job local property) instead of silently posting, steering
+  * cluster jobs to the DSv2 writer or [[D1BatchSession]].
   */
 object D1Txn {
 
@@ -69,10 +72,17 @@ object D1Txn {
 
   /** One batch POST per touched database; error wording from
     * D1Transaction::Commit (d1_transaction.cpp:30-45). The transaction
-    * ends even if the flush fails — earlier statements may have
-    * committed remotely and a retry would double-apply them.
+    * ends even if a flush fails — earlier statements may have committed
+    * remotely and a retry would double-apply them. EVERY touched
+    * database is attempted even when an earlier one fails (a first-
+    * failure throw would silently discard the later databases' buffers,
+    * which were already cleared); failures are aggregated into one
+    * exception.
     */
-  def commit(): Unit = {
+  def commit(): Unit = commitWith(D1Client.executeBatch)
+
+  private[graft] def commitWith(
+      post: (D1Client.Config, Seq[String]) => Seq[D1Client.QueryResult]): Unit = {
     val toFlush = synchronized {
       if (!isActive) throw new IllegalStateException(
         "cannot commit - no transaction is active")
@@ -81,20 +91,23 @@ object D1Txn {
       isActive = false
       f
     }
+    val failures = mutable.ArrayBuffer.empty[String]
     toFlush.foreach { case (cfg, stmts) =>
       if (stmts.nonEmpty) {
-        val results =
-          try D1Client.executeBatch(cfg, stmts)
-          catch {
-            case e: java.io.IOException =>
-              throw new java.io.IOException(s"D1 batch commit failed: ${e.getMessage}")
+        try {
+          post(cfg, stmts).zipWithIndex.foreach { case (r, i) =>
+            if (!r.success)
+              failures += s"database ${cfg.databaseId} statement $i failed: ${r.error}"
           }
-        results.zipWithIndex.foreach { case (r, i) =>
-          if (!r.success) throw new java.io.IOException(
-            s"D1 statement $i failed: ${r.error}")
+        } catch {
+          case e: Exception =>
+            failures += s"database ${cfg.databaseId} batch POST failed: ${e.getMessage}"
         }
       }
     }
+    if (failures.nonEmpty) throw new java.io.IOException(
+      s"D1 batch commit failed (all touched databases were attempted): " +
+        failures.mkString("; "))
   }
 
   def rollback(): Unit = synchronized {
@@ -106,4 +119,34 @@ object D1Txn {
 
   /** Buffered statements across all databases, in buffer order (tests). */
   def pending: Seq[String] = synchronized(buffers.values.flatten.toSeq)
+
+  /** Job local-property key the BEGIN/COMMIT/ROLLBACK commands set so a
+    * task running in a DIFFERENT JVM (a real cluster executor) can still
+    * see that the driver has a transaction open. Local properties
+    * propagate driver-thread → task automatically; the flag follows the
+    * thread that issued BEGIN (same-session queries from another driver
+    * thread won't carry it — best-effort, like the buffering contract
+    * itself).
+    */
+  val FlagKey = "graft.d1.txnActive"
+
+  /** Executor-side guard for `d1_execute`: a UDF evaluating in a
+    * non-driver JVM cannot reach the driver's transaction buffer — its
+    * JVM-local [[active]] is false, so without this check the statement
+    * would post immediately inside BEGIN, silently violating the
+    * buffering contract. When the propagated flag says a transaction is
+    * open and this JVM is a cluster executor, fail loudly and steer to
+    * the paths that defer correctly. In local mode the executor shares
+    * the driver JVM (`executorId == "driver"`), so the guard never
+    * fires and buffering proceeds.
+    */
+  def assertBufferReachable(inTask: Boolean, executorId: String,
+                            txnFlagged: Boolean): Unit =
+    if (inTask && executorId != "driver" && txnFlagged)
+      throw new IllegalStateException(
+        "d1_execute inside BEGIN/COMMIT cannot buffer from a cluster executor: " +
+          "the transaction buffer lives in the driver JVM. Issue the statement " +
+          "via D1.execute on the driver, or use the d1 DSv2 writer " +
+          "(df.write.format(\"d1\")), which defers its batch to COMMIT through " +
+          "the WriterCommitMessage protocol.")
 }

@@ -111,6 +111,13 @@ class GraftSurfaceSpec extends AnyFunSuite {
     // r2_sql secrets flow through the same statement
     spark.sql("CREATE OR REPLACE SECRET stmtr2 (TYPE r2_sql, ACCOUNT_ID 'ra', API_TOKEN 'rt')")
     assert(Secrets.lookup("r2_sql", "stmtr2").isDefined)
+    // quoted values may contain commas and doubled-quote escapes — the
+    // option list must split on commas OUTSIDE string literals only
+    // (DuckDB accepts arbitrary string literals here)
+    spark.sql("CREATE OR REPLACE SECRET commasec (TYPE d1, ACCOUNT_ID 'a,cct', API_TOKEN 'to,k''en')")
+    val csec = Secrets.lookup("d1", "commasec").get
+    assert(csec.accountId == "a,cct" && csec.apiToken == "to,k'en", csec.toString)
+    spark.sql("DROP SECRET commasec")
     // DROP SECRET, its not-found error, and IF EXISTS
     spark.sql("DROP SECRET stmtsec")
     assert(Secrets.lookup("d1", "stmtsec").isEmpty)

@@ -186,10 +186,58 @@ class PlanQualitySpec extends AnyFunSuite {
     // boilerplate gram would pin O(corpus) rows in one task and AQE
     // cannot split window partitions.
     assert(!p.contains("Window"), "q80 must not window over gram:\n" + p.take(1500))
-    // extraction emits hashed gram keys in one pass per doc (the
-    // GramHashesExpr kernel), not per-position substring slices
-    assert(p.contains("gramhashes") || p.contains("GramHashes"),
-      "q80 extraction must use the one-pass gram-hash kernel:\n" + p.take(1500))
+    // extraction emits per-doc distinct (gram, count) PAIRS in one pass
+    // (the GramHashCountsExpr kernel) — the map-side collapse that makes
+    // the exchange ship O(distinct grams/doc) rows and bounds a hot
+    // gram's partition by docs-containing-gram, not raw positions
+    assert(p.toLowerCase.contains("gramhashcounts"),
+      "q80 extraction must use the pair-emitting gram-hash-counts kernel:\n" + p.take(1500))
+    // ...and because the kernel already collapsed per doc, no (gram, id)
+    // aggregation may exist at all — rows arrive at the exchange final
+    assert(!("keys=\\[gram[^\\]]*__id".r.findFirstIn(p).isDefined),
+      "no (gram, __id) aggregate should remain — the kernel pre-collapses:\n" + p.take(2000))
+  }
+
+  test("q80 census hot-gram shuffle volume is docs-bounded (boilerplate gram planted)") {
+    import org.apache.spark.sql.functions._
+    // 30% of docs share a boilerplate 16-gram repeated 40× each, padded
+    // with per-doc entropy; the gram-keyed exchange must receive ONE row
+    // per containing doc for that gram (the kernel's per-doc collapse),
+    // never its ~40×docs raw position count — that is the exact hot-key
+    // bound that keeps the single-exchange census skew-safe at 100 TB.
+    val boiler = "BOILERPLATE-GRAM"
+    // per-doc entropy payloads are keyed on (id, salt) so no two docs
+    // share any non-boilerplate 16-gram
+    def pay(salt: String) = sha2(concat(col("id").cast("string"), lit(salt)), 256)
+    val docs = spark.range(600).select(col("id"),
+      when(col("id") % 10 < 3,
+        concat(lit(boiler * 40), pay("a"), pay("b")))
+        .otherwise(concat(pay("a"), pay("b"), pay("c")))
+        .as("text"))
+    val hotHash = spark.range(1)
+      .select(xxhash64(lit(boiler)).as("h")).head().getLong(0)
+    // the exact pre-exchange row set of SubstringDup's hashed path
+    val shipped = docs
+      .select(col("id"),
+        explode(graft.functions.GramHash.gramHashCounts(col("text"), 16, 4)).as("g"))
+      .select(col("id"), col("g.gram").as("gram"), col("g.cnt").as("cnt"))
+      .filter(col("gram") === hotHash)
+      .collect()
+    assert(shipped.length == 180,
+      s"hot gram must ship one row per containing doc (180), got ${shipped.length}")
+    // every per-doc count carries the collapsed positions map-side: the
+    // exact gram occurs at text positions 1, 17, …, 625 (40 of them, all
+    // on the stride-4 sample since 16 % 4 == 0)
+    assert(shipped.forall(_.getLong(2) == 40L),
+      "per-doc counts must carry the collapsed positions: " +
+        shipped.map(_.getLong(2)).distinct.mkString(","))
+    // and the census output over this corpus is still correct: the 30%
+    // boiler docs are flagged, entropy-only docs are not
+    val stats = graft.operators.SubstringDup
+      .dupSpanStats(docs, "id", "text", n = 16, stride = 4, hashGrams = true)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert((0 until 600).filter(_ % 10 < 3).forall(i => stats(i.toLong) > 0.5))
+    assert((0 until 600).filter(_ % 10 >= 3).forall(i => stats(i.toLong) == 0.0))
   }
 
   test("q88 LM scoring: trigram counts partial-aggregate below the exchange") {

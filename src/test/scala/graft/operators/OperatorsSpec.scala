@@ -43,6 +43,43 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("gram-hash-counts kernel = gramHashes collapsed to distinct (gram, count)") {
+    // GramHashCountsExpr's claim: the pair set equals the position-hash
+    // multiset grouped by value — same sampled positions, map-side
+    // collapsed. Cover repetitive text (the case the collapse exists
+    // for), multi-byte UTF-8, exact-n, shorter-than-n, and empty.
+    val rows = Seq(
+      "abcdabcdabcdabcdabcdabcdabcdabcdabcdabcd", // period-4 text: few distinct grams, many positions
+      "the quick brown fox jumps over the lazy dog near the river bank",
+      "héllo wörld — ünïcode tëxt with àccents répeated héllo wörld",
+      "exactly16charss!", "shorter", "").toDF("text")
+    for ((n, stride) <- Seq((16, 4), (16, 1), (5, 1))) {
+      rows.select(
+        graft.functions.GramHash.gramHashCounts(col("text"), n, stride).as("pairs"),
+        graft.functions.GramHash.gramHashes(col("text"), n, stride).as("flat"))
+        .collect().foreach { r =>
+          val pairs = r.getSeq[org.apache.spark.sql.Row](0)
+            .map(p => p.getLong(0) -> p.getLong(1)).toMap
+          val ref = r.getSeq[Long](1).groupBy(identity).map { case (h, v) => h -> v.size.toLong }
+          assert(pairs == ref, s"n=$n stride=$stride: $pairs vs $ref")
+          // distinctness: one pair per gram value
+          assert(pairs.size == r.getSeq[org.apache.spark.sql.Row](0).size)
+        }
+    }
+  }
+
+  test("gram-hash-counts collapses a fully repetitive doc to O(distinct) pairs") {
+    // docs-bounded shuffle guarantee: a doc that is one 16-char gram
+    // repeated 1000× (stride 1 → 15985 sampled positions) must ship at
+    // most 16 pairs (the 16 rotations), not 15985 rows
+    val doc = "BOILERPLATE-GRAM" * 1000
+    val pairs = Seq(doc).toDF("text")
+      .select(explode(graft.functions.GramHash.gramHashCounts(col("text"), 16, 1)).as("g"))
+      .select($"g.gram", $"g.cnt").collect()
+    assert(pairs.length == 16, s"expected 16 distinct rotations, got ${pairs.length}")
+    assert(pairs.map(_.getLong(1)).sum == (doc.length - 15).toLong)
+  }
+
   test("exact dedup keeps lowest id per content hash") {
     val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
       .collect().map(_.getLong(0)).toSet

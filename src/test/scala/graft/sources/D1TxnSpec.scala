@@ -97,6 +97,62 @@ class D1TxnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ks == Seq("w1", "w2"))
   }
 
+  test("COMMIT attempts every touched database and aggregates failures") {
+    import graft.core.D1Client
+    val cfgA = D1Client.Config(accountId = "acct", apiToken = "tok",
+      databaseId = "db-aaa", apiBase = api)
+    val cfgB = D1Client.Config(accountId = "acct", apiToken = "tok",
+      databaseId = "db-bbb", apiBase = api)
+    val posted = scala.collection.mutable.ArrayBuffer.empty[String]
+    D1Txn.begin()
+    try {
+      D1Txn.buffer(cfgA, "INSERT 1")
+      D1Txn.buffer(cfgB, "INSERT 2")
+    } catch { case e: Throwable => D1Txn.rollback(); throw e }
+    // first database's POST blows up; the second must STILL be attempted
+    val e = intercept[java.io.IOException] {
+      D1Txn.commitWith { (cfg, stmts) =>
+        if (cfg.databaseId == "db-aaa") throw new java.io.IOException("boom")
+        posted ++= stmts
+        stmts.map(_ => D1Client.QueryResult(success = true, Nil, Nil,
+          D1Client.Meta(), ""))
+      }
+    }
+    assert(posted == Seq("INSERT 2"),
+      "later databases must not be dropped unposted on an earlier failure")
+    assert(e.getMessage.contains("db-aaa") && e.getMessage.contains("boom"))
+    assert(!D1Txn.active)
+  }
+
+  test("executor-side d1_execute inside a transaction fails loudly (cluster guard)") {
+    // the guard's decision table: only (in a task) AND (non-driver JVM)
+    // AND (transaction flagged) raises — local mode (executorId
+    // "driver") and driver-side calls always pass
+    D1Txn.assertBufferReachable(inTask = false, executorId = "exec-3", txnFlagged = true)
+    D1Txn.assertBufferReachable(inTask = true, executorId = "driver", txnFlagged = true)
+    D1Txn.assertBufferReachable(inTask = true, executorId = "exec-3", txnFlagged = false)
+    val e = intercept[IllegalStateException] {
+      D1Txn.assertBufferReachable(inTask = true, executorId = "exec-3", txnFlagged = true)
+    }
+    assert(e.getMessage.contains("cannot buffer from a cluster executor"))
+    // and the BEGIN/COMMIT commands maintain the propagated flag tasks read
+    spark.sql("BEGIN")
+    try assert(spark.sparkContext.getLocalProperty(D1Txn.FlagKey) == "true")
+    finally spark.sql("ROLLBACK")
+    assert(spark.sparkContext.getLocalProperty(D1Txn.FlagKey) == null)
+    // local-mode end-to-end: the task-side UDF still buffers (guard
+    // passes because local tasks run in the driver JVM)
+    Secrets.register(Secrets.Secret("__default_d1", "d1", "acct", "tok"))
+    D1.registerExecuteUdf(spark, api)
+    spark.sql("BEGIN")
+    try {
+      spark.range(2).selectExpr(
+        s"d1_execute(concat('INSERT INTO kv_test (k, v) VALUES (''g', id, ''', ', id, ')'), '__default_d1', '$db')")
+        .collect()
+      assert(D1Txn.pending.size == 2)
+    } finally spark.sql("ROLLBACK")
+  }
+
   test("transaction state errors carry DuckDB's wording") {
     assert(intercept[IllegalStateException](spark.sql("COMMIT"))
       .getMessage == "cannot commit - no transaction is active")

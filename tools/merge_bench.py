@@ -24,7 +24,7 @@ comparable = sorted(k for k in sq if k in dq and not k.endswith("_bucketed"))
 def rollup(keys):
     s = sum(sq[k] for k in keys); d = sum(dq[k] for k in keys)
     return {"n": len(keys), "spark_sec": round(s, 2), "duckdb_sec": round(d, 2),
-            "ratio": round(s / d, 2)}
+            "ratio": round(s / d, 2) if d else None}
 
 bucketed = {}
 for k, v in sq.items():
