@@ -17,8 +17,8 @@ spark = json.load(open(sys.argv[1]))
 duck = json.load(open(sys.argv[2]))
 out_path, sf, note = sys.argv[3], sys.argv[4], sys.argv[5]
 
-sq = {k: v for k, v in spark["queries"].items() if v >= 0}
-dq = {k: v for k, v in duck["queries"].items() if v >= 0}
+sq = {k: v for k, v in spark["queries"].items() if v is not None and v >= 0}
+dq = {k: v for k, v in duck["queries"].items() if v is not None and v >= 0}
 comparable = sorted(k for k in sq if k in dq and not k.endswith("_bucketed"))
 
 def rollup(keys):
