@@ -1,26 +1,33 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+
+import graft.functions.TermHits
 
 /** BM25 full-text relevance scoring (Robertson et al.; the Lucene
   * `1 + (N - df + 0.5)/(df + 0.5)` idf variant) — the retrieval side of
   * a data pipeline: scoring documents against benchmark queries,
   * building hard-negative mining sets, keyword-driven corpus slicing.
   *
-  * Relational shape (no index structure, no driver loops):
-  *   1. tokenize + filter to the query's terms — the explode never
-  *      materializes non-query terms, so the shuffled volume is
-  *      O(query hits), not O(corpus tokens);
-  *   2. per-(doc, term) tf and per-term df — two map-side-combined
-  *      aggregations on narrow keys;
-  *   3. corpus stats (N, avgdl) ride along as a broadcast 1-row join,
-  *      never a driver constant baked into the plan;
-  *   4. score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)).
+  * Plan shape (no index structure, no driver loops, no explode):
+  *   1. one kernel pass per document ([[graft.functions.TermHits]])
+  *      yields `(dl, tf per query term)` — the (doc, term) aggregate
+  *      the relational `split`→`explode`→`groupBy` pipeline needs a
+  *      full-token Generate and a shuffle to produce;
+  *   2. corpus stats (N, avgdl) AND per-term df all ride ONE 1-row
+  *      aggregate, broadcast to the scoring scan — never a driver
+  *      constant baked into the plan;
+  *   3. score = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+  *      unrolled over the literal term list inside one projection;
+  *   4. top-k is a TakeOrderedAndProject — per-partition heaps, no
+  *      global sort.
   *
-  * At 100 TB this is the inverted-index build restricted to the query
-  * vocabulary; persisting step-2's (term, doc, tf) table IS the
-  * inverted index, amortized across query batches.
+  * The only exchanges are the 1-row stats reduce and the O(k)
+  * TakeOrdered gather: the corpus itself is never shuffled, so the plan
+  * is scan-bound at any scale. At 100 TB, persisting the kernel output
+  * keyed by doc IS the query-restricted inverted index, amortized
+  * across query batches.
   */
 object Bm25 {
 
@@ -32,32 +39,32 @@ object Bm25 {
            terms: Seq[String], k: Int, k1: Double = 1.2, b: Double = 0.75,
            scale: Int = 3): DataFrame = {
     require(terms.nonEmpty, "need at least one query term")
-    // ONE tokenize pass carries both the exploded terms and the doc
-    // length: __dl rides through the (doc, term) aggregation as a
-    // constant-per-doc max, so no full-corpus lengths table is ever
-    // built or joined — only docs that hit a query term have a length
-    // row downstream. Corpus stats (N, avgdl) come from a separate
-    // scan-and-reduce with no split-array materialization beyond
-    // size(): a cheap full scan, zero shuffle, broadcast as one row.
-    val stats = df.agg(
-      count(lit(1)).cast("double").as("__n"),
-      avg(size(split(col(textCol), " ")).cast("double")).as("__avgdl"))
-    val tf = df
-      .select(col(idCol), split(lower(col(textCol)), " ").as("__w"))
-      .select(col(idCol), size(col("__w")).cast("double").as("__dl"),
-        explode(col("__w")).as("__term"))
-      .filter(col("__term").isin(terms: _*))
-      .groupBy(col(idCol), col("__term"))
-      .agg(count(lit(1)).cast("double").as("__tf"), max(col("__dl")).as("__dl"))
-    val dfreq = tf.groupBy(col("__term"))
-      .agg(count(lit(1)).cast("double").as("__df")) // tf rows are distinct per doc
-    tf.join(broadcast(dfreq), "__term")
+    val docs = df.select(col(idCol),
+      TermHits.termHits(lower(col(textCol)), terms.map(_.toLowerCase)).as("__h"))
+      .select(col(idCol), col("__h.dl").cast("double").as("__dl"),
+        col("__h.tfs").as("__tfs"))
+    // One scan, one 1-row reduce: corpus size, average length, and every
+    // term's document frequency together. Null-text docs count toward N
+    // (as in a bare count(*)) but carry no length or hits.
+    val dfCols = terms.indices.map(i => sum(when(col("__tfs")(i) > 0, 1)
+      .otherwise(0)).cast("double").as(s"__df$i"))
+    val statCols = avg(col("__dl")).as("__avgdl") +: dfCols
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      statCols: _*)
+    // Second scan: keep docs hitting any term, score against the
+    // broadcast stats row with the sum unrolled over the term list.
+    val score: Column = terms.indices.map { i =>
+      val tf = col("__tfs")(i).cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
+      when(col("__tfs")(i) > 0,
+        idf * tf * lit(k1 + 1.0) / (tf + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    docs.filter(terms.indices.map(i => col("__tfs")(i) > 0).reduce(_ || _))
       .crossJoin(broadcast(stats))
-      .withColumn("__idf", log(lit(1.0) + (col("__n") - col("__df") + 0.5) / (col("__df") + 0.5)))
-      .withColumn("__s", col("__idf") * col("__tf") * lit(k1 + 1.0) /
-        (col("__tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("__s")), scale).as("score"))
+      .select(col(idCol), round(score, scale).as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }

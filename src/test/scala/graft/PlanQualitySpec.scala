@@ -148,15 +148,21 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("q81 BM25: df and corpus stats sides broadcast; term filter above the scan") {
+  test("q81 BM25: kernel extraction, no explode, corpus never hash-shuffled") {
     val p = planOf("q81_bm25_search")
-    // dfreq (≤|terms| rows) and the 1-row stats both ride broadcasts —
-    // the corpus side is never shuffled for them
-    assert("BroadcastExchange|BroadcastHashJoin|BroadcastNestedLoopJoin".r
+    // the per-(doc, term) stats come from the one-pass kernel, not a
+    // split → explode → groupBy pipeline
+    assert(p.contains("term_hits"), p.take(1500))
+    assert(!p.contains("Generate"), "no explode may appear:\n" + p.take(1500))
+    // stats (N, avgdl, per-term df) ride ONE broadcast 1-row join
+    assert("BroadcastExchange|BroadcastNestedLoopJoin".r
       .findAllIn(p).length >= 2, p.take(1500))
-    // query-term filter applies before aggregation (no full-vocab shuffle)
-    assert(p.contains("__term") && p.contains("INSET") || p.contains("IN ("),
-      p.take(1500))
+    // the corpus is never hash-partitioned: the only exchanges are the
+    // 1-row stats reduce (SinglePartition) and the broadcast
+    assert(!p.contains("Exchange hashpartitioning"),
+      "corpus must not be hash-shuffled:\n" + p.take(2000))
+    // top-k is per-partition heaps + O(k) gather, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
   }
 
   test("q80 substring-dup: single gram exchange, colocated census, no window") {

@@ -80,6 +80,61 @@ class OperatorsSpec extends AnyFunSuite {
     assert(pairs.map(_.getLong(1)).sum == (doc.length - 15).toLong)
   }
 
+  test("term-hits kernel = split/explode reference (dl and per-term tf)") {
+    // TermHitsExpr's claim: dl == size(split(s, " ")) — empty segments
+    // from doubled/leading/trailing spaces included — and tfs(i) == the
+    // count of tokens byte-equal to terms(i). Cover repeated terms,
+    // adjacent spaces, trailing space, multi-byte UTF-8 neighbors, a
+    // term that appears only as a substring (must NOT count), and empty.
+    val terms = Seq("spark", "vector", "hash", "ünïcode")
+    val rows = Seq(
+      "spark vector spark hash spark",
+      "  leading and trailing  ",
+      "hashmap is not hash but hash is",          // substring must not match
+      "ünïcode tëxt ünïcode",
+      "no query terms at all here",
+      "spark",
+      "").toDF("text")
+    val got = rows.select(
+      graft.functions.TermHits.termHits(col("text"), terms).as("h"),
+      size(split(col("text"), " ")).as("dl_ref"),
+      expr(s"transform(array(${terms.map("'" + _ + "'").mkString(",")})," +
+        " t -> size(filter(split(text, ' '), w -> w = t)))").as("tfs_ref"))
+      .collect()
+    got.foreach { r =>
+      val h = r.getStruct(0)
+      assert(h.getInt(0) == r.getInt(1), s"dl: ${h.getInt(0)} vs ${r.getInt(1)}")
+      assert(h.getSeq[Int](1) == r.getSeq[Int](2),
+        s"tfs: ${h.getSeq[Int](1)} vs ${r.getSeq[Int](2)}")
+    }
+  }
+
+  test("bm25 top-k matches the relational split/explode pipeline") {
+    // End-to-end parity of the kernel plan against the textbook
+    // relational decomposition computed inline (same idf variant, same
+    // rounding) — the cross-engine gate is q81, this pins Spark-vs-Spark.
+    val corpus = docs.union(Seq(
+      (6L, "spark spark spark vector"),
+      (7L, "vector hash vector hash stream stream")).toDF("doc_id", "text"))
+    val terms = Seq("spark", "vector", "hash", "stream")
+    val got = Bm25.topK(corpus, "doc_id", "text", terms, k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val w = corpus.select(col("doc_id"), split(lower(col("text")), " ").as("ws"))
+    val l = w.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
+    val st = l.agg(count(lit(1)).cast("double").as("n"), avg("dl").as("avgdl"))
+    val tf = w.select(col("doc_id"), explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).cast("double").as("tf"))
+    val dfq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val ref = tf.join(dfq, "term").join(l, "doc_id").crossJoin(st)
+      .withColumn("s", log(lit(1.0) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
+        col("tf") * lit(2.2) / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("s"), 3).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == ref.toSeq, s"${got.toSeq} vs ${ref.toSeq}")
+  }
+
   test("exact dedup keeps lowest id per content hash") {
     val kept = Dedup.exact(docs, "text", "doc_id").select("doc_id")
       .collect().map(_.getLong(0)).toSet
