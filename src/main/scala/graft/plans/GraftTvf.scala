@@ -465,19 +465,22 @@ object TxnSyntax {
       extends org.apache.spark.sql.execution.command.LeafRunnableCommand {
     override def run(spark: SparkSession): Seq[Row] = {
       import graft.sources.d1.D1Txn
-      // the local property rides driver thread → task, so a d1_execute
-      // evaluating on a real cluster executor (different JVM, where
-      // D1Txn.active is necessarily false) can still detect the open
-      // transaction and fail loudly instead of posting inside BEGIN
+      // the local property (value = owning session id) rides driver
+      // thread → task, so a d1_execute evaluating in local mode buffers
+      // into exactly this session's transaction, and one on a real
+      // cluster executor (different JVM, where the buffer is
+      // unreachable) detects the open transaction and fails loudly
+      // instead of posting inside BEGIN
+      val sid = org.apache.spark.sql.GraftColumnShim.sessionUUID(spark)
       op match {
         case "begin" =>
-          D1Txn.begin()
-          spark.sparkContext.setLocalProperty(D1Txn.FlagKey, "true")
+          D1Txn.begin(sid)
+          spark.sparkContext.setLocalProperty(D1Txn.FlagKey, sid)
         case "commit" =>
-          try D1Txn.commit()
+          try D1Txn.commit(sid)
           finally spark.sparkContext.setLocalProperty(D1Txn.FlagKey, null)
         case "rollback" =>
-          try D1Txn.rollback()
+          try D1Txn.rollback(sid)
           finally spark.sparkContext.setLocalProperty(D1Txn.FlagKey, null)
       }
       Seq.empty

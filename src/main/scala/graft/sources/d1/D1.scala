@@ -73,23 +73,32 @@ object D1 {
   def execute(sql: String, secret: Option[String], databaseId: String,
               apiBase: String = "https://api.cloudflare.com/client/v4"): Long = {
     val cfg = configOf(secret, databaseId, apiBase)
-    if (D1Txn.active) { D1Txn.buffer(cfg, sql); 0L }
-    else {
-      // JVM-local txn state says no transaction — but on a cluster
-      // executor that is exactly what an open DRIVER-side transaction
-      // looks like. Check the propagated flag and fail loudly rather
-      // than silently posting inside BEGIN (local mode never trips
-      // this: its tasks run in the driver JVM as executorId "driver").
-      val tc = org.apache.spark.TaskContext.get()
-      if (tc != null) {
-        val env = org.apache.spark.SparkEnv.get
-        D1Txn.assertBufferReachable(inTask = true,
-          executorId = if (env == null) "driver" else env.executorId,
-          txnFlagged = Option(tc.getLocalProperty(D1Txn.FlagKey)).contains("true"))
-      }
-      val res = D1Client.executeQuery(cfg, sql)
-      if (!res.success) throw new java.io.IOException(s"D1 execute failed: ${res.error}")
-      res.meta.changes
+    // Task-side, the owning session rides the propagated FlagKey local
+    // property (value = session id), so a local-mode task buffers into
+    // exactly the session that issued BEGIN; driver-side, the calling
+    // thread's session resolves directly.
+    val tc = org.apache.spark.TaskContext.get()
+    val txnSession: Option[String] =
+      if (tc != null) Option(tc.getLocalProperty(D1Txn.FlagKey))
+      else Some(D1Txn.currentId)
+    txnSession.filter(D1Txn.activeFor) match {
+      case Some(id) => D1Txn.buffer(id, cfg, sql); 0L
+      case None =>
+        // This JVM holds no buffer for the flagged session — on a
+        // cluster executor that is exactly what an open DRIVER-side
+        // transaction looks like. Fail loudly rather than silently
+        // posting inside BEGIN (local mode never trips this: its tasks
+        // run in the driver JVM as executorId "driver", where the
+        // buffer IS reachable).
+        if (tc != null) {
+          val env = org.apache.spark.SparkEnv.get
+          D1Txn.assertBufferReachable(inTask = true,
+            executorId = if (env == null) "driver" else env.executorId,
+            txnFlagged = txnSession.isDefined)
+        }
+        val res = D1Client.executeQuery(cfg, sql)
+        if (!res.success) throw new java.io.IOException(s"D1 execute failed: ${res.error}")
+        res.meta.changes
     }
   }
 

@@ -11,6 +11,12 @@ object GraftColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** The session's stable unique id (`private[sql]` on the api class) —
+    * keys per-session state such as graft's D1 transaction buffers.
+    */
+  def sessionUUID(s: SparkSession): String =
+    s.asInstanceOf[classic.SparkSession].sessionUUID
+
   /** Eagerly convert a Column's node tree to a catalyst Expression.
     * `expression` wraps non-trivial nodes in a lazy `ColumnNodeExpression`
     * that only the DataFrame analysis path unwraps — an expression

@@ -135,9 +135,12 @@ class D1TxnSpec extends AnyFunSuite with BeforeAndAfterAll {
       D1Txn.assertBufferReachable(inTask = true, executorId = "exec-3", txnFlagged = true)
     }
     assert(e.getMessage.contains("cannot buffer from a cluster executor"))
-    // and the BEGIN/COMMIT commands maintain the propagated flag tasks read
+    // and the BEGIN/COMMIT commands maintain the propagated flag tasks
+    // read — its value is the OWNING session's id, so a local-mode task
+    // buffers into exactly the session that issued BEGIN
     spark.sql("BEGIN")
-    try assert(spark.sparkContext.getLocalProperty(D1Txn.FlagKey) == "true")
+    try assert(spark.sparkContext.getLocalProperty(D1Txn.FlagKey) ==
+      org.apache.spark.sql.GraftColumnShim.sessionUUID(spark))
     finally spark.sql("ROLLBACK")
     assert(spark.sparkContext.getLocalProperty(D1Txn.FlagKey) == null)
     // local-mode end-to-end: the task-side UDF still buffers (guard
@@ -151,6 +154,31 @@ class D1TxnSpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect()
       assert(D1Txn.pending.size == 2)
     } finally spark.sql("ROLLBACK")
+  }
+
+  test("concurrent sessions keep separate transaction buffers") {
+    // Two sessions on one driver must not interleave their buffers into
+    // one batch (state is keyed by sessionUUID; the reference keys its
+    // manager per ClientContext the same way)
+    import graft.core.D1Client
+    val cfg = D1Client.Config(accountId = "acct", apiToken = "tok",
+      databaseId = "db-x", apiBase = api)
+    val s2 = spark.newSession()
+    val id1 = org.apache.spark.sql.GraftColumnShim.sessionUUID(spark)
+    val id2 = org.apache.spark.sql.GraftColumnShim.sessionUUID(s2)
+    assert(id1 != id2)
+    spark.sql("BEGIN")
+    s2.sql("BEGIN") // must NOT throw "within a transaction" — separate state
+    try {
+      D1Txn.buffer(id1, cfg, "INSERT A")
+      D1Txn.buffer(id2, cfg, "INSERT B")
+      assert(D1Txn.pending(id1) == Seq("INSERT A"))
+      assert(D1Txn.pending(id2) == Seq("INSERT B"))
+      // rolling one back leaves the other open and intact
+      s2.sql("ROLLBACK")
+      assert(!D1Txn.activeFor(id2) && D1Txn.activeFor(id1))
+      assert(D1Txn.pending(id1) == Seq("INSERT A"))
+    } finally if (D1Txn.activeFor(id1)) spark.sql("ROLLBACK")
   }
 
   test("transaction state errors carry DuckDB's wording") {
