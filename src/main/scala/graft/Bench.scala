@@ -177,8 +177,13 @@ object Bench {
         (name, warms(warms.length / 2), cold)
       } catch { case _: Throwable => (name, -1.0, -1.0) }
     }
+    // 3-decimal (ms-resolution) values: the driver keeps only a ~2000-char
+    // tail of stdout, so the final JSON line must stay well under that —
+    // full-precision nanos pushed it past the window for 3 rounds running
+    // and the driver's machine-readable `parsed` field came back null.
     def json(f: ((String, Double, Double)) => Double): String =
-      results.map(r => "\"" + r._1 + "\":" + f(r)).mkString("{", ",", "}")
+      results.map(r => "\"" + r._1 + "\":" + BigDecimal(f(r))
+        .setScale(3, BigDecimal.RoundingMode.HALF_UP)).mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val coldTotal = results.map(_._3).filter(_ >= 0).sum
     val sf = sfDir.split("/").last.stripPrefix("sf")
@@ -230,11 +235,34 @@ object Bench {
     val ratiosJson =
       if (ratioParts.isEmpty) "" else ratioParts.mkString(""","comparable":{""", ",", "}")
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._2)},""" +
-      s""""queries_cold":${json(_._3)},"cold_total":$coldTotal,""" +
-      f""""bucket_setup_sec":$bucketSetupSec%.2f,""" +
-      s""""skipped":[${skip.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
-      s""""warm_runs":$warmRuns,"warm_stat":"median","sf":"$sf"$ratiosJson}""")
+    // Full-detail artifact (cold runs, per-sf comparable blocks, bucket
+    // setup) goes to a FILE; stdout gets one compact line. The driver
+    // stores only a ~2000-char stdout tail, so anything that must be
+    // machine-readable round-over-round has to fit there.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${json(_._2)},""" +
+        s""""queries_cold":${json(_._3)},"cold_total":$coldTotal,""" +
+        f""""bucket_setup_sec":$bucketSetupSec%.2f,""" +
+        s""""skipped":[${skip.toSeq.sorted.map("\"" + _ + "\"").mkString(",")}],""" +
+        s""""warm_runs":$warmRuns,"warm_stat":"median","sf":"$sf"$ratiosJson}"""
+    val fullPath = s"bench/last_run_sf$sf.json"
+    scala.util.Try {
+      new java.io.File("bench").mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(fullPath), fullJson)
+    }
+    // Compact ratio map: just sf → comparable-set ratio, one number each.
+    val ratioCompact = Seq(
+      comparable.map(c => s""""sf$sf":${mapper.readTree(c).path("ratio").asDouble()}"""),
+      sf1Ref.map(r => s""""sf1":${r.path("comparable").path("ratio").asDouble()}"""),
+      sf3Ref.map(r => s""""sf3":${r.path("comparable").path("ratio").asDouble()}"""),
+      sf10Ref.map(r => s""""sf10":${r.path("comparable").path("ratio").asDouble()}"""),
+      sf30Ref.map(r => s""""sf30":${r.path("comparable").path("ratio").asDouble()}""")).flatten
+    val ratioCompactJson =
+      if (ratioCompact.isEmpty) "" else ratioCompact.mkString(""","ratio_vs_duckdb":{""", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(_._2)},""" +
+      f""""cold_total":$coldTotal%.3f,"bucket_setup_sec":$bucketSetupSec%.2f,""" +
+      s""""warm_runs":$warmRuns,"warm_stat":"median","sf":"$sf"$ratioCompactJson,""" +
+      s""""full":"$fullPath"}""")
     spark.stop()
     sys.exit(0)
   }

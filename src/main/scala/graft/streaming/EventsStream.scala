@@ -144,8 +144,16 @@ object EventsStream {
   def runBatchAsStream(spark: SparkSession, sfDir: String, queryName: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sfDir/")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // ts arrives either as parquet timestamp[us] or as a raw nanos int64
+    // (nanosAsLong) depending on the writer — branch like the batch loader.
+    // The file stream source needs a directory; pathGlobFilter scopes the
+    // listing to the events table.
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet").parquet(s"$sfDir/")
+    val stream =
+      (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+       else raw.withColumn("ts", col("ts").cast("timestamp")))
       .filter(col("event_id").isNotNull)
     val agg = hourlyCounts(stream)
     val q = agg.writeStream.outputMode("append")
