@@ -60,18 +60,35 @@ object Bench {
       maxDistance = 3, pieces = 8)),
     "q06_join_5way_bucketed" -> ((s, d) => {
       import org.apache.spark.sql.functions._
+      // Bucketing + partial-agg pushdown COMPOSE: the per-order partial
+      // aggregate runs directly on the bucketed lineitem scan (groupBy on
+      // the bucket key needs no exchange and preserves the hash
+      // partitioning), so the fact-fact hop joins 4x fewer rows AND still
+      // needs no exchange on either side. The shuffle_hash hint keeps the
+      // join from sorting the aggregate output (the one ordering the
+      // sorted buckets cannot provide); orders' per-bucket build side is
+      // bounded by rows-per-bucket, which autoBuckets holds constant.
       val li = s.table("bench_lineitem_bo")
-      val o = s.table("bench_orders_bo")
+      val o = s.table("bench_orders_bo").select(col("o_orderkey"), col("o_custkey"))
       val c = graft.queries.load(s, d, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
       val n = broadcast(graft.queries.load(s, d, "nation"))
       val r = broadcast(graft.queries.load(s, d, "region"))
-      li.join(o, li("l_orderkey") === o("o_orderkey"))
-        .join(c, o("o_custkey") === c("c_custkey"))
+      val perOrder = li
+        .select(col("l_orderkey"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_lines"))
+      val perCust = perOrder
+        .join(o.hint("shuffle_hash"), perOrder("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("rev")).as("rev"), sum(col("n_lines")).as("n_lines"))
+      perCust.join(c, perCust("o_custkey") === c("c_custkey"))
         .join(n, c("c_nationkey") === n("n_nationkey"))
         .join(r, n("n_regionkey") === r("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
-          count(lit(1)).as("n_lines"))
+        .agg(round(sum(col("rev")), 2).as("revenue"),
+          sum(col("n_lines")).as("n_lines"))
         .orderBy(col("r_name"))
     }),
     "q08_semi_join_bucketed" -> ((s, _) => {
@@ -81,8 +98,12 @@ object Bench {
       // (same rewrite as q08 itself) needs NO exchange — buckets are
       // already hash-partitioned on the key — and the semi join is then
       // bucket-to-bucket, so the whole query runs exchange-free
+      // shuffle_hash on the key side: a sort-merge semi join would have
+      // to SORT the distinct-key aggregate output (the aggregation
+      // destroys the buckets' file order); hashing the per-bucket key set
+      // instead keeps the whole query sort- and exchange-free
       val o = s.table("bench_orders_bc").select(col("o_custkey")).distinct()
-      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      c.join(o.hint("shuffle_hash"), c("c_custkey") === o("o_custkey"), "left_semi")
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_customers"))
         .orderBy(col("c_nationkey"))

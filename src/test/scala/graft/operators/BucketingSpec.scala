@@ -88,4 +88,65 @@ class BucketingSpec extends AnyFunSuite {
       .filter(col("cluster").isin(0, 3)).count()
     assert(probe.count() == expected && expected > 0)
   }
+
+  test("bench bucketed variants match their plain queries; fact hop stays exchange- and sort-free") {
+    val dir = "/root/testdata/sf0.001"
+    val tables = Seq("bench_lineitem_bo", "bench_orders_bo",
+      "bench_customer_bc", "bench_orders_bc")
+    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val li = graft.queries.load(spark, dir, "lineitem")
+    val o = graft.queries.load(spark, dir, "orders")
+    val c = graft.queries.load(spark, dir, "customer")
+    Bucketing.writeBucketed(li, "bench_lineitem_bo", "l_orderkey", 8)
+    Bucketing.writeBucketed(o, "bench_orders_bo", "o_orderkey", 8)
+    Bucketing.writeBucketed(c, "bench_customer_bc", "c_custkey", 8)
+    Bucketing.writeBucketed(o.select(col("o_custkey")), "bench_orders_bc", "o_custkey", 8)
+    // disable auto-broadcast so the fixture-sized tables take the same
+    // join strategies the bench takes at fact scale
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      import org.apache.spark.sql.execution.joins.ShuffledHashJoinExec
+      // flatten the FINAL adaptive plan, descending through query stages
+      def flatten(p: SparkPlan): Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+        case q: QueryStageExec => q +: flatten(q.plan)
+        case other => other +: other.children.flatMap(flatten)
+      }
+      // the fact hop must be a ShuffledHashJoin whose subtree holds no
+      // shuffle and no sort: its hash partitioning comes from the bucket
+      // layout, the hash build replaces the merge sort the aggregated
+      // (order-destroyed) side would otherwise need
+      def assertHashJoinOnBuckets(df: org.apache.spark.sql.DataFrame): Unit = {
+        val shjs = flatten(df.queryExecution.executedPlan)
+          .collect { case j: ShuffledHashJoinExec => j }
+        assert(shjs.nonEmpty, "expected a shuffle-hash join:\n" +
+          df.queryExecution.executedPlan.toString.take(2000))
+        val subtree = shjs.flatMap(flatten)
+        assert(!subtree.exists(_.isInstanceOf[ShuffleExchangeLike]),
+          "bucketed fact hop still shuffles")
+        assert(!subtree.exists(_.isInstanceOf[org.apache.spark.sql.execution.SortExec]),
+          "bucketed fact hop still sorts")
+      }
+      val q06b = graft.Bench.extras("q06_join_5way_bucketed")(spark, dir)
+      val q06 = graft.SparkEntry.queries("q06_join_5way")(spark, dir)
+      def key06(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(key06(q06b) == key06(q06))
+      assertHashJoinOnBuckets(q06b)
+
+      val q08b = graft.Bench.extras("q08_semi_join_bucketed")(spark, dir)
+      val q08 = graft.SparkEntry.queries("q08_semi_join")(spark, dir)
+      def key08(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())).toSet
+      assert(key08(q08b) == key08(q08))
+      assertHashJoinOnBuckets(q08b)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
 }
