@@ -26,5 +26,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // single-JVM local[32] driver+executor heap. 8g GC-thrashed the bench
+  // (warm q01 at sf1 measured 2.6 s vs 0.8 s at 32g — warm runs slower
+  // than cold, the classic allocation-pressure signature); the box has
+  // 128 GiB and the DuckDB baseline is measured against the same box,
+  // so a third of it is the honest single-node config.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )
