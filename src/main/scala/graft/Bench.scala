@@ -186,15 +186,24 @@ object Bench {
     // are recorded in the artifact, never silently dropped
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
-    val results = headline.filter(all.contains).filterNot(skip).map { name =>
-      def run(): Double = {
+    // diagnostics: ONLY restricts the run set, VERBOSE prints every
+    // individual run to stderr (medians can hide the box's transient
+    // multi-second stall windows — see SCALE.md measurement notes)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val verbose = sys.env.get("SPARK_GRAFT_BENCH_VERBOSE").contains("1")
+    val results = headline.filter(all.contains).filterNot(skip)
+      .filter(n => only.forall(_.contains(n))).map { name =>
+      def run(tag: String): Double = {
         val t0 = System.nanoTime()
         exec(all(name)(spark, sfDir))
-        (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (verbose) System.err.println(f"[bench] $name $tag: $dt%.2f s")
+        dt
       }
       try {
-        val cold = run()
-        val warms = Seq.fill(warmRuns)(run()).sorted
+        val cold = run("cold")
+        val warms = (1 to warmRuns).map(i => run(s"warm$i")).sorted
         (name, warms(warms.length / 2), cold)
       } catch { case _: Throwable => (name, -1.0, -1.0) }
     }

@@ -125,19 +125,25 @@ object Relational {
 
     QueryDef("q06_join_5way",
       (s, d) => {
-        // Cost-based plan choice, the call a CBO with table stats makes:
+        // Cost-based plan choice, the call a CBO with table stats makes.
+        // Broadcastability is judged on the PROJECTION that ships —
+        // (o_orderkey, o_custkey) column-chunk bytes from the parquet
+        // footers — not the 6-column table size (same ANALYZE-stat
+        // argument as q05):
         //
-        // - orders broadcastable (its on-disk size — Spark's own
-        //   sizeInBytes estimate — fits the broadcast threshold): join
-        //   raw lineitem against broadcast sides; NOTHING big ever
-        //   shuffles and the final 25-group aggregate is map-side
-        //   partial. Optimal until orders outgrows executor memory.
-        // - orders too big to broadcast: partial-aggregation pushdown
-        //   below every join. The fact-fact SMJ that would shuffle 60M
-        //   wide lineitem rows is replaced by shuffles whose cardinality
-        //   falls every hop (60M lineitem → 15M per-order partials →
-        //   1.5M per-customer partials → 25 per-nation rows at sf10;
-        //   measured 14.2 s → 4.5 s there). Join keys are PKs on the
+        // - orders projection broadcastable: join the 2-column lineitem
+        //   stream against broadcast sides; NOTHING big ever shuffles,
+        //   no intermediate group-bys, the single 5-group aggregate is
+        //   map-side partial (the DuckDB-shaped plan; measured best
+        //   through sf3 — 2.9 s vs 4.5+ s for the staged aggregation).
+        // - orders too big to broadcast (a 15M-row build is a 240 MB
+        //   driver-serial hash relation at sf10 — measured 8-22 s):
+        //   partial-aggregation pushdown below every join. The fact-fact
+        //   SMJ that would shuffle 60M wide lineitem rows is replaced by
+        //   shuffles whose cardinality falls every hop (60M lineitem →
+        //   15M per-order partials → 1.5M per-customer partials → 25
+        //   per-nation rows at sf10; measured ~5 s there vs ~7 s for the
+        //   un-aggregated shuffle-hash chain). Join keys are PKs on the
         //   right side, so pre-aggregation is lossless.
         val li = load(s, d, "lineitem")
         val o = load(s, d, "orders")
@@ -145,13 +151,18 @@ object Relational {
         val n = broadcast(load(s, d, "nation"))
         val r = broadcast(load(s, d, "region"))
         val bcastLimit = s.sessionState.conf.autoBroadcastJoinThreshold
-        if (bcastLimit > 0 && tableBytes(d, "orders") <= bcastLimit) {
-          li.join(o, li("l_orderkey") === o("o_orderkey"))
-            .join(c, o("o_custkey") === c("c_custkey"))
-            .join(n, c("c_nationkey") === n("n_nationkey"))
+        if (bcastLimit > 0 &&
+            projectedBytes(d, "orders", Seq("o_orderkey", "o_custkey")) <= bcastLimit) {
+          val liProj = li.select(col("l_orderkey"),
+            (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+          val oProj = broadcast(o.select(col("o_orderkey"), col("o_custkey")))
+          val cProj = broadcast(c.select(col("c_custkey"), col("c_nationkey")))
+          liProj.join(oProj, col("l_orderkey") === col("o_orderkey"))
+            .join(cProj, col("o_custkey") === col("c_custkey"))
+            .join(n, col("c_nationkey") === n("n_nationkey"))
             .join(r, n("n_regionkey") === r("r_regionkey"))
             .groupBy(col("r_name"))
-            .agg(r2(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"),
+            .agg(r2(sum(col("rev"))).as("revenue"),
               count(lit(1)).as("n_lines"))
             .orderBy(col("r_name"))
         } else {
