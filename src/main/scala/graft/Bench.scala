@@ -154,7 +154,12 @@ object Bench {
     // orderkey (q06's join), customer + a covering o_custkey projection of
     // orders on custkey (q08's join) — each table bucketed on its dominant
     // join key, the standard lake-ingest choice.
-    val bucketSetupSec = {
+    // SPARK_GRAFT_SKIP_BUCKETS=1 skips the bucketed ingest + variants —
+    // for SFs where a second bucketed copy of the fact tables (plus its
+    // repartition spill) does not fit the bench disk (sf100: 24 GB source
+    // + ~15 GB bucketed copy + shuffle temp filled the box)
+    val skipBuckets = sys.env.get("SPARK_GRAFT_SKIP_BUCKETS").contains("1")
+    val bucketSetupSec = if (skipBuckets) 0.0 else {
       val t0 = System.nanoTime()
       import graft.operators.Bucketing
       // bucket count ∝ data volume (constant per-bucket bytes), sized
@@ -185,7 +190,8 @@ object Bench {
     // factor (every doc sits in a factor-wide cluster) — skipped queries
     // are recorded in the artifact, never silently dropped
     val skip = sys.env.get("SPARK_GRAFT_BENCH_SKIP")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet).getOrElse(Set.empty[String]) ++
+      (if (skipBuckets) headline.filter(_.endsWith("_bucketed")).toSet else Set.empty)
     // diagnostics: ONLY restricts the run set, VERBOSE prints every
     // individual run to stderr (medians can hide the box's transient
     // multi-second stall windows — see SCALE.md measurement notes)
@@ -235,6 +241,7 @@ object Bench {
     val sf3Ref = loadRef("bench/sf3.json")
     val sf10Ref = loadRef("bench/sf10.json")
     val sf30Ref = loadRef("bench/sf30.json")
+    val sf100Ref = loadRef("bench/sf100.json")
     val comparable = duckRef.map { ref =>
       val qs = ref.path("queries")
       val names = results.filter(_._2 >= 0).map(_._1)
@@ -255,13 +262,15 @@ object Bench {
     sf3Ref.foreach(r => println(s"""{"ref":"sf3","data":${mapper.writeValueAsString(r)}}"""))
     sf10Ref.foreach(r => println(s"""{"ref":"sf10","data":${mapper.writeValueAsString(r)}}"""))
     sf30Ref.foreach(r => println(s"""{"ref":"sf30","data":${mapper.writeValueAsString(r)}}"""))
+    sf100Ref.foreach(r => println(s"""{"ref":"sf100","data":${mapper.writeValueAsString(r)}}"""))
 
     val ratioParts = Seq(
       comparable.map(c => s""""sf$sf":$c"""),
       sf1Ref.map(r => s""""sf1":${mapper.writeValueAsString(r.path("comparable"))}"""),
       sf3Ref.map(r => s""""sf3":${mapper.writeValueAsString(r.path("comparable"))}"""),
       sf10Ref.map(r => s""""sf10":${mapper.writeValueAsString(r.path("comparable"))}"""),
-      sf30Ref.map(r => s""""sf30":${mapper.writeValueAsString(r.path("comparable"))}""")).flatten
+      sf30Ref.map(r => s""""sf30":${mapper.writeValueAsString(r.path("comparable"))}"""),
+      sf100Ref.map(r => s""""sf100":${mapper.writeValueAsString(r.path("comparable"))}""")).flatten
     val ratiosJson =
       if (ratioParts.isEmpty) "" else ratioParts.mkString(""","comparable":{""", ",", "}")
 
@@ -286,7 +295,8 @@ object Bench {
       sf1Ref.map(r => s""""sf1":${r.path("comparable").path("ratio").asDouble()}"""),
       sf3Ref.map(r => s""""sf3":${r.path("comparable").path("ratio").asDouble()}"""),
       sf10Ref.map(r => s""""sf10":${r.path("comparable").path("ratio").asDouble()}"""),
-      sf30Ref.map(r => s""""sf30":${r.path("comparable").path("ratio").asDouble()}""")).flatten
+      sf30Ref.map(r => s""""sf30":${r.path("comparable").path("ratio").asDouble()}"""),
+      sf100Ref.map(r => s""""sf100":${r.path("comparable").path("ratio").asDouble()}""")).flatten
     val ratioCompactJson =
       if (ratioCompact.isEmpty) "" else ratioCompact.mkString(""","ratio_vs_duckdb":{""", ",", "}")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(_._2)},""" +
