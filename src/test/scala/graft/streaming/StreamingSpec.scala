@@ -72,6 +72,24 @@ class StreamingSpec extends AnyFunSuite {
       rows.mkString(","))
   }
 
+  test("runDedupAsStream bridges a raw nanos-int64 ts column (driver data has shipped both ways)") {
+    // The driver has regenerated testdata with ts as TIMESTAMP(NANOS)
+    // (read as raw longs under nanosAsLong) in some rounds and as
+    // timestamp[us] in others; the stream bridges must branch on the
+    // observed dtype. The µs shape is exercised by the gate queries on
+    // current testdata — this pins the nanos-long shape.
+    val dir = java.nio.file.Files.createTempDirectory("nanos_events").toString
+    val base = graft.queries.load(spark, "/root/testdata/sf0.001", "events")
+      .limit(500)
+      .select(col("event_id"), (col("ts").cast("long") * 1000000000L).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+    base.coalesce(1).write.mode("overwrite").parquet(dir)
+    val out = EventsStream.runDedupAsStream(spark, dir, "nanos_dedup_mem")
+    assert(out.count() == 500)
+    assert(out.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampType)
+  }
+
   test("batch parquet drives the streaming pipeline to the same hourly counts") {
     val streamed = EventsStream.runBatchAsStream(spark, "/root/testdata/sf0.001", "events_stream_test")
     // compare against the batch q33 aggregation (modulo watermark-dropped
