@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to stdout, NOT through sbt's logger:
+// the logger prepends "[info] " to every line, which breaks any consumer
+// that parses the final JSON line of graft.Bench / graft.Verify output
+// (the round driver keeps a ~2000-char stdout tail and JSON-parses the
+// last line that parses; a prefixed line never does).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -56,21 +56,28 @@ object Relational {
       (s, d) => {
         // A count(DISTINCT) mixed into a plain aggregate makes Spark plan
         // an Expand that pushes every input row through the aggregate
-        // TWICE (one projection per distinct-group). Splitting the
-        // distinct count into its own pass and cross-joining the two
-        // 1-row results reads the scan twice but expands nothing:
-        // measured at sf30 (180M rows) 4.2 s vs 5.3 s warm, 6.1 s vs
-        // 11.3 s cold. The map-side partial distinct also benefits from
-        // lineitem's orderkey clustering (each key folds within a split).
+        // TWICE (one projection per distinct-group). Rounds 8-9 split the
+        // distinct count into a second scan (Expand-free, but the double
+        // scan stopped amortizing at sf100: 22.8 s vs DuckDB 7.5 s over
+        // 600M rows / 24 GB). The single-scan shape: group by l_orderkey
+        // computing count/sum/min/max partials, then re-aggregate the
+        // per-key rows to one row — ONE scan, no Expand, and the one
+        // exchange ships |orderkeys| partials, not rows. lineitem's
+        // orderkey clustering makes the map-side combine fold each key's
+        // ~4 lines inside its scan split before the exchange.
+        // count(l_orderkey) over the per-key rows counts non-null keys
+        // only, matching count(DISTINCT)'s NULL semantics exactly (the
+        // groupBy would otherwise admit a NULL group count(*) would see).
         val li = load(s, d, "lineitem")
-        val basic = li.agg(
-          count(lit(1)).as("n_rows"),
-          r2(sum(col("l_quantity"))).as("total_qty"),
-          r2(min(col("l_extendedprice"))).as("min_price"),
-          r2(max(col("l_extendedprice"))).as("max_price"))
-        val nd = li.select(col("l_orderkey")).distinct()
-          .agg(count(lit(1)).as("n_orders"))
-        basic.crossJoin(nd)
+        li.groupBy(col("l_orderkey"))
+          .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("q"),
+            min(col("l_extendedprice")).as("mn"),
+            max(col("l_extendedprice")).as("mx"))
+          .agg(sum(col("c")).as("n_rows"),
+            count(col("l_orderkey")).as("n_orders"),
+            r2(sum(col("q"))).as("total_qty"),
+            r2(min(col("mn"))).as("min_price"),
+            r2(max(col("mx"))).as("max_price"))
           .select(col("n_rows"), col("n_orders"), col("total_qty"),
             col("min_price"), col("max_price"))
       },
@@ -120,16 +127,34 @@ object Relational {
         val cProj = c.select(col("c_custkey"), col("c_mktsegment"))
         val bcastLimit = math.min(
           s.sessionState.conf.autoBroadcastJoinThreshold, 10L << 20)
-        val dim =
-          if (bcastLimit > 0 &&
-              projectedBytes(d, "customer",
-                Seq("c_custkey", "c_mktsegment")) <= bcastLimit)
-            broadcast(cProj)
-          else cProj.hint("SHUFFLE_HASH")
-        o.join(dim, o("o_custkey") === cProj("c_custkey"))
-          .groupBy(col("c_mktsegment"))
-          .agg(r2(sum(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n"))
-          .orderBy(col("c_mktsegment"))
+        if (bcastLimit > 0 &&
+            projectedBytes(d, "customer",
+              Seq("c_custkey", "c_mktsegment")) <= bcastLimit) {
+          // Broadcast path: the fact side never shuffles at all — a
+          // pre-aggregate would only INSERT an exchange where none exists.
+          o.join(broadcast(cProj), o("o_custkey") === cProj("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(r2(sum(col("o_totalprice"))).as("revenue"), count(lit(1)).as("n"))
+            .orderBy(col("c_mktsegment"))
+        } else {
+          // Shuffle path: push the aggregate BELOW the join. custkey is
+          // the join key, so per-custkey (sum, count) partials are
+          // lossless, and the fact exchange ships |custkeys| partial rows
+          // instead of |orders| fact rows (the same rewrite q06's staged
+          // branch uses). The map-side combine is what makes this pay:
+          // order files are replica/time-clustered, so each scan split
+          // folds its ~10 orders-per-customer locally before the
+          // exchange. Measured at sf30: 0.95 s vs 1.74 s for the
+          // un-aggregated SHUFFLE_HASH chain; sf100: 2.8 s vs 5.2 s.
+          val perCust = o.select(col("o_custkey"), col("o_totalprice"))
+            .groupBy(col("o_custkey"))
+            .agg(sum(col("o_totalprice")).as("tp"), count(lit(1)).as("cnt"))
+          perCust.join(cProj.hint("SHUFFLE_HASH"),
+              perCust("o_custkey") === cProj("c_custkey"))
+            .groupBy(col("c_mktsegment"))
+            .agg(r2(sum(col("tp"))).as("revenue"), sum(col("cnt")).as("n"))
+            .orderBy(col("c_mktsegment"))
+        }
       },
       Some("""SELECT c_mktsegment, round(sum(o_totalprice),2) AS revenue, count(*) AS n
              |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -162,7 +187,16 @@ object Relational {
         val c = load(s, d, "customer")
         val n = broadcast(load(s, d, "nation"))
         val r = broadcast(load(s, d, "region"))
-        val bcastLimit = s.sessionState.conf.autoBroadcastJoinThreshold
+        // Driver-serial build cap, like q05's but sized to q06's own
+        // measurements: the (o_orderkey, o_custkey) projection measured a
+        // broadcast WIN at 34 MB compressed (sf3: 2.9 s vs 4.5+ s staged)
+        // and the 8-22 s serial-build pathology at 115 MB (sf10). 40 MB
+        // keeps the whole measured-good region and excludes the measured
+        // -bad one; without it a mid-SF projection up to the session's
+        // 64 MB threshold could trigger a multi-second driver-serial
+        // build the staged path avoids.
+        val bcastLimit = math.min(
+          s.sessionState.conf.autoBroadcastJoinThreshold, 40L << 20)
         if (bcastLimit > 0 &&
             projectedBytes(d, "orders", Seq("o_orderkey", "o_custkey")) <= bcastLimit) {
           val liProj = li.select(col("l_orderkey"),

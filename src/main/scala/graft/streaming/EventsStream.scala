@@ -146,10 +146,19 @@ object EventsStream {
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     // ts arrives either as parquet timestamp[us] or as a raw nanos int64
     // (nanosAsLong) depending on the writer — branch like the batch loader.
-    // The file stream source needs a directory; pathGlobFilter scopes the
-    // listing to the events table.
-    val raw = spark.readStream.schema(schema)
-      .option("pathGlobFilter", "events.parquet").parquet(s"$sfDir/")
+    // Layout branch: pathGlobFilter matches LEAF file names, so the
+    // "events.parquet" filter only works when the table is a single file;
+    // a directory-layout table (part-*.parquet under events.parquet/, the
+    // normal Spark write shape) would match zero leaves and stream zero
+    // rows silently. Point the stream at the directory itself in that
+    // case — the file stream source wants a directory either way.
+    val eventsPath = new java.io.File(s"$sfDir/events.parquet")
+    val raw =
+      if (eventsPath.isDirectory)
+        spark.readStream.schema(schema).parquet(eventsPath.getPath)
+      else
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", "events.parquet").parquet(s"$sfDir/")
     val stream =
       (if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -160,6 +169,13 @@ object EventsStream {
       .format("memory").queryName(queryName).start()
     q.processAllAvailable()
     q.stop()
-    spark.table(queryName)
+    val out = spark.table(queryName)
+    // Fail LOUDLY if the source matched no files (e.g. an unexpected
+    // third layout) — a zero-row stream here would otherwise surface as
+    // a silently-dropped correctness gate downstream.
+    require(!out.isEmpty,
+      s"streaming smoke path read zero rows from $sfDir/events.parquet " +
+        s"(isDirectory=${eventsPath.isDirectory}) — source glob matched no files?")
+    out
   }
 }
