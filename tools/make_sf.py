@@ -25,6 +25,9 @@ con = duckdb.connect()
 # isAdjustedToUTC=false -> TIMESTAMP_NTZ in Spark. Cast through
 # TIMESTAMPTZ under a UTC session so the replicas keep the same types.
 con.execute("SET TimeZone='UTC'")
+# A factor-1000 replication is a 1000-way UNION ALL; DuckDB's default
+# parser depth limit (1000) rejects it.
+con.execute("SET max_expression_depth TO 100000")
 
 def mx(table, col):
     return con.execute(
