@@ -121,9 +121,92 @@ object Probe {
         round(max(col("mx")), 2).as("max_price"))
   }
 
+  /** q02 round-8/9 shipped shape: split the distinct count into its own
+    * scan and cross-join the two 1-row results — Expand-free but reads
+    * lineitem TWICE; the distinct exchange ships bare keys (~16 B/row)
+    * vs q02v1's 5-column partials (~48 B/row).
+    */
+  def q02v2(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+    val basic = li.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 2).as("total_qty"),
+      round(min(col("l_extendedprice")), 2).as("min_price"),
+      round(max(col("l_extendedprice")), 2).as("max_price"))
+    val nd = li.select(col("l_orderkey")).filter(col("l_orderkey").isNotNull)
+      .distinct().agg(count(lit(1)).as("n_orders"))
+    basic.crossJoin(nd)
+      .select(col("n_rows"), col("n_orders"), col("total_qty"),
+        col("min_price"), col("max_price"))
+  }
+
+  /** q05 round-9 shipped shape: un-aggregated SHUFFLE_HASH chain — the
+    * fact side ships every (o_custkey, o_totalprice) row through the
+    * exchange to produce 5 groups.
+    */
+  def q05v0(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders"); val c = load(s, d, "customer")
+    val cProj = c.select(col("c_custkey"), col("c_mktsegment"))
+    o.join(cProj.hint("SHUFFLE_HASH"), o("o_custkey") === cProj("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("o_totalprice")), 2).as("revenue"), count(lit(1)).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q05 round-10 shape: partial aggregate below the join — the fact
+    * exchange ships |custkeys| (sum, count) partials instead.
+    */
+  def q05v1(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders"); val c = load(s, d, "customer")
+    val cProj = c.select(col("c_custkey"), col("c_mktsegment"))
+    val perCust = o.select(col("o_custkey"), col("o_totalprice"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("o_totalprice")).as("tp"), count(lit(1)).as("cnt"))
+    perCust.join(cProj.hint("SHUFFLE_HASH"),
+        perCust("o_custkey") === cProj("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(round(sum(col("tp")), 2).as("revenue"), sum(col("cnt")).as("n"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** q19 as shipped: finest-grouping pre-aggregate, then rollup the tiny
+    * aggregate. */
+  def q19v0(s: SparkSession, d: String): DataFrame = {
+    val base = load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+    base.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("n")).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("(all)")).as("flag"),
+        coalesce(col("l_linestatus"), lit("(all)")).as("status"), col("n"))
+      .orderBy(col("flag"), col("status"))
+  }
+
+  /** q19 floor decomposition: the base aggregate WITHOUT the rollup —
+    * isolates the Expand-on-6-rows cost (difference vs q19v0). */
+  def q19base(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+
+  /** q19 floor decomposition: raw 2-column scan, no aggregation — the
+    * parquet string-decode floor (difference vs q19base = hash-agg cost). */
+  def q19scan(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem").select(col("l_returnflag"), col("l_linestatus"))
+
+  /** q19 floor decomposition: count(*) — reads no columns; the pure
+    * scan-scheduling floor over the same splits. */
+  def q19count(s: SparkSession, d: String): DataFrame =
+    load(s, d, "lineitem").agg(count(lit(1)).as("n"))
+
+  /** Materialize via the noop sink (same as graft.Bench.exec): evaluates
+    * every row and column without driver collection — collect() on the
+    * scan-only probes would pull the whole table into the driver. */
   private def time(label: String, warm: Int = 3)(f: => DataFrame): Unit = {
     def once(): Double = {
-      val t0 = System.nanoTime(); f.collect(); (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime()
+      f.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
     val cold = once()
     val runs = (1 to warm).map(_ => once()).sorted
@@ -141,7 +224,10 @@ object Probe {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
+      // mirror graft.Bench's volume-proportional split sizing so probe
+      // timings are comparable to the bench artifact at every SF
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", Bench.autoMaxPartitionBytes(sfDir, 32)))
       .config("spark.sql.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       .config("spark.sql.session.timeZone", "UTC")
@@ -155,7 +241,10 @@ object Probe {
     val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q06v0" -> (q06v0 _), "q06v1" -> (q06v1 _),
       "q08v0" -> (q08v0 _), "q08v1" -> (q08v1 _),
-      "q02v0" -> (q02v0 _), "q02v1" -> (q02v1 _))
+      "q02v0" -> (q02v0 _), "q02v1" -> (q02v1 _), "q02v2" -> (q02v2 _),
+      "q05v0" -> (q05v0 _), "q05v1" -> (q05v1 _),
+      "q19v0" -> (q19v0 _), "q19base" -> (q19base _),
+      "q19scan" -> (q19scan _), "q19count" -> (q19count _))
     variants.filter { case (k, _) => only.isEmpty || only(k) }.foreach {
       case (k, q) =>
         if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))
