@@ -214,6 +214,34 @@ object Probe {
     println(f"PROBE $label%-28s cold=$cold%6.2fs warm_median=$med%6.2fs")
   }
 
+  /** Per-query constant-cost decomposition for the sf0.1 floor: time the
+    * DataFrame build, Catalyst phases (analysis/optimization/planning),
+    * and execution separately on WARM reruns of the smallest headline
+    * queries — the sf0.1 bench is ~25 × this constant, so knowing whether
+    * it is planning, scheduling, or AQE stage-materialization decides
+    * which knob is worth turning.
+    */
+  def floorProfile(s: SparkSession, d: String, names: Seq[String]): Unit = {
+    for (q <- names) {
+      val warm = SparkEntry.queries(q)(s, d)
+      warm.write.format("noop").mode("overwrite").save()
+      val runs = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(q)(s, d)
+        val t1 = System.nanoTime()
+        df.write.format("noop").mode("overwrite").save()
+        val t2 = System.nanoTime()
+        val phases = df.queryExecution.tracker.phases.toSeq
+          .sortBy(_._2.startTimeMs)
+          .map { case (k, v) => f"$k=${v.endTimeMs - v.startTimeMs}ms" }
+          .mkString(" ")
+        ((t1 - t0) / 1e6, (t2 - t1) / 1e6, phases)
+      }
+      val (b, e, ph) = runs.minBy(r => r._1 + r._2)
+      println(f"FLOOR $q%-28s build=$b%6.0fms exec=$e%6.0fms  $ph")
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/tmp/sf10"
     val only: Set[String] =
@@ -222,8 +250,12 @@ object Probe {
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_SHUFFLE", "32"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_PARFIRST", "true"))
       // mirror graft.Bench's volume-proportional split sizing so probe
       // timings are comparable to the bench artifact at every SF
       .config("spark.sql.files.maxPartitionBytes",
@@ -237,6 +269,13 @@ object Probe {
 
     Seq("lineitem", "orders", "customer", "nation", "region")
       .foreach(t => load(spark, sfDir, t).count())
+
+    if (only.contains("floor")) {
+      floorProfile(spark, sfDir, Seq(
+        "q36_events_funnel", "q28_in_subquery", "q08_semi_join",
+        "q05_join_agg", "q19_rollup", "q53_multimodal_decode"))
+      spark.stop(); sys.exit(0)
+    }
 
     val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q06v0" -> (q06v0 _), "q06v1" -> (q06v1 _),

