@@ -229,16 +229,14 @@ object Probe {
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(q)(s, d)
         val t1 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        df.queryExecution.executedPlan // analysis + optimization + physical planning
         val t2 = System.nanoTime()
-        val phases = df.queryExecution.tracker.phases.toSeq
-          .sortBy(_._2.startTimeMs)
-          .map { case (k, v) => f"$k=${v.endTimeMs - v.startTimeMs}ms" }
-          .mkString(" ")
-        ((t1 - t0) / 1e6, (t2 - t1) / 1e6, phases)
+        df.write.format("noop").mode("overwrite").save()
+        val t3 = System.nanoTime()
+        ((t1 - t0) / 1e6, (t2 - t1) / 1e6, (t3 - t2) / 1e6)
       }
-      val (b, e, ph) = runs.minBy(r => r._1 + r._2)
-      println(f"FLOOR $q%-28s build=$b%6.0fms exec=$e%6.0fms  $ph")
+      val (b, p, e) = runs.minBy(r => r._1 + r._2 + r._3)
+      println(f"FLOOR $q%-28s build=$b%6.0fms plan=$p%6.0fms exec=$e%6.0fms")
     }
   }
 
@@ -256,6 +254,9 @@ object Probe {
         sys.env.getOrElse("SPARK_GRAFT_PROBE_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_PARFIRST", "true"))
+      .config("spark.local.dir",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_LOCALDIR",
+          System.getProperty("java.io.tmpdir")))
       // mirror graft.Bench's volume-proportional split sizing so probe
       // timings are comparable to the bench artifact at every SF
       .config("spark.sql.files.maxPartitionBytes",
