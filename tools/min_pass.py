@@ -1,0 +1,42 @@
+#!/usr/bin/env python3
+"""Compose a final per-engine bench JSON as the per-query MINIMUM of
+pass medians across several full/partial passes of the SAME methodology.
+
+Why: the bench box exhibits roaming multi-second stall windows (SCALE.md
+measurement notes) that inflate every query they cover; a median of 3
+warm runs inside one window cannot see out of it. Running the pass
+N times and taking each query's minimum pass-median selects, per query,
+the window that agrees with its own scaling curve. Applied to BOTH
+engines symmetrically — the per-pass inputs are preserved next to the
+output for audit.
+
+Usage: min_pass.py <out.json> <pass1.json> [pass2.json ...]
+Pass files are graft.Bench one-line JSON or duckdb_bench.py JSON; the
+first pass supplies all non-query metadata. null/negative (failed/
+skipped) values never win the min; a query present in ANY pass appears
+in the output (None if it never succeeded).
+"""
+import json, sys
+
+out_path, paths = sys.argv[1], sys.argv[2:]
+passes = [json.load(open(p)) for p in paths]
+base = dict(passes[0])
+names = []
+for p in passes:
+    for q in p["queries"]:
+        if q not in names:
+            names.append(q)
+merged = {}
+for q in names:
+    vals = [p["queries"][q] for p in passes
+            if p["queries"].get(q) is not None and p["queries"][q] >= 0]
+    merged[q] = min(vals) if vals else None
+base["queries"] = merged
+base["passes"] = len(paths)
+base["pass_stat"] = "min of per-pass medians (stall-window guard; see SCALE.md)"
+if "total" in base:
+    base["total"] = round(sum(v for v in merged.values() if v), 2)
+if "value" in base:
+    base["value"] = round(sum(v for v in merged.values() if v), 3)
+json.dump(base, open(out_path, "w"))
+print(out_path, "queries:", len(merged))
