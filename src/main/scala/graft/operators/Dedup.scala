@@ -211,7 +211,13 @@ object Dedup {
 
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val candidates = left.join(right, Seq("band", "bucket"))
+    // SHUFFLE_HASH: both sides of a band self-join are the whole banded
+    // corpus — broadcasting either is categorically wrong, but the size
+    // ESTIMATE of a UDF+explode projection can collapse below the
+    // broadcast threshold and make the static planner try (observed at
+    // sf30: a 1.1 GiB driver collect killed by maxResultSize). High-
+    // cardinality narrow keys, no ordering needed → hash, not merge.
+    val candidates = left.join(right.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -332,7 +338,11 @@ object Dedup {
     // false-positive volume is quadratic in the hot-bucket size and would
     // dominate the shuffle otherwise. Same result: hamming is a pure
     // function of the pair.
-    l.join(r, Seq("band", "bucket"))
+    // SHUFFLE_HASH for the same reason as minhashLshPairs' band join:
+    // a symmetric corpus-scale self-join must never broadcast, and the
+    // explode projection's size estimate can collapse below the
+    // threshold (the sf30 maxResultSize failure was THIS join).
+    l.join(r.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
@@ -352,7 +362,8 @@ object Dedup {
       blockCol.as("blk"))
     val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("blk")).filter(col("id_a") < col("id_b"))
+    // symmetric self-join: never broadcast (see minhashLshPairs)
+    a.join(b.hint("SHUFFLE_HASH"), Seq("blk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))

@@ -260,6 +260,39 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p.take(1500))
   }
 
+  test("band self-joins plan ShuffledHashJoin, never a broadcast of the corpus") {
+    // A band/bucket self-join is symmetric: both sides are the whole
+    // banded corpus, so broadcasting either is always wrong — but the
+    // size ESTIMATE of a UDF+explode projection can collapse below the
+    // broadcast threshold and let the static planner try (observed at
+    // sf30: simhash's band join planned a broadcast whose build collected
+    // 1.1 GiB to the driver and died on maxResultSize). The SHUFFLE_HASH
+    // hint must hold for every banding operator regardless of estimates.
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.load(spark, dir, "documents")
+    val plans = Seq(
+      "simhash" -> graft.operators.Dedup.simhashPairs(docs, "text", "doc_id"),
+      "minhash" -> graft.operators.Dedup.minhashLshPairs(docs, "text", "doc_id", 0.8),
+      "winnow" -> graft.operators.Winnowing.sharedPrints(docs, "doc_id", "text", 5, 4, 2),
+      "emblsh" -> graft.operators.SimilaritySearch.cosineNearDupPairs(
+        graft.queries.load(spark, dir, "embeddings"), "embedding", "vec_id", 0.95))
+    for ((name, df) <- plans) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"), s"$name: no ShuffledHashJoin\n${p.take(1200)}")
+    }
+    // and specifically: the self-join itself must not be a broadcast —
+    // check under a tiny threshold-collapsing estimate by disabling AQE
+    // runtime rescue and shrinking the threshold to force the hazard
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1073741824")
+      val p = graft.operators.Dedup.simhashPairs(docs, "text", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(p.contains("ShuffledHashJoin"),
+        s"simhash band join lost the shuffle hint under a 1 GiB threshold\n${p.take(1200)}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q79 mixing plans no shuffle: replication is a narrow explode") {
     val p = SparkEntry.queries("q79_mix_upsample")(spark, dir)
       .queryExecution.executedPlan.toString
