@@ -56,28 +56,34 @@ object Relational {
       (s, d) => {
         // A count(DISTINCT) mixed into a plain aggregate makes Spark plan
         // an Expand that pushes every input row through the aggregate
-        // TWICE (one projection per distinct-group). Rounds 8-9 split the
-        // distinct count into a second scan (Expand-free, but the double
-        // scan stopped amortizing at sf100: 22.8 s vs DuckDB 7.5 s over
-        // 600M rows / 24 GB). The single-scan shape: group by l_orderkey
-        // computing count/sum/min/max partials, then re-aggregate the
-        // per-key rows to one row — ONE scan, no Expand, and the one
-        // exchange ships |orderkeys| partials, not rows. lineitem's
-        // orderkey clustering makes the map-side combine fold each key's
-        // ~4 lines inside its scan split before the exchange.
-        // count(l_orderkey) over the per-key rows counts non-null keys
-        // only, matching count(DISTINCT)'s NULL semantics exactly (the
-        // groupBy would otherwise admit a NULL group count(*) would see).
+        // TWICE (one projection per distinct-group). Both Expand-free
+        // shapes were measured head-to-head at sf10 AND sf100 (Probe
+        // q02v1/q02v2, round 10):
+        // - single-scan per-orderkey partials, then re-aggregate: 1.98 s
+        //   at sf10 but 29.5 s at sf100 — with ~4 lines per order the
+        //   "partials" are |rows|/4 five-column groups, so the map-side
+        //   hash tables spill and the exchange ships 150M x 48 B; the
+        //   per-key pre-aggregate stops being a reduction exactly when
+        //   the group count tracks the row count.
+        // - split shape (below): the plain aggregate is one exchange-free
+        //   scan; the distinct count re-scans ONLY the 8-byte orderkey
+        //   column (column pruning — the scan reads one column chunk)
+        //   and ships bare keys through its exchange. 2.04 s at sf10,
+        //   14.4 s at sf100. The second scan is cheaper than wide
+        //   partials at every measured SF, so it is the shipped shape.
+        // The isNotNull filter matches count(DISTINCT)'s NULL semantics
+        // (safe on TPC-H-shaped data, wrong without it on sources with
+        // null orderkeys).
         val li = load(s, d, "lineitem")
-        li.groupBy(col("l_orderkey"))
-          .agg(count(lit(1)).as("c"), sum(col("l_quantity")).as("q"),
-            min(col("l_extendedprice")).as("mn"),
-            max(col("l_extendedprice")).as("mx"))
-          .agg(sum(col("c")).as("n_rows"),
-            count(col("l_orderkey")).as("n_orders"),
-            r2(sum(col("q"))).as("total_qty"),
-            r2(min(col("mn"))).as("min_price"),
-            r2(max(col("mx"))).as("max_price"))
+        val basic = li.agg(
+          count(lit(1)).as("n_rows"),
+          r2(sum(col("l_quantity"))).as("total_qty"),
+          r2(min(col("l_extendedprice"))).as("min_price"),
+          r2(max(col("l_extendedprice"))).as("max_price"))
+        val nd = li.select(col("l_orderkey"))
+          .filter(col("l_orderkey").isNotNull)
+          .distinct().agg(count(lit(1)).as("n_orders"))
+        basic.crossJoin(nd)
           .select(col("n_rows"), col("n_orders"), col("total_qty"),
             col("min_price"), col("max_price"))
       },
