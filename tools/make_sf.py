@@ -28,6 +28,14 @@ con.execute("SET TimeZone='UTC'")
 # A factor-1000 replication is a 1000-way UNION ALL; DuckDB's default
 # parser depth limit (1000) rejects it.
 con.execute("SET max_expression_depth TO 100000")
+# Stream the COPY instead of buffering the whole union: with order
+# preservation on, a factor-10 union of a 60M-row table buffered ~100 GB
+# before writing a byte (observed on the round-10 box; near-OOM next to a
+# concurrently-running 32g bench JVM). Replica locality survives per row
+# group, which is what the map-side-combine notes in SCALE.md rely on.
+con.execute("SET preserve_insertion_order=false")
+con.execute(f"SET memory_limit='{os.environ.get('MAKE_SF_MEM', '24GB')}'")
+con.execute(f"SET threads TO {os.environ.get('MAKE_SF_THREADS', '16')}")
 
 def mx(table, col):
     return con.execute(
