@@ -211,13 +211,18 @@ object Dedup {
 
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    // SHUFFLE_HASH: both sides of a band self-join are the whole banded
-    // corpus — broadcasting either is categorically wrong, but the size
-    // ESTIMATE of a UDF+explode projection can collapse below the
-    // broadcast threshold and make the static planner try (observed at
-    // sf30: a 1.1 GiB driver collect killed by maxResultSize). High-
-    // cardinality narrow keys, no ordering needed → hash, not merge.
-    val candidates = left.join(right.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+    // MERGE: both sides of a band self-join are the whole banded corpus —
+    // broadcasting either is categorically wrong, but the size ESTIMATE
+    // of a UDF+explode projection can collapse below the broadcast
+    // threshold and make the static planner try (observed at sf30: a
+    // 1.1 GiB driver collect killed by maxResultSize). SHUFFLE_HASH is
+    // wrong at the other end: the per-partition hash build assumes a
+    // partition of the banded corpus fits execution memory, and at sf100
+    // (5M docs) it failed a 512 MB acquisition with 32 concurrent build
+    // tasks. Sort-merge is the only shape with no memory assumption on
+    // EITHER side — sorts spill — which is the contract this operator
+    // must keep on an unbounded corpus.
+    val candidates = left.join(right.hint("MERGE"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
@@ -338,11 +343,12 @@ object Dedup {
     // false-positive volume is quadratic in the hot-bucket size and would
     // dominate the shuffle otherwise. Same result: hamming is a pure
     // function of the pair.
-    // SHUFFLE_HASH for the same reason as minhashLshPairs' band join:
-    // a symmetric corpus-scale self-join must never broadcast, and the
-    // explode projection's size estimate can collapse below the
-    // threshold (the sf30 maxResultSize failure was THIS join).
-    l.join(r.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+    // MERGE for the same reason as minhashLshPairs' band join: a
+    // symmetric corpus-scale self-join must never broadcast (the sf30
+    // maxResultSize failure was THIS join) and must not assume a
+    // partition's hash build fits memory (the sf100 shuffle-hash
+    // acquisition failure was also this join) — sort-merge spills.
+    l.join(r.hint("MERGE"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
@@ -362,8 +368,9 @@ object Dedup {
       blockCol.as("blk"))
     val a = base.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = base.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
-    // symmetric self-join: never broadcast (see minhashLshPairs)
-    a.join(b.hint("SHUFFLE_HASH"), Seq("blk")).filter(col("id_a") < col("id_b"))
+    // symmetric self-join: never broadcast, never assume the hash build
+    // fits memory (see minhashLshPairs) — sort-merge spills
+    a.join(b.hint("MERGE"), Seq("blk")).filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))), 4).as("jaccard"))

@@ -317,8 +317,9 @@ object SimilaritySearch {
     val buckets = lshBuckets(df, embCol, idCol, nBits, nTables, dim, seed)
     val l = buckets.select(col("table"), col("sig"), col("id").as("id_a"))
     val r = buckets.select(col("table"), col("sig"), col("id").as("id_b"))
-    // symmetric self-join: never broadcast (see Dedup.minhashLshPairs)
-    val cands = l.join(r.hint("SHUFFLE_HASH"), Seq("table", "sig"))
+    // symmetric self-join: never broadcast, never assume the hash build
+    // fits memory (see Dedup.minhashLshPairs) — sort-merge spills
+    val cands = l.join(r.hint("MERGE"), Seq("table", "sig"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")

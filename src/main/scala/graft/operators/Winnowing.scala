@@ -53,8 +53,9 @@ object Winnowing {
       .select(col(idCol).as("__fid"), col("print"))
     val a = fp.select(col("print"), col("__fid").as("id_a"))
     val b = fp.select(col("print"), col("__fid").as("id_b"))
-    // symmetric self-join: never broadcast (see Dedup.minhashLshPairs)
-    a.join(b.hint("SHUFFLE_HASH"), Seq("print")).filter(col("id_a") < col("id_b"))
+    // symmetric self-join: never broadcast, never assume the hash build
+    // fits memory (see Dedup.minhashLshPairs) — sort-merge spills
+    a.join(b.hint("MERGE"), Seq("print")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)

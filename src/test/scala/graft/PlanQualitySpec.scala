@@ -260,14 +260,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p.take(1500))
   }
 
-  test("band self-joins plan ShuffledHashJoin, never a broadcast of the corpus") {
+  test("band self-joins plan SortMergeJoin, never broadcast or hash-build the corpus") {
     // A band/bucket self-join is symmetric: both sides are the whole
     // banded corpus, so broadcasting either is always wrong — but the
     // size ESTIMATE of a UDF+explode projection can collapse below the
     // broadcast threshold and let the static planner try (observed at
     // sf30: simhash's band join planned a broadcast whose build collected
-    // 1.1 GiB to the driver and died on maxResultSize). The SHUFFLE_HASH
-    // hint must hold for every banding operator regardless of estimates.
+    // 1.1 GiB to the driver and died on maxResultSize). A SHUFFLE_HASH
+    // hint fixes that hazard but plants the next one: the per-partition
+    // hash build assumes a partition of the corpus fits execution memory,
+    // and at sf100 it failed a 512 MB acquisition. Sort-merge (spilling
+    // sorts, no build) is the only memory-safe shape; the MERGE hint must
+    // hold for every banding operator regardless of estimates.
     import org.apache.spark.sql.functions._
     val docs = graft.queries.load(spark, dir, "documents")
     val plans = Seq(
@@ -278,7 +282,7 @@ class PlanQualitySpec extends AnyFunSuite {
         graft.queries.load(spark, dir, "embeddings"), "embedding", "vec_id", 0.95))
     for ((name, df) <- plans) {
       val p = df.queryExecution.executedPlan.toString
-      assert(p.contains("ShuffledHashJoin"), s"$name: no ShuffledHashJoin\n${p.take(1200)}")
+      assert(p.contains("SortMergeJoin"), s"$name: no SortMergeJoin\n${p.take(1200)}")
     }
     // and specifically: the self-join itself must not be a broadcast —
     // check under a tiny threshold-collapsing estimate by disabling AQE
@@ -288,8 +292,8 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1073741824")
       val p = graft.operators.Dedup.simhashPairs(docs, "text", "doc_id")
         .queryExecution.executedPlan.toString
-      assert(p.contains("ShuffledHashJoin"),
-        s"simhash band join lost the shuffle hint under a 1 GiB threshold\n${p.take(1200)}")
+      assert(p.contains("SortMergeJoin"),
+        s"simhash band join lost the merge hint under a 1 GiB threshold\n${p.take(1200)}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
