@@ -28,14 +28,18 @@ con.execute("SET TimeZone='UTC'")
 # A factor-1000 replication is a 1000-way UNION ALL; DuckDB's default
 # parser depth limit (1000) rejects it.
 con.execute("SET max_expression_depth TO 100000")
-# Stream the COPY instead of buffering the whole union: with order
-# preservation on, a factor-10 union of a 60M-row table buffered ~100 GB
-# before writing a byte (observed on the round-10 box; near-OOM next to a
-# concurrently-running 32g bench JVM). Replica locality survives per row
-# group, which is what the map-side-combine notes in SCALE.md rely on.
-con.execute("SET preserve_insertion_order=false")
 con.execute(f"SET memory_limit='{os.environ.get('MAKE_SF_MEM', '24GB')}'")
 con.execute(f"SET threads TO {os.environ.get('MAKE_SF_THREADS', '16')}")
+# Stream the COPY for tables too big to buffer: with order preservation
+# on, a factor-10 union of a 60M-row lineitem buffered ~100 GB before
+# writing a byte (observed on the round-10 box; near-OOM next to a
+# concurrently-running 32g bench JVM). But order preservation MATTERS
+# for every table with key- or time-clustered access: scrambling sf100's
+# embeddings cost q52's vec_id row-group pruning 5-8x (min/max stats
+# became useless). So: stream (unordered) only the tables whose union
+# cannot fit the memory limit; everything else keeps replica order.
+UNORDERED = set(os.environ.get('MAKE_SF_UNORDERED', 'lineitem').split(','))
+ONLY = set(filter(None, os.environ.get('MAKE_SF_ONLY', '').split(',')))
 
 def mx(table, col):
     return con.execute(
@@ -51,6 +55,10 @@ KD = mx('documents', 'doc_id')
 KV = mx('embeddings', 'vec_id')
 
 def rep(table, tmpl):
+    if ONLY and table not in ONLY:
+        print(f"{table}: skipped (MAKE_SF_ONLY)")
+        return
+    con.execute(f"SET preserve_insertion_order={'false' if table in UNORDERED else 'true'}")
     sql = " UNION ALL ".join(tmpl.format(i=i) for i in range(factor))
     con.execute(f"COPY ({sql}) TO '{dst}/{table}.parquet' (FORMAT parquet)")
     n = con.execute(
