@@ -199,6 +199,40 @@ object Probe {
   def q19count(s: SparkSession, d: String): DataFrame =
     load(s, d, "lineitem").agg(count(lit(1)).as("n"))
 
+  /** q28 shuffle-path decomposition (run under SPARK_GRAFT_PROBE_BCAST=-1
+    * to suppress the broadcast that wins while the key side fits):
+    * v0 = unhinted; v1 = plain semi join, SHUFFLE_HASH build on the
+    * filtered key side; v2 = pre-aggregate orders per (custkey, status)
+    * below the semi join. v2's hazard is the q02 lesson: with ~10 orders
+    * per customer the partials are |rows|/10 two-key groups — map-side
+    * combine barely reduces and the agg CPU rides on top. */
+  def q28v0(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders"); val c = load(s, d, "customer")
+    val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    o.join(rich, o("o_custkey") === rich("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+  def q28v1(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders"); val c = load(s, d, "customer")
+    val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    o.select(col("o_custkey"), col("o_orderstatus"))
+      .join(rich.hint("SHUFFLE_HASH"), col("o_custkey") === rich("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+  def q28v2(s: SparkSession, d: String): DataFrame = {
+    val o = load(s, d, "orders"); val c = load(s, d, "customer")
+    val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+    val perCS = o.select(col("o_custkey"), col("o_orderstatus"))
+      .groupBy(col("o_custkey"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+    perCS.join(rich.hint("SHUFFLE_HASH"),
+        perCS("o_custkey") === rich("c_custkey"), "left_semi")
+      .groupBy(col("o_orderstatus")).agg(sum(col("cnt")).as("n"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Materialize via the noop sink (same as graft.Bench.exec): evaluates
     * every row and column without driver collection — collect() on the
     * scan-only probes would pull the whole table into the driver. */
@@ -261,7 +295,8 @@ object Probe {
       // timings are comparable to the bench artifact at every SF
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", Bench.autoMaxPartitionBytes(sfDir, 32)))
-      .config("spark.sql.autoBroadcastJoinThreshold", "64m")
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_BCAST", "64m"))
       .config("spark.sql.join.preferSortMergeJoin", preferSmj)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -282,6 +317,7 @@ object Probe {
       "q06v0" -> (q06v0 _), "q06v1" -> (q06v1 _),
       "q08v0" -> (q08v0 _), "q08v1" -> (q08v1 _),
       "q02v0" -> (q02v0 _), "q02v1" -> (q02v1 _), "q02v2" -> (q02v2 _),
+      "q28v0" -> (q28v0 _), "q28v1" -> (q28v1 _), "q28v2" -> (q28v2 _),
       "q05v0" -> (q05v0 _), "q05v1" -> (q05v1 _),
       "q19v0" -> (q19v0 _), "q19base" -> (q19base _),
       "q19scan" -> (q19scan _), "q19count" -> (q19count _))

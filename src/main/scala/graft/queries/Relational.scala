@@ -545,10 +545,31 @@ object Relational {
     // ---- subqueries ---------------------------------------------------
     QueryDef("q28_in_subquery",
       (s, d) => {
+        // IN-subquery = semi join. Cost-based on the projection that
+        // ships (same ANALYZE-stat gate as q05/q06):
+        // - filtered key side fits the driver build: broadcast — the
+        //   150M-row fact side never shuffles at all.
+        // - past that: PLAIN shuffle semi join with a SHUFFLE_HASH build
+        //   on the key side. NOT a pre-aggregate below the join: with ~10
+        //   orders per customer the (custkey, status) partials are
+        //   |rows|/10 two-key groups, map-side combine barely reduces,
+        //   and the agg CPU rides on top of the same-sized exchange — the
+        //   q02 lesson. Measured at sf30 under a suppressed broadcast
+        //   (Probe q28v1/v2): plain 1.81 s vs pre-agg 2.26 s.
         val o = load(s, d, "orders"); val c = load(s, d, "customer")
         val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
-        o.join(rich, o("o_custkey") === rich("c_custkey"), "left_semi")
-          .groupBy(col("o_orderstatus"))
+        val bcastLimit = math.min(
+          s.sessionState.conf.autoBroadcastJoinThreshold, 40L << 20)
+        val semi =
+          if (bcastLimit > 0 &&
+              projectedBytes(d, "customer",
+                Seq("c_custkey", "c_acctbal")) <= bcastLimit)
+            o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left_semi")
+          else
+            o.select(col("o_custkey"), col("o_orderstatus"))
+              .join(rich.hint("SHUFFLE_HASH"),
+                col("o_custkey") === rich("c_custkey"), "left_semi")
+        semi.groupBy(col("o_orderstatus"))
           .agg(count(lit(1)).as("n"))
           .orderBy(col("o_orderstatus"))
       },
