@@ -67,6 +67,76 @@ object Probe {
       .orderBy(col("r_name"))
   }
 
+  /** q06 staged with SHUFFLE_HASH builds on the PK sides: same
+    * aggregation pushdown as q06v1, but the two fact-side joins hash
+    * instead of sort-merging — the aggregate output can never reuse a
+    * sort order, so every SMJ here pays two full sorts (45M partials +
+    * 45M orders at sf30) that a hash build (bounded per partition by
+    * rows/32) avoids. */
+  def q06v2(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+    val o = load(s, d, "orders")
+    val c = load(s, d, "customer")
+    val n = broadcast(load(s, d, "nation"))
+    val r = broadcast(load(s, d, "region"))
+    val perOrder = li
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_lines"))
+    val perCust = perOrder
+      .join(o.select(col("o_orderkey"), col("o_custkey")).hint("SHUFFLE_HASH"),
+        perOrder("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n_lines")).as("n_lines"))
+    val perNation = perCust
+      .join(c.select(col("c_custkey"), col("c_nationkey")).hint("SHUFFLE_HASH"),
+        perCust("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n_lines")).as("n_lines"))
+    perNation
+      .join(n, perNation("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        sum(col("n_lines")).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
+  /** q06 join-first: no per-order pre-aggregate at all. lineitem's
+    * narrow (l_orderkey, rev) projection hash-joins orders directly
+    * (one 180M-row×16B exchange), and the custkey reduction happens as
+    * the NEXT aggregate's map-side partial (180M→≤45M per the partition's
+    * key count) — trading the 45M-entry per-task hash of the per-order
+    * aggregate for one larger but narrow exchange. */
+  def q06v3(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+    val o = load(s, d, "orders")
+    val c = load(s, d, "customer")
+    val n = broadcast(load(s, d, "nation"))
+    val r = broadcast(load(s, d, "region"))
+    val joined = li
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .join(o.select(col("o_orderkey"), col("o_custkey")).hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+    val perCust = joined
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_lines"))
+    val perNation = perCust
+      .join(c.select(col("c_custkey"), col("c_nationkey")).hint("SHUFFLE_HASH"),
+        perCust("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n_lines")).as("n_lines"))
+    perNation
+      .join(n, perNation("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        sum(col("n_lines")).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
   /** q08 as shipped: left-semi SMJ customer ⋈ orders. */
   def q08v0(s: SparkSession, d: String): DataFrame = {
     val c = load(s, d, "customer")
@@ -314,7 +384,8 @@ object Probe {
     }
 
     val variants: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
-      "q06v0" -> (q06v0 _), "q06v1" -> (q06v1 _),
+      "q06v0" -> (q06v0 _), "q06v1" -> (q06v1 _), "q06v2" -> (q06v2 _),
+      "q06v3" -> (q06v3 _),
       "q08v0" -> (q08v0 _), "q08v1" -> (q08v1 _),
       "q02v0" -> (q02v0 _), "q02v1" -> (q02v1 _), "q02v2" -> (q02v2 _),
       "q28v0" -> (q28v0 _), "q28v1" -> (q28v1 _), "q28v2" -> (q28v2 _),
