@@ -42,7 +42,8 @@ object Bench {
     "q50_cosine_topk", "q52_embedding_near_dup", "q59_embedding_lsh_neardup",
     "q53_multimodal_decode", "q56_rolling_hash", "q57_quality_signals",
     "q77_vocab_topk", "q78_kmeans_step", "q80_dup_ngram_spans", "q81_bm25_search",
-    "q06_join_5way_bucketed", "q08_semi_join_bucketed")
+    "q06_join_5way_bucketed", "q08_semi_join_bucketed",
+    "q05_join_agg_bucketed", "q28_in_subquery_bucketed")
 
   /** Bench-only queries (operator-level, no oracle counterpart).
     *
@@ -90,6 +91,44 @@ object Bench {
         .agg(round(sum(col("rev")), 2).as("revenue"),
           sum(col("n_lines")).as("n_lines"))
         .orderBy(col("r_name"))
+    }),
+    "q05_join_agg_bucketed" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      // customer + orders co-bucketed on custkey: the join is
+      // bucket-to-bucket with NO exchange on either side, so q05's
+      // shuffle-path dilemma (ship fact rows vs ship per-custkey
+      // partials — either way one fact-sized exchange) disappears
+      // entirely; the only exchange left is the 5-group final aggregate,
+      // which map-side combine collapses to ≤5 rows per partition. No
+      // per-custkey pre-aggregate here: with no exchange to shrink it
+      // would only add hash CPU. shuffle_hash keeps the join from
+      // sorting (per-bucket customer build is bounded by rows/nb).
+      val o = s.table("bench_orders_bc")
+        .select(col("o_custkey"), col("o_totalprice"))
+      val c = s.table("bench_customer_bc")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      o.join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q28_in_subquery_bucketed" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      // Same co-bucketed pair: the semi join q28 pays a full fact-key
+      // exchange for in the plain plan becomes bucket-to-bucket. The
+      // acctbal filter runs on the bucketed customer scan (pushed to
+      // parquet) and preserves the bucket partitioning, so the whole
+      // query is exchange-free up to the ≤3-group status aggregate.
+      val o = s.table("bench_orders_bc")
+        .select(col("o_custkey"), col("o_orderstatus"))
+      val rich = s.table("bench_customer_bc")
+        .filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+      o.join(rich.hint("shuffle_hash"),
+          o("o_custkey") === rich("c_custkey"), "left_semi")
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
     }),
     "q08_semi_join_bucketed" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -197,14 +236,20 @@ object Bench {
         .select("l_orderkey", "l_extendedprice", "l_discount")
       val orders = graft.queries.load(spark, sfDir, "orders")
       val cust = graft.queries.load(spark, sfDir, "customer")
-        .select("c_custkey", "c_nationkey")
+        .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
       val nbBo = Bucketing.autoBuckets(li)
       Bucketing.writeBucketed(li, "bench_lineitem_bo", "l_orderkey", nbBo)
       Bucketing.writeBucketed(orders.select("o_orderkey", "o_custkey"),
         "bench_orders_bo", "o_orderkey", nbBo)
       val nbBc = Bucketing.autoBuckets(orders)
+      // covering projection for ALL the custkey-joined variants
+      // (q05: o_totalprice, q08: key existence, q28: o_orderstatus) —
+      // one bucketed copy serves three queries; per-variant column
+      // pruning still reads only each query's chunks
+      Bucketing.writeBucketed(
+        orders.select("o_custkey", "o_totalprice", "o_orderstatus"),
+        "bench_orders_bc", "o_custkey", nbBc)
       Bucketing.writeBucketed(cust, "bench_customer_bc", "c_custkey", nbBc)
-      Bucketing.writeBucketed(orders.select("o_custkey"), "bench_orders_bc", "o_custkey", nbBc)
       (System.nanoTime() - t0) / 1e9
     }
 

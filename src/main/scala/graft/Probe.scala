@@ -303,6 +303,57 @@ object Probe {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** q40 as shipped: split() materializes a token ARRAY per row just to
+    * take its size, on every row, before the TopN trims to 500. */
+  def q40v0(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        length(col("text")).as("n_chars_computed"))
+      .orderBy(col("doc_id")).limit(500)
+
+  /** q40 array-free: n_tokens == (#separators)+1 exactly (split with
+    * limit -1 and single-char sep keeps empty pieces, so pieces are
+    * always separators+1; DuckDB string_split matches) — count
+    * separators by length difference, no per-row array allocation. */
+  def q40v1(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(col("doc_id"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .as("n_tokens"),
+        length(col("text")).as("n_chars_computed"))
+      .orderBy(col("doc_id")).limit(500)
+
+  /** q40 TopN-first: take the 500 smallest doc_ids (carrying text), THEN
+    * tokenize 500 rows instead of the whole corpus — the projection a
+    * cost-based engine would defer past the limit. */
+  def q40v2(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).limit(500)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"),
+        length(col("text")).as("n_chars_computed"))
+      .orderBy(col("doc_id"))
+
+  /** q44 as shipped: group on the 32-char md5 hex STRING. */
+  def q44v0(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keeper"))
+
+  /** q44 binary-key: group on the 16-byte unhex(md5) binary — halves the
+    * exchange's key bytes; hex back only on the surviving dup groups. */
+  def q44v1(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .groupBy(unhex(md5(col("text"))).as("hb"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
+
   /** Materialize via the noop sink (same as graft.Bench.exec): evaluates
     * every row and column without driver collection — collect() on the
     * scan-only probes would pull the whole table into the driver. */
@@ -368,12 +419,24 @@ object Probe {
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_BCAST", "64m"))
       .config("spark.sql.join.preferSortMergeJoin", preferSmj)
+      // SPARK_GRAFT_PROBE_BLOOM=1: runtime bloom-filter A/B for the
+      // shuffle semi joins (q28). The default thresholds would exclude
+      // the case outright — applicationSideScanSizeThreshold (10 GB)
+      // exceeds every local SF's orders scan and creationSideThreshold
+      // (10 MB) is smaller than the filtered key side from sf30 up — so
+      // the probe opens both: the question is whether an injected
+      // might_contain prunes the fact exchange, not whether the stock
+      // thresholds fire.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled",
+        if (sys.env.get("SPARK_GRAFT_PROBE_BLOOM").contains("1")) "true" else "false")
+      .config("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      .config("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "512MB")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    Seq("lineitem", "orders", "customer", "nation", "region")
+    Seq("lineitem", "orders", "customer", "nation", "region", "documents")
       .foreach(t => load(spark, sfDir, t).count())
 
     if (only.contains("floor")) {
@@ -391,7 +454,9 @@ object Probe {
       "q28v0" -> (q28v0 _), "q28v1" -> (q28v1 _), "q28v2" -> (q28v2 _),
       "q05v0" -> (q05v0 _), "q05v1" -> (q05v1 _),
       "q19v0" -> (q19v0 _), "q19base" -> (q19base _),
-      "q19scan" -> (q19scan _), "q19count" -> (q19count _))
+      "q19scan" -> (q19scan _), "q19count" -> (q19count _),
+      "q40v0" -> (q40v0 _), "q40v1" -> (q40v1 _), "q40v2" -> (q40v2 _),
+      "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _))
     variants.filter { case (k, _) => only.isEmpty || only(k) }.foreach {
       case (k, q) =>
         if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))

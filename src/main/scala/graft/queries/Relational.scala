@@ -560,10 +560,13 @@ object Relational {
         val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
         val bcastLimit = math.min(
           s.sessionState.conf.autoBroadcastJoinThreshold, 40L << 20)
+        // Gate on the c_custkey chunk alone — the only column the
+        // broadcast SHIPS (the acctbal filter runs before the build and
+        // can only shrink it, so the unfiltered key projection is a true
+        // upper bound on the build size).
         val semi =
           if (bcastLimit > 0 &&
-              projectedBytes(d, "customer",
-                Seq("c_custkey", "c_acctbal")) <= bcastLimit)
+              projectedBytes(d, "customer", Seq("c_custkey")) <= bcastLimit)
             o.join(broadcast(rich), o("o_custkey") === rich("c_custkey"), "left_semi")
           else
             o.select(col("o_custkey"), col("o_orderstatus"))

@@ -285,15 +285,25 @@ class PlanQualitySpec extends AnyFunSuite {
       assert(p.contains("SortMergeJoin"), s"$name: no SortMergeJoin\n${p.take(1200)}")
     }
     // and specifically: the self-join itself must not be a broadcast —
-    // check under a tiny threshold-collapsing estimate by disabling AQE
-    // runtime rescue and shrinking the threshold to force the hazard
+    // check under an INFLATED 1 GiB threshold, which models the real
+    // hazard (a collapsed size estimate falling under whatever threshold
+    // is in force). Every banding operator runs under the inflated
+    // threshold: a lost MERGE hint on any one of them would broadcast
+    // the corpus, and the default-threshold loop above cannot catch it.
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1073741824")
-      val p = graft.operators.Dedup.simhashPairs(docs, "text", "doc_id")
-        .queryExecution.executedPlan.toString
-      assert(p.contains("SortMergeJoin"),
-        s"simhash band join lost the merge hint under a 1 GiB threshold\n${p.take(1200)}")
+      val inflated = Seq(
+        "simhash" -> graft.operators.Dedup.simhashPairs(docs, "text", "doc_id"),
+        "minhash" -> graft.operators.Dedup.minhashLshPairs(docs, "text", "doc_id", 0.8),
+        "winnow" -> graft.operators.Winnowing.sharedPrints(docs, "doc_id", "text", 5, 4, 2),
+        "emblsh" -> graft.operators.SimilaritySearch.cosineNearDupPairs(
+          graft.queries.load(spark, dir, "embeddings"), "embedding", "vec_id", 0.95))
+      for ((name, df) <- inflated) {
+        val p = df.queryExecution.executedPlan.toString
+        assert(p.contains("SortMergeJoin"),
+          s"$name band join lost the merge hint under a 1 GiB threshold\n${p.take(1200)}")
+      }
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 

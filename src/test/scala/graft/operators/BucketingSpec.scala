@@ -100,7 +100,10 @@ class BucketingSpec extends AnyFunSuite {
     Bucketing.writeBucketed(li, "bench_lineitem_bo", "l_orderkey", 8)
     Bucketing.writeBucketed(o, "bench_orders_bo", "o_orderkey", 8)
     Bucketing.writeBucketed(c, "bench_customer_bc", "c_custkey", 8)
-    Bucketing.writeBucketed(o.select(col("o_custkey")), "bench_orders_bc", "o_custkey", 8)
+    // same covering projection the bench ingests (q05/q08/q28 share it)
+    Bucketing.writeBucketed(
+      o.select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+      "bench_orders_bc", "o_custkey", 8)
     // disable auto-broadcast so the fixture-sized tables take the same
     // join strategies the bench takes at fact scale
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -144,6 +147,20 @@ class BucketingSpec extends AnyFunSuite {
         .map(r => (r.getAs[Number](0).longValue(), r.getAs[Number](1).longValue())).toSet
       assert(key08(q08b) == key08(q08))
       assertHashJoinOnBuckets(q08b)
+
+      val q05b = graft.Bench.extras("q05_join_agg_bucketed")(spark, dir)
+      val q05 = graft.SparkEntry.queries("q05_join_agg")(spark, dir)
+      def key05(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSet
+      assert(key05(q05b) == key05(q05))
+      assertHashJoinOnBuckets(q05b)
+
+      val q28b = graft.Bench.extras("q28_in_subquery_bucketed")(spark, dir)
+      val q28 = graft.SparkEntry.queries("q28_in_subquery")(spark, dir)
+      def key28(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getString(0), r.getAs[Number](1).longValue())).toSet
+      assert(key28(q28b) == key28(q28))
+      assertHashJoinOnBuckets(q28b)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

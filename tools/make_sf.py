@@ -38,7 +38,29 @@ con.execute(f"SET threads TO {os.environ.get('MAKE_SF_THREADS', '16')}")
 # embeddings cost q52's vec_id row-group pruning 5-8x (min/max stats
 # became useless). So: stream (unordered) only the tables whose union
 # cannot fit the memory limit; everything else keeps replica order.
-UNORDERED = set(os.environ.get('MAKE_SF_UNORDERED', 'lineitem').split(','))
+# Default UNORDERED set is COMPUTED per table from the estimated union
+# size vs the memory limit, not a static list: a static 'lineitem'
+# default silently scrambled small-factor regenerations too, losing the
+# orderkey/shipdate clustering (row-group pruning, map-side combine)
+# at factors whose union fits memory fine. In-memory expansion measured
+# on the round-10 box: a factor-1000 union of the 10.8 MB sf0.1
+# lineitem buffered ~100 GB before writing (~9x parquet bytes); stream
+# only when parquet_bytes * factor * 9 exceeds the memory limit.
+_mem_s = os.environ.get('MAKE_SF_MEM', '24GB')
+_mem_bytes = float(_mem_s.rstrip('GBgb')) * (1 << 30)
+def _est_unordered():
+    out = set()
+    for f in os.listdir(src):
+        if f.endswith('.parquet'):
+            t = f[:-8]
+            if os.path.getsize(os.path.join(src, f)) * factor * 9 > _mem_bytes:
+                out.add(t)
+    return out
+_unordered_env = os.environ.get('MAKE_SF_UNORDERED')
+UNORDERED = (set(_unordered_env.split(',')) if _unordered_env is not None
+             else _est_unordered())
+if UNORDERED:
+    print(f"unordered (streamed) tables: {sorted(UNORDERED)}")
 ONLY = set(filter(None, os.environ.get('MAKE_SF_ONLY', '').split(',')))
 
 def mx(table, col):

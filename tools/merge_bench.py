@@ -46,13 +46,20 @@ art = {
     "recipe": ("python3 tools/make_sf.py /root/testdata/sf0.1 /tmp/sf%s %d  "
                "# engines SEQUENTIAL on an idle box; 1 cold + 3 timed warm runs, median"
                % (sf, int(float(sf) * 10))),
+    # Drop null (skipped) entries from the stored maps — skips are
+    # already named in "skipped", and graft.Bench echoes these artifacts
+    # into its stdout tail, where a null entry reads as a missing
+    # measurement in the driver's round artifact (BENCH_r10 carried a
+    # misleading q47 null). Errored queries (value -1) stay visible.
     "spark": {"warm_runs": 3, "warm_stat": "median",
               "skipped": sorted(spark.get("skipped", [])),
-              "queries": spark["queries"]},
+              "queries": {k: v for k, v in spark["queries"].items()
+                          if v is not None}},
     "duckdb": {"engine_version": duck.get("version", duck.get("engine_version", "1.0.0")),
                "warm_runs": 3, "warm_stat": "median",
                "skipped": sorted(duck.get("skipped", [])),
-               "queries": duck["queries"]},
+               "queries": {k: v for k, v in duck["queries"].items()
+                           if v is not None}},
     "comparable": rollup(comparable),
     "non_comparable": {k: {"spark": sq.get(k), "duckdb": dq.get(k),
                            "why": "fixed-size workload at replicated SFs; "
