@@ -354,6 +354,33 @@ object Probe {
       .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
       .orderBy(col("keeper"))
 
+  /** Stage decomposition of the BUCKETED q06 — with no exchange left to
+    * blame, attribute its cost to scan vs per-order aggregate vs fact
+    * join vs the dimension tail. Requires the bench bucketed tables
+    * (built by `buckets` mode in main). Each step adds one plan stage on
+    * top of the previous, so the per-stage cost is the delta.
+    */
+  def q06bScan(s: SparkSession, d: String): DataFrame =
+    s.table("bench_lineitem_bo")
+
+  def q06bPerOrder(s: SparkSession, d: String): DataFrame =
+    s.table("bench_lineitem_bo")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_lines"))
+
+  def q06bJoin(s: SparkSession, d: String): DataFrame = {
+    val o = s.table("bench_orders_bo").select(col("o_orderkey"), col("o_custkey"))
+    q06bPerOrder(s, d)
+      .join(o.hint("shuffle_hash"), col("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev"), sum(col("n_lines")).as("n_lines"))
+  }
+
+  def q06bFull(s: SparkSession, d: String): DataFrame =
+    graft.Bench.extras("q06_join_5way_bucketed")(s, d)
+
   /** Materialize via the noop sink (same as graft.Bench.exec): evaluates
     * every row and column without driver collection — collect() on the
     * scan-only probes would pull the whole table into the driver. */
@@ -439,6 +466,44 @@ object Probe {
     Seq("lineitem", "orders", "customer", "nation", "region", "documents")
       .foreach(t => load(spark, sfDir, t).count())
 
+    // `buckets` in the variant list: build the bench bucketed tables
+    // (same recipe as graft.Bench setup) so the q06b* decomposition and
+    // the bucketed variants can run standalone.
+    if (only.exists(v => v == "buckets" || v.startsWith("q06b") ||
+        v.endsWith("_bucketed"))) {
+      import graft.operators.Bucketing
+      // a fresh session's in-memory catalog has no record of a previous
+      // probe run's managed tables, but their warehouse directories
+      // survive and block saveAsTable — clear them first
+      Seq("bench_lineitem_bo", "bench_orders_bo", "bench_orders_bc",
+          "bench_customer_bc").foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        if (loc.exists()) rm(loc)
+      }
+      val li = load(spark, sfDir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val orders = load(spark, sfDir, "orders")
+      val cust = load(spark, sfDir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
+      val t0 = System.nanoTime()
+      val nbBo = Bucketing.autoBuckets(li)
+      Bucketing.writeBucketed(li, "bench_lineitem_bo", "l_orderkey", nbBo)
+      Bucketing.writeBucketed(orders.select(col("o_orderkey"), col("o_custkey")),
+        "bench_orders_bo", "o_orderkey", nbBo)
+      val nbBc = Bucketing.autoBuckets(orders)
+      Bucketing.writeBucketed(
+        orders.select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+        "bench_orders_bc", "o_custkey", nbBc)
+      Bucketing.writeBucketed(cust, "bench_customer_bc", "c_custkey", nbBc)
+      println(f"PROBE bucket_setup nbBo=$nbBo nbBc=$nbBc ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+
     if (only.contains("floor")) {
       floorProfile(spark, sfDir, Seq(
         "q36_events_funnel", "q28_in_subquery", "q08_semi_join",
@@ -456,7 +521,13 @@ object Probe {
       "q19v0" -> (q19v0 _), "q19base" -> (q19base _),
       "q19scan" -> (q19scan _), "q19count" -> (q19count _),
       "q40v0" -> (q40v0 _), "q40v1" -> (q40v1 _), "q40v2" -> (q40v2 _),
-      "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _))
+      "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _),
+      "q06b_scan" -> (q06bScan _), "q06b_perorder" -> (q06bPerOrder _),
+      "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
+      "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
+        graft.Bench.extras("q05_join_agg_bucketed")(s, d)),
+      "q28_in_subquery_bucketed" -> ((s: SparkSession, d: String) =>
+        graft.Bench.extras("q28_in_subquery_bucketed")(s, d)))
     variants.filter { case (k, _) => only.isEmpty || only(k) }.foreach {
       case (k, q) =>
         if (sys.env.contains("SPARK_GRAFT_PROBE_EXPLAIN"))

@@ -16,12 +16,22 @@ object TextAnalysis {
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q40_doc_tokens",
+      // TopN FIRST, tokenize after: the original shape split() every
+      // document into a token array just to take its size, then threw
+      // all but 500 rows away — Catalyst does not defer projections
+      // past a TakeOrdered, so do it explicitly. Tokenizing 500 rows
+      // instead of the corpus measured 0.23 s vs 0.93 s at sf10 and
+      // removes the corpus-sized allocation entirely (Probe q40v0-v2;
+      // the array-free translate() variant measured SLOWER than split —
+      // the array was never the bottleneck, the per-row work was).
       (s, d) => load(s, d, "documents")
+        .select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+        .limit(500)
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("n_tokens"),
           length(col("text")).as("n_chars_computed"))
-        .orderBy(col("doc_id"))
-        .limit(500),
+        .orderBy(col("doc_id")),
       Some("""SELECT doc_id, CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
              |CAST(length(text) AS INT) AS n_chars_computed
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),

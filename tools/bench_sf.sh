@@ -1,24 +1,39 @@
 #!/bin/bash
-# Run the full side-by-side bench at one SF: Spark (graft.Bench) then
-# DuckDB (tools/duckdb_bench.py) SEQUENTIALLY on an idle box, then merge
-# into bench/sf${SF}.json. Usage:
-#   tools/bench_sf.sh <sfDir> <sfLabel> "<note>" [extra skip queries]
-# Env: SPARK_GRAFT_SKIP_BUCKETS=1 to skip bucketed variants.
+# Run the full side-by-side bench at one SF: N full Spark passes, then N
+# full DuckDB passes, SEQUENTIALLY on an idle box; per-engine per-query
+# MIN of pass-medians (tools/min_pass.py — the stall-window guard, see
+# SCALE.md measurement notes); merge into bench/sf${SF}.json. Pass
+# inputs are committed under bench/passes/sf${SF}/ for audit.
+# Usage:
+#   tools/bench_sf.sh <sfDir> <sfLabel> "<note>" [sparkSkip] [duckSkip]
+# Env: PASSES=2; SPARK_GRAFT_SKIP_BUCKETS=1 to skip bucketed variants;
+#      ORACLE_JSON for the duckdb side's oracle SQL.
 set -e
 cd "$(dirname "$0")/.."
 SFDIR=$1; SF=$2; NOTE=$3
-SKIP=${4:-q47_minhash_lsh_neardup}
+SPARK_SKIP=${4:-}
+DUCK_SKIP=${5:-q47_minhash_lsh_neardup}
+PASSES=${PASSES:-2}
 ORACLE=${ORACLE_JSON:-/tmp/vout/oracle_sql.json}
+mkdir -p bench/passes/sf${SF}
 
-SPARK_GRAFT_SF_DIR=$SFDIR SPARK_GRAFT_BENCH_SKIP=$SKIP \
-  sbt -batch "runMain graft.Bench" > /tmp/bench_sf${SF}_spark.log 2>&1
-grep -o '{"metric.*' /tmp/bench_sf${SF}_spark.log | tail -1 > /tmp/bench_sf${SF}_spark.json
+for i in $(seq 1 $PASSES); do
+  SPARK_GRAFT_SF_DIR=$SFDIR SPARK_GRAFT_BENCH_SKIP=$SPARK_SKIP \
+    sbt -batch "runMain graft.Bench" > /tmp/bench_sf${SF}_spark_p$i.log 2>&1
+  grep -o '{"metric.*' /tmp/bench_sf${SF}_spark_p$i.log | tail -1 \
+    > bench/passes/sf${SF}/spark_pass$i.json
+done
+for i in $(seq 1 $PASSES); do
+  DUCKDB_BENCH_SKIP=$DUCK_SKIP python3 tools/duckdb_bench.py "$SFDIR" "$ORACLE" 3 \
+    > bench/passes/sf${SF}/duck_pass$i.json 2>/tmp/bench_sf${SF}_duck_p$i.err
+done
 
-DUCKDB_BENCH_SKIP=$SKIP python3 tools/duckdb_bench.py "$SFDIR" "$ORACLE" 3 \
-  > /tmp/bench_sf${SF}_duck.json 2>/tmp/bench_sf${SF}_duck.err
-
-python3 tools/merge_bench.py /tmp/bench_sf${SF}_spark.json \
-  /tmp/bench_sf${SF}_duck.json bench/sf${SF}.json "$SF" "$NOTE"
+python3 tools/min_pass.py /tmp/bench_sf${SF}_spark_min.json \
+  bench/passes/sf${SF}/spark_pass*.json
+python3 tools/min_pass.py /tmp/bench_sf${SF}_duck_min.json \
+  bench/passes/sf${SF}/duck_pass*.json
+python3 tools/merge_bench.py /tmp/bench_sf${SF}_spark_min.json \
+  /tmp/bench_sf${SF}_duck_min.json bench/sf${SF}.json "$SF" "$NOTE"
 python3 -c "
 import json; d=json.load(open('bench/sf${SF}.json'))
 print('sf${SF} comparable', d['comparable']); print('ex_q57', d['comparable_ex_q57'])"
