@@ -164,6 +164,17 @@ object Bench {
     math.min(math.max(target, 16L << 20), 128L << 20).toString
   }
 
+  // Temp warehouse for the bucketed-ingest tables, deleted on exit: at
+  // sf100 each pass writes ~8 GB of bucketed copies, and leaked passes
+  // accumulate until the bench disk fills (the round-9 failure mode).
+  private val benchWarehouse =
+    java.nio.file.Files.createTempDirectory("bench-warehouse")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -195,8 +206,7 @@ object Bench {
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_BCAST", "64m"))
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("bench-warehouse").toString)
+      .config("spark.sql.warehouse.dir", benchWarehouse.toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -402,6 +412,7 @@ object Bench {
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(_._2)},""" +
       s""""sf":"$sf"$ratioCompactJson$onlyCompact}""")
     spark.stop()
+    scala.util.Try(deleteRecursively(benchWarehouse.toFile))
     sys.exit(0)
   }
 }

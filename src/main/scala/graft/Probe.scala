@@ -381,6 +381,33 @@ object Probe {
   def q06bFull(s: SparkSession, d: String): DataFrame =
     graft.Bench.extras("q06_join_5way_bucketed")(s, d)
 
+  /** q06 bucketed WITHOUT the per-order pre-aggregate: both bucketed
+    * scans are single-file sorted-by-key buckets, so a MERGE join here
+    * needs no exchange AND no sort — a pure streaming merge of
+    * pre-sorted files. Trades the pre-agg's 180M→45M reduction (which
+    * only feeds the join, not an exchange) for skipping the 45M-group
+    * hash aggregate and the per-bucket hash build entirely.
+    */
+  def q06bSmj(s: SparkSession, d: String): DataFrame = {
+    val li = s.table("bench_lineitem_bo")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = s.table("bench_orders_bo").select(col("o_orderkey"), col("o_custkey"))
+    val c = load(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = broadcast(load(s, d, "nation"))
+    val r = broadcast(load(s, d, "region"))
+    val perCust = li.join(o.hint("merge"), col("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_lines"))
+    perCust.join(c, perCust("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        sum(col("n_lines")).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
   /** Materialize via the noop sink (same as graft.Bench.exec): evaluates
     * every row and column without driver collection — collect() on the
     * scan-only probes would pull the whole table into the driver. */
@@ -524,6 +551,7 @@ object Probe {
       "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _),
       "q06b_scan" -> (q06bScan _), "q06b_perorder" -> (q06bPerOrder _),
       "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
+      "q06b_smj" -> (q06bSmj _),
       "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
         graft.Bench.extras("q05_join_agg_bucketed")(s, d)),
       "q28_in_subquery_bucketed" -> ((s: SparkSession, d: String) =>
