@@ -239,6 +239,30 @@ object Probe {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** q02 with the distinct count on the ORDERKEY-BUCKETED lineitem copy
+    * (requires `buckets` mode): a distinct on the bucket key needs no
+    * exchange at all — partial and final aggregate fuse into the scan
+    * stage — so the 600M-bare-key shuffle that dominates the plain shape
+    * (and whose map-side combine is at the mercy of the file's key
+    * adjacency: the round-11 regenerated unordered sf100 lineitem made
+    * the plain distinct 2.8x slower in one pass) disappears. The plain
+    * aggregate half is already exchange-free on the raw table.
+    */
+  def q02b(s: SparkSession, d: String): DataFrame = {
+    val li = load(s, d, "lineitem")
+    val basic = li.agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_quantity")), 2).as("total_qty"),
+      round(min(col("l_extendedprice")), 2).as("min_price"),
+      round(max(col("l_extendedprice")), 2).as("max_price"))
+    val nd = s.table("bench_lineitem_bo").select(col("l_orderkey"))
+      .filter(col("l_orderkey").isNotNull)
+      .distinct().agg(count(lit(1)).as("n_orders"))
+    basic.crossJoin(nd)
+      .select(col("n_rows"), col("n_orders"), col("total_qty"),
+        col("min_price"), col("max_price"))
+  }
+
   /** q19 as shipped: finest-grouping pre-aggregate, then rollup the tiny
     * aggregate. */
   def q19v0(s: SparkSession, d: String): DataFrame = {
@@ -543,6 +567,7 @@ object Probe {
       "q06v3" -> (q06v3 _),
       "q08v0" -> (q08v0 _), "q08v1" -> (q08v1 _),
       "q02v0" -> (q02v0 _), "q02v1" -> (q02v1 _), "q02v2" -> (q02v2 _),
+      "q02b" -> (q02b _),
       "q28v0" -> (q28v0 _), "q28v1" -> (q28v1 _), "q28v2" -> (q28v2 _),
       "q05v0" -> (q05v0 _), "q05v1" -> (q05v1 _),
       "q19v0" -> (q19v0 _), "q19base" -> (q19base _),

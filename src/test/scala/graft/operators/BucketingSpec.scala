@@ -161,6 +161,17 @@ class BucketingSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getAs[Number](1).longValue())).toSet
       assert(key28(q28b) == key28(q28))
       assertHashJoinOnBuckets(q28b)
+
+      // q02 bucketed: the distinct-count half runs on the bucket key, so
+      // the whole query plans WITHOUT any hash-partitioned exchange (the
+      // only exchanges left are the global aggregates' single-partition
+      // folds); results must match the plain shape exactly
+      val q02b = graft.Bench.extras("q02_global_agg_bucketed")(spark, dir)
+      val q02 = graft.SparkEntry.queries("q02_global_agg")(spark, dir)
+      assert(q02b.collect().toSeq == q02.collect().toSeq)
+      val p02 = q02b.queryExecution.executedPlan.toString
+      assert(!p02.contains("Exchange hashpartitioning"),
+        "bucketed distinct still hash-shuffles:\n" + p02.take(2000))
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))

@@ -20,8 +20,11 @@ mkdir -p bench/passes/sf${SF}
 for i in $(seq 1 $PASSES); do
   SPARK_GRAFT_SF_DIR=$SFDIR SPARK_GRAFT_BENCH_SKIP=$SPARK_SKIP \
     sbt -batch "runMain graft.Bench" > /tmp/bench_sf${SF}_spark_p$i.log 2>&1
-  grep -o '{"metric.*' /tmp/bench_sf${SF}_spark_p$i.log | tail -1 \
-    > bench/passes/sf${SF}/spark_pass$i.json
+  # capture the FILE artifact, not the compact stdout line: the file
+  # carries the skip list, cold runs, and bucket-setup time — the
+  # compact line omits "skipped" (driver-tail size budget), which left
+  # merged artifacts recording skipped queries as silently absent.
+  cp bench/last_run_sf${SF}.json bench/passes/sf${SF}/spark_pass$i.json
 done
 for i in $(seq 1 $PASSES); do
   DUCKDB_BENCH_SKIP=$DUCK_SKIP python3 tools/duckdb_bench.py "$SFDIR" "$ORACLE" 3 \

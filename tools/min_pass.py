@@ -30,7 +30,12 @@ merged = {}
 for q in names:
     vals = [p["queries"][q] for p in passes
             if p["queries"].get(q) is not None and p["queries"][q] >= 0]
-    merged[q] = min(vals) if vals else None
+    # a query that never succeeded is dropped, not stored as null: skips
+    # are named in "skipped", and graft.Bench echoes these files into its
+    # stdout tail where a null reads as a missing measurement (the
+    # BENCH_r10 q47-null problem; same fix as merge_bench.py)
+    if vals:
+        merged[q] = min(vals)
 base["queries"] = merged
 base["passes"] = len(paths)
 base["pass_stat"] = "min of per-pass medians (stall-window guard; see SCALE.md)"
