@@ -378,6 +378,13 @@ object Probe {
       .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
       .orderBy(col("keeper"))
 
+  /** q44 floor decomposition: the md5 compute alone (binary, no
+    * group-by, no exchange) — the delta vs q44v1 is the dedup machinery
+    * (hash aggregate + exchange of the all-unique key set). */
+  def q44scan(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(unhex(md5(col("text"))).as("hb"), col("doc_id"))
+
   /** Stage decomposition of the BUCKETED q06 — with no exchange left to
     * blame, attribute its cost to scan vs per-order aggregate vs fact
     * join vs the dimension tail. Requires the bench bucketed tables
@@ -573,7 +580,7 @@ object Probe {
       "q19v0" -> (q19v0 _), "q19base" -> (q19base _),
       "q19scan" -> (q19scan _), "q19count" -> (q19count _),
       "q40v0" -> (q40v0 _), "q40v1" -> (q40v1 _), "q40v2" -> (q40v2 _),
-      "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _),
+      "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _), "q44scan" -> (q44scan _),
       "q06b_scan" -> (q06bScan _), "q06b_perorder" -> (q06bPerOrder _),
       "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
       "q06b_smj" -> (q06bSmj _),
