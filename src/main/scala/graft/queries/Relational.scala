@@ -556,6 +556,14 @@ object Relational {
         //   and the agg CPU rides on top of the same-sized exchange — the
         //   q02 lesson. Measured at sf30 under a suppressed broadcast
         //   (Probe q28v1/v2): plain 1.81 s vs pre-agg 2.26 s.
+        // A runtime BLOOM filter on the fact scan (thresholds opened so
+        // it can inject at all) was measured and rejected in round 11:
+        // might_contain lands on the orders scan but nets a LOSS at both
+        // probed scales (1.80 vs 1.65 s sf30, 4.95 vs 3.99 s sf100) —
+        // the filter-build stage plus per-row xxhash64 outweighs a ~55%
+        // pre-exchange prune at this selectivity. The scale answer is
+        // the custkey-bucketed layout (Bench q28_in_subquery_bucketed:
+        // exchange-free, 1.23 s vs 3.17 s at sf100).
         val o = load(s, d, "orders"); val c = load(s, d, "customer")
         val rich = c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
         val bcastLimit = math.min(

@@ -15,6 +15,17 @@ class PlanQualitySpec extends AnyFunSuite {
   def planOf(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q40 tokenizes only the TopN survivors: nothing but the scan below the TakeOrdered") {
+    val p = planOf("q40_doc_tokens")
+    // the tokenizing projection must live INSIDE TakeOrderedAndProject
+    // (applied to the 500 kept rows), with the scan as its direct child —
+    // a Project below the TopN would mean split() runs corpus-wide (the
+    // pre-round-11 shape: 1.71 s vs 0.41 s at sf100)
+    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
+    assert(!p.contains("+- Project") && !p.contains("+- *Project"),
+      "projection below the TopN:\n" + p.take(1500))
+  }
+
   test("q06 5-way join broadcasts the dimension tables") {
     val p = planOf("q06_join_5way")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
