@@ -273,11 +273,15 @@ object Bench {
       val orders = graft.queries.load(spark, sfDir, "orders")
       val cust = graft.queries.load(spark, sfDir, "customer")
         .select("c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal")
-      val nbBo = Bucketing.autoBuckets(li)
+      // bucket-count floor = 2x cores: one-wave joins have no straggler
+      // slack (measured at sf30: 64 buckets 4.3 s vs 32 buckets 5.0 s
+      // for bucketed q06 on 32 cores — see Bucketing.autoBuckets)
+      val minB = 2 * cpus.toInt
+      val nbBo = Bucketing.autoBuckets(li, minBuckets = minB)
       Bucketing.writeBucketed(li, "bench_lineitem_bo", "l_orderkey", nbBo)
       Bucketing.writeBucketed(orders.select("o_orderkey", "o_custkey"),
         "bench_orders_bo", "o_orderkey", nbBo)
-      val nbBc = Bucketing.autoBuckets(orders)
+      val nbBc = Bucketing.autoBuckets(orders, minBuckets = minB)
       // covering projection for ALL the custkey-joined variants
       // (q05: o_totalprice, q08: key existence, q28: o_orderstatus) —
       // one bucketed copy serves three queries; per-variant column

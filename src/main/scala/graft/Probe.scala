@@ -550,11 +550,15 @@ object Probe {
       val cust = load(spark, sfDir, "customer")
         .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"), col("c_acctbal"))
       val t0 = System.nanoTime()
-      val nbBo = Bucketing.autoBuckets(li)
+      // SPARK_GRAFT_PROBE_NBUCKETS overrides autoBuckets for bucket-count
+      // A/Bs (the 64 MB/bucket target is itself a measured choice — see
+      // Bucketing.autoBuckets; this knob lets a probe re-test it per SF)
+      val nbOverride = sys.env.get("SPARK_GRAFT_PROBE_NBUCKETS").map(_.toInt)
+      val nbBo = nbOverride.getOrElse(Bucketing.autoBuckets(li))
       Bucketing.writeBucketed(li, "bench_lineitem_bo", "l_orderkey", nbBo)
       Bucketing.writeBucketed(orders.select(col("o_orderkey"), col("o_custkey")),
         "bench_orders_bo", "o_orderkey", nbBo)
-      val nbBc = Bucketing.autoBuckets(orders)
+      val nbBc = nbOverride.getOrElse(Bucketing.autoBuckets(orders))
       Bucketing.writeBucketed(
         orders.select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
         "bench_orders_bc", "o_custkey", nbBc)

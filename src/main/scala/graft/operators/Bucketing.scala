@@ -21,6 +21,16 @@ object Bucketing {
     * the single-file-per-bucket sort dominates). Both sides of a
     * co-located join must use the SAME count — size from the pair's
     * dominant table (see Bench setup).
+    *
+    * `minBuckets` should be at least 2× the cluster's total parallelism:
+    * a bucket count equal to the core count runs the join as ONE wave
+    * with zero scheduling slack, so a single slow task extends the whole
+    * stage. Measured at sf30 on 32 cores (round-11 probe, q06 bucketed):
+    * 16 buckets 6.8 s, 32 → 5.0 s, 64 → 4.3 s, 128 → 4.7 s — two waves
+    * of half-size tasks absorb stragglers and halve the per-task hash
+    * build; past that, per-file overhead wins. The library default stays
+    * a layout-safe 32 (callers know their parallelism; the bench passes
+    * 2× its core count).
     */
   def autoBuckets(df: DataFrame, targetBytesPerBucket: Long = 64L << 20,
                   minBuckets: Int = 32): Int = {

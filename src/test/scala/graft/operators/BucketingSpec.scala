@@ -93,7 +93,18 @@ class BucketingSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val tables = Seq("bench_lineitem_bo", "bench_orders_bo",
       "bench_customer_bc", "bench_orders_bc")
-    tables.foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+    tables.foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      // a probe run in a PREVIOUS session leaves warehouse dirs the new
+      // session's in-memory catalog knows nothing about — clear them or
+      // saveAsTable fails on LOCATION_ALREADY_EXISTS
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      if (loc.exists()) rm(loc)
+    }
     val li = graft.queries.load(spark, dir, "lineitem")
     val o = graft.queries.load(spark, dir, "orders")
     val c = graft.queries.load(spark, dir, "customer")
