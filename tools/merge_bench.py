@@ -70,5 +70,20 @@ art = {
     "bucketed_variants": bucketed,
     "comparable_ex_q57": rollup([k for k in comparable if k != "q57_quality_signals"]),
 }
+
+# The ingest-reality headline: same comparable set, but each query runs
+# against the bucketed layout when one exists (a 100 TB lake pays the
+# bucketing once at ingest; every custkey/orderkey join after is
+# exchange-free). DuckDB keeps its plain (already zero-exchange) numbers
+# — the comparison is engine-vs-engine on the layout each would actually
+# deploy.
+_bs = sum(sq.get(k + "_bucketed", sq[k]) for k in comparable)
+_bd = sum(dq[k] for k in comparable)
+art["comparable_bucketed_ingest"] = {
+    "n": len(comparable),
+    "substituted": sorted(k for k in comparable if (k + "_bucketed") in sq),
+    "spark_sec": round(_bs, 2), "duckdb_sec": round(_bd, 2),
+    "ratio": round(_bs / _bd, 2) if _bd else None,
+}
 json.dump(art, open(out_path, "w"), indent=1)
 print(out_path, art["comparable"], art["comparable_ex_q57"])
