@@ -430,6 +430,20 @@ object Bench {
       sf100Ref.map(r => s""""sf100":${r.path("comparable").path("ratio").asDouble()}""")).flatten
     val ratioCompactJson =
       if (ratioCompact.isEmpty) "" else ratioCompact.mkString(""","ratio_vs_duckdb":{""", ",", "}")
+    // Same map for the bucketed-ingest layout (comparable set with each
+    // query on its bucketed variant where one exists — the 100 TB
+    // deployment headline; full detail in the per-sf artifacts).
+    val ratioBucketed = Seq(
+      sf1Ref.map(r => "sf1" -> r), sf3Ref.map(r => "sf3" -> r),
+      sf10Ref.map(r => "sf10" -> r), sf30Ref.map(r => "sf30" -> r),
+      sf100Ref.map(r => "sf100" -> r)).flatten
+      .filter(_._2.path("comparable_bucketed_ingest").has("ratio"))
+      .map { case (k, r) =>
+        s""""$k":${r.path("comparable_bucketed_ingest").path("ratio").asDouble()}"""
+      }
+    val ratioBucketedJson =
+      if (ratioBucketed.isEmpty) ""
+      else ratioBucketed.mkString(""","ratio_bucketed_ingest":{""", ",", "}")
     // Flag a diagnostic subset run in the compact line too (names are in
     // the file artifact; the count is enough to tell it apart).
     val onlyCompact = only.map(o => s""","only_n":${o.size}""").getOrElse("")
@@ -440,7 +454,7 @@ object Bench {
     // runs, bucket setup, skip lists, and per-sf comparable blocks live
     // in the file artifact written above.
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":${json(_._2)},""" +
-      s""""sf":"$sf"$ratioCompactJson$onlyCompact}""")
+      s""""sf":"$sf"$ratioCompactJson$ratioBucketedJson$onlyCompact}""")
     spark.stop()
     scala.util.Try(deleteRecursively(benchWarehouse.toFile))
     sys.exit(0)
