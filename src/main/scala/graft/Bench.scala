@@ -44,7 +44,8 @@ object Bench {
     "q77_vocab_topk", "q78_kmeans_step", "q80_dup_ngram_spans", "q81_bm25_search",
     "q06_join_5way_bucketed", "q08_semi_join_bucketed",
     "q05_join_agg_bucketed", "q28_in_subquery_bucketed",
-    "q02_global_agg_bucketed")
+    "q02_global_agg_bucketed", "q12_distinct_on_bucketed",
+    "q16_window_topk_per_group_bucketed", "q17_window_running_sum_bucketed")
 
   /** Bench-only queries (operator-level, no oracle counterpart).
     *
@@ -155,6 +156,50 @@ object Bench {
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
+    }),
+    "q12_distinct_on_bucketed" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      // Window/DISTINCT-ON queries partitioned by the bucket key run on
+      // the same custkey-bucketed orders copy: the window's
+      // partitionBy(o_custkey) distribution is satisfied by the layout,
+      // so the full-row exchange disappears — only the within-partition
+      // sort remains. Probed at sf100: q12 4.61 -> 1.66 s, q17
+      // 7.97 -> 4.58 s.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      s.table("bench_orders_bc")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy(col("o_custkey"))
+        .limit(200)
+    }),
+    "q16_window_topk_per_group_bucketed" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      s.table("bench_orders_bc")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"))
+        .orderBy(col("o_custkey"), col("rn"))
+        .limit(300)
+    }),
+    "q17_window_running_sum_bucketed" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      s.table("bench_orders_bc")
+        .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+        .limit(300)
     }),
     "q08_semi_join_bucketed" -> ((s, _) => {
       import org.apache.spark.sql.functions._
@@ -282,12 +327,14 @@ object Bench {
       Bucketing.writeBucketed(orders.select("o_orderkey", "o_custkey"),
         "bench_orders_bo", "o_orderkey", nbBo)
       val nbBc = Bucketing.autoBuckets(orders, minBuckets = minB)
-      // covering projection for ALL the custkey-joined variants
-      // (q05: o_totalprice, q08: key existence, q28: o_orderstatus) —
-      // one bucketed copy serves three queries; per-variant column
-      // pruning still reads only each query's chunks
+      // covering projection for ALL the custkey-keyed variants — joins
+      // (q05: o_totalprice, q08: key existence, q28: o_orderstatus) AND
+      // the custkey-partitioned windows (q12/q16/q17: o_orderkey,
+      // o_orderdate). One bucketed copy serves six queries; per-variant
+      // column pruning still reads only each query's chunks.
       Bucketing.writeBucketed(
-        orders.select("o_custkey", "o_totalprice", "o_orderstatus"),
+        orders.select("o_custkey", "o_totalprice", "o_orderstatus",
+          "o_orderkey", "o_orderdate"),
         "bench_orders_bc", "o_custkey", nbBc)
       Bucketing.writeBucketed(cust, "bench_customer_bc", "c_custkey", nbBc)
       (System.nanoTime() - t0) / 1e9

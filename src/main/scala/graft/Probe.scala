@@ -378,6 +378,46 @@ object Probe {
       .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
       .orderBy(col("keeper"))
 
+  /** q17's running-sum window over the CUSTKEY-BUCKETED orders copy
+    * (requires `buckets` mode): the window's partitionBy(o_custkey) is
+    * satisfied by the bucket layout, so the full-row exchange the plain
+    * plan pays disappears — only the within-partition (custkey,
+    * orderdate) sort remains.
+    */
+  def q17b(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Long.MinValue, 0)
+    s.table("bench_orders_bc")
+      .withColumn("running", round(sum(col("o_totalprice")).over(w), 2))
+      .select(col("o_custkey"), col("o_orderkey"), col("running"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+      .limit(300)
+  }
+
+  /** q17 as shipped, for the side-by-side. */
+  def q17v0(s: SparkSession, d: String): DataFrame =
+    graft.SparkEntry.queries("q17_window_running_sum")(s, d)
+
+  /** q12's DISTINCT ON (latest order per customer) on the bucketed copy:
+    * same exchange elimination, window row_number()=1. */
+  def q12b(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    s.table("bench_orders_bc")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_custkey"))
+      .limit(200)
+  }
+
+  def q12v0(s: SparkSession, d: String): DataFrame =
+    graft.SparkEntry.queries("q12_distinct_on")(s, d)
+
   /** q44 floor decomposition: the md5 compute alone (binary, no
     * group-by, no exchange) — the delta vs q44v1 is the dedup machinery
     * (hash aggregate + exchange of the all-unique key set). */
@@ -560,7 +600,8 @@ object Probe {
         "bench_orders_bo", "o_orderkey", nbBo)
       val nbBc = nbOverride.getOrElse(Bucketing.autoBuckets(orders))
       Bucketing.writeBucketed(
-        orders.select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+        orders.select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus"),
+          col("o_orderkey"), col("o_orderdate")),
         "bench_orders_bc", "o_custkey", nbBc)
       Bucketing.writeBucketed(cust, "bench_customer_bc", "c_custkey", nbBc)
       println(f"PROBE bucket_setup nbBo=$nbBo nbBc=$nbBc ${(System.nanoTime() - t0) / 1e9}%.2fs")
@@ -585,6 +626,8 @@ object Probe {
       "q19scan" -> (q19scan _), "q19count" -> (q19count _),
       "q40v0" -> (q40v0 _), "q40v1" -> (q40v1 _), "q40v2" -> (q40v2 _),
       "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _), "q44scan" -> (q44scan _),
+      "q17b" -> (q17b _), "q17v0" -> (q17v0 _),
+      "q12b" -> (q12b _), "q12v0" -> (q12v0 _),
       "q06b_scan" -> (q06bScan _), "q06b_perorder" -> (q06bPerOrder _),
       "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
       "q06b_smj" -> (q06bSmj _),

@@ -111,9 +111,11 @@ class BucketingSpec extends AnyFunSuite {
     Bucketing.writeBucketed(li, "bench_lineitem_bo", "l_orderkey", 8)
     Bucketing.writeBucketed(o, "bench_orders_bo", "o_orderkey", 8)
     Bucketing.writeBucketed(c, "bench_customer_bc", "c_custkey", 8)
-    // same covering projection the bench ingests (q05/q08/q28 share it)
+    // same covering projection the bench ingests (q05/q08/q28 joins +
+    // q12/q16/q17 windows share it)
     Bucketing.writeBucketed(
-      o.select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus")),
+      o.select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus"),
+        col("o_orderkey"), col("o_orderdate")),
       "bench_orders_bc", "o_custkey", 8)
     // disable auto-broadcast so the fixture-sized tables take the same
     // join strategies the bench takes at fact scale
@@ -172,6 +174,20 @@ class BucketingSpec extends AnyFunSuite {
         .map(r => (r.getString(0), r.getAs[Number](1).longValue())).toSet
       assert(key28(q28b) == key28(q28))
       assertHashJoinOnBuckets(q28b)
+
+      // custkey-partitioned windows on the bucketed copy: identical rows
+      // to the plain queries, and NO hash-partitioned exchange anywhere
+      // in the plan (the bucket layout satisfies the window's
+      // partitionBy distribution; only the within-partition sort runs)
+      for (name <- Seq("q12_distinct_on", "q16_window_topk_per_group",
+          "q17_window_running_sum")) {
+        val b = graft.Bench.extras(name + "_bucketed")(spark, dir)
+        val plain = graft.SparkEntry.queries(name)(spark, dir)
+        assert(b.collect().toSeq == plain.collect().toSeq, name)
+        val pw = b.queryExecution.executedPlan.toString
+        assert(!pw.contains("Exchange hashpartitioning"),
+          s"$name bucketed window still hash-shuffles:\n" + pw.take(1500))
+      }
 
       // q02 bucketed: the distinct-count half runs on the bucket key, so
       // the whole query plans WITHOUT any hash-partitioned exchange (the
