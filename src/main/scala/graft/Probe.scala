@@ -418,6 +418,42 @@ object Probe {
   def q12v0(s: SparkSession, d: String): DataFrame =
     graft.SparkEntry.queries("q12_distinct_on")(s, d)
 
+  /** q34 sessionization on the USER-BUCKETED events copy: the window's
+    * partitionBy(user_id) and the per-user aggregate both inherit the
+    * bucket distribution — the whole query runs exchange-free up to the
+    * final sort. */
+  def q34b(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    s.table("bench_events_bu")
+      .withColumn("sec", col("ts").cast("long"))
+      .withColumn("gap", col("sec") - lag(col("sec"), 1).over(w))
+      .withColumn("new_session",
+        when(col("gap").isNull || col("gap") > 1800, 1).otherwise(0))
+      .groupBy(col("user_id"))
+      .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  def q34v0(s: SparkSession, d: String): DataFrame =
+    graft.SparkEntry.queries("q34_events_sessions")(s, d)
+
+  /** q36 funnel on the user-bucketed copy: per-user flags aggregate
+    * exchange-free; only the tiny 8-group fold shuffles. */
+  def q36b(s: SparkSession, d: String): DataFrame =
+    s.table("bench_events_bu")
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === "signup", 1).otherwise(0)).as("did_signup"),
+        max(when(col("event_type") === "click", 1).otherwise(0)).as("did_click"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0)).as("did_purchase"))
+      .groupBy(col("did_signup"), col("did_click"), col("did_purchase"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("did_signup"), col("did_click"), col("did_purchase"))
+
+  def q36v0(s: SparkSession, d: String): DataFrame =
+    graft.SparkEntry.queries("q36_events_funnel")(s, d)
+
   /** q44 floor decomposition: the md5 compute alone (binary, no
     * group-by, no exchange) — the delta vs q44v1 is the dedup machinery
     * (hash aggregate + exchange of the all-unique key set). */
@@ -574,7 +610,7 @@ object Probe {
       // probe run's managed tables, but their warehouse directories
       // survive and block saveAsTable — clear them first
       Seq("bench_lineitem_bo", "bench_orders_bo", "bench_orders_bc",
-          "bench_customer_bc").foreach { t =>
+          "bench_customer_bc", "bench_events_bu").foreach { t =>
         spark.sql(s"DROP TABLE IF EXISTS $t")
         val loc = new java.io.File(
           spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
@@ -604,7 +640,11 @@ object Probe {
           col("o_orderkey"), col("o_orderdate")),
         "bench_orders_bc", "o_custkey", nbBc)
       Bucketing.writeBucketed(cust, "bench_customer_bc", "c_custkey", nbBc)
-      println(f"PROBE bucket_setup nbBo=$nbBo nbBc=$nbBc ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      val ev = load(spark, sfDir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val nbEu = nbOverride.getOrElse(Bucketing.autoBuckets(ev))
+      Bucketing.writeBucketed(ev, "bench_events_bu", "user_id", nbEu)
+      println(f"PROBE bucket_setup nbBo=$nbBo nbBc=$nbBc nbEu=$nbEu ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
 
     if (only.contains("floor")) {
@@ -628,6 +668,8 @@ object Probe {
       "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _), "q44scan" -> (q44scan _),
       "q17b" -> (q17b _), "q17v0" -> (q17v0 _),
       "q12b" -> (q12b _), "q12v0" -> (q12v0 _),
+      "q34b" -> (q34b _), "q34v0" -> (q34v0 _),
+      "q36b" -> (q36b _), "q36v0" -> (q36v0 _),
       "q06b_scan" -> (q06bScan _), "q06b_perorder" -> (q06bPerOrder _),
       "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
       "q06b_smj" -> (q06bSmj _),

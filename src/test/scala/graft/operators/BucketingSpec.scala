@@ -92,7 +92,7 @@ class BucketingSpec extends AnyFunSuite {
   test("bench bucketed variants match their plain queries; fact hop stays exchange- and sort-free") {
     val dir = "/root/testdata/sf0.001"
     val tables = Seq("bench_lineitem_bo", "bench_orders_bo",
-      "bench_customer_bc", "bench_orders_bc")
+      "bench_customer_bc", "bench_orders_bc", "bench_events_bu")
     tables.foreach { t =>
       spark.sql(s"DROP TABLE IF EXISTS $t")
       // a probe run in a PREVIOUS session leaves warehouse dirs the new
@@ -117,6 +117,10 @@ class BucketingSpec extends AnyFunSuite {
       o.select(col("o_custkey"), col("o_totalprice"), col("o_orderstatus"),
         col("o_orderkey"), col("o_orderdate")),
       "bench_orders_bc", "o_custkey", 8)
+    Bucketing.writeBucketed(
+      graft.queries.load(spark, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type")),
+      "bench_events_bu", "user_id", 8)
     // disable auto-broadcast so the fixture-sized tables take the same
     // join strategies the bench takes at fact scale
     val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -175,18 +179,24 @@ class BucketingSpec extends AnyFunSuite {
       assert(key28(q28b) == key28(q28))
       assertHashJoinOnBuckets(q28b)
 
-      // custkey-partitioned windows on the bucketed copy: identical rows
-      // to the plain queries, and NO hash-partitioned exchange anywhere
-      // in the plan (the bucket layout satisfies the window's
-      // partitionBy distribution; only the within-partition sort runs)
-      for (name <- Seq("q12_distinct_on", "q16_window_topk_per_group",
-          "q17_window_running_sum")) {
+      // bucket-key-partitioned windows/aggregates on the bucketed
+      // copies: identical rows to the plain queries, and NO exchange
+      // hash-partitioned ON THE BUCKET KEY anywhere in the plan (the
+      // layout satisfies the window's/aggregate's distribution; only
+      // the within-partition sort runs). Exchanges on OTHER keys are
+      // legitimate — q36's tiny 8-group funnel fold, for instance.
+      for ((name, key) <- Seq(
+          "q12_distinct_on" -> "o_custkey",
+          "q16_window_topk_per_group" -> "o_custkey",
+          "q17_window_running_sum" -> "o_custkey",
+          "q34_events_sessions" -> "user_id",
+          "q36_events_funnel" -> "user_id")) {
         val b = graft.Bench.extras(name + "_bucketed")(spark, dir)
         val plain = graft.SparkEntry.queries(name)(spark, dir)
         assert(b.collect().toSeq == plain.collect().toSeq, name)
         val pw = b.queryExecution.executedPlan.toString
-        assert(!pw.contains("Exchange hashpartitioning"),
-          s"$name bucketed window still hash-shuffles:\n" + pw.take(1500))
+        assert(!pw.contains(s"hashpartitioning($key"),
+          s"$name bucketed plan still shuffles on $key:\n" + pw.take(1500))
       }
 
       // q02 bucketed: the distinct-count half runs on the bucket key, so
