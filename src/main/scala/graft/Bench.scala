@@ -271,8 +271,16 @@ object Bench {
   // Temp warehouse for the bucketed-ingest tables, deleted on exit: at
   // sf100 each pass writes ~8 GB of bucketed copies, and leaked passes
   // accumulate until the bench disk fills (the round-9 failure mode).
-  private val benchWarehouse =
-    java.nio.file.Files.createTempDirectory("bench-warehouse")
+  private val benchWarehouse = {
+    val d = java.nio.file.Files.createTempDirectory("bench-warehouse")
+    // also clean up on ABNORMAL termination (OOM-kill of a pass, ^C):
+    // the explicit delete before sys.exit only covers the happy path,
+    // and a leaked ~8 GB sf100 copy per crashed pass refills the disk
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      scala.util.Try(deleteRecursively(d.toFile)); ()
+    }))
+    d
+  }
 
   private def deleteRecursively(f: java.io.File): Unit = {
     if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))

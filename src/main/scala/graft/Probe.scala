@@ -600,11 +600,14 @@ object Probe {
     Seq("lineitem", "orders", "customer", "nation", "region", "documents")
       .foreach(t => load(spark, sfDir, t).count())
 
-    // `buckets` in the variant list: build the bench bucketed tables
-    // (same recipe as graft.Bench setup) so the q06b* decomposition and
-    // the bucketed variants can run standalone.
-    if (only.exists(v => v == "buckets" || v.startsWith("q06b") ||
-        v.endsWith("_bucketed"))) {
+    // Build the bench bucketed tables (same recipe as graft.Bench setup)
+    // whenever any requested variant reads them: the q06b* decomposition,
+    // the *_bucketed bench variants, and the single-letter probe shapes
+    // (q02b/q12b/q17b/q34b/q36b) all scan bench_* managed tables. An
+    // empty `only` runs EVERY variant, so it needs the build too.
+    val bucketReaders = Set("buckets", "q02b", "q12b", "q17b", "q34b", "q36b")
+    if (only.isEmpty || only.exists(v => bucketReaders(v) ||
+        v.startsWith("q06b") || v.endsWith("_bucketed"))) {
       import graft.operators.Bucketing
       // a fresh session's in-memory catalog has no record of a previous
       // probe run's managed tables, but their warehouse directories

@@ -16,14 +16,23 @@ class PlanQualitySpec extends AnyFunSuite {
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
   test("q40 tokenizes only the TopN survivors: nothing but the scan below the TakeOrdered") {
-    val p = planOf("q40_doc_tokens")
     // the tokenizing projection must live INSIDE TakeOrderedAndProject
     // (applied to the 500 kept rows), with the scan as its direct child —
-    // a Project below the TopN would mean split() runs corpus-wide (the
-    // pre-round-11 shape: 1.71 s vs 0.41 s at sf100)
-    assert(p.contains("TakeOrderedAndProject"), p.take(1000))
-    assert(!p.contains("+- Project") && !p.contains("+- *Project"),
-      "projection below the TopN:\n" + p.take(1500))
+    // a ProjectExec below the TopN would mean split() runs corpus-wide
+    // (the pre-round-11 shape: 1.71 s vs 0.41 s at sf100). Walk the tree
+    // instead of string-matching: codegen renders projections as
+    // "*(N) Project", which "+- Project"/"+- *Project" both miss.
+    import org.apache.spark.sql.execution.{ProjectExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = SparkEntry.queries("q40_doc_tokens")(spark, dir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val topn = plan.collectFirst { case t: TakeOrderedAndProjectExec => t }
+    assert(topn.nonEmpty, plan.toString.take(1000))
+    val below = topn.get.collect { case pr: ProjectExec => pr }
+    assert(below.isEmpty, "projection below the TopN:\n" + plan.toString.take(1500))
   }
 
   test("q06 5-way join broadcasts the dimension tables") {

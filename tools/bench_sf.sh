@@ -11,7 +11,20 @@
 set -e
 cd "$(dirname "$0")/.."
 SFDIR=$1; SF=$2; NOTE=$3
-SPARK_SKIP=${4:-}
+# A skip arg without its partner is almost always a stale 4-arg caller
+# from before $4 changed meaning (was: both-engine skip) — fail loudly
+# rather than silently running q47 on one engine only.
+if [ $# -eq 4 ]; then
+  echo "bench_sf.sh: pass BOTH [sparkSkip] and [duckSkip] (use '' for none);" >&2
+  echo "  \$4 is spark-only since round 11 — a lone 4th arg silently drops" >&2
+  echo "  the DuckDB skip list." >&2
+  exit 2
+fi
+# Default the Spark side to skipping q47 too: it is the quadratic
+# near-dup query (the committed sf30/sf100 passes always skip it), and
+# an accidental default invocation at a replicated SF must not run it.
+# Small-SF campaigns that WANT q47 pass an explicit ''.
+SPARK_SKIP=${4:-q47_minhash_lsh_neardup}
 DUCK_SKIP=${5:-q47_minhash_lsh_neardup}
 PASSES=${PASSES:-2}
 ORACLE=${ORACLE_JSON:-/tmp/vout/oracle_sql.json}

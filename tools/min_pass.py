@@ -30,18 +30,23 @@ merged = {}
 for q in names:
     vals = [p["queries"][q] for p in passes
             if p["queries"].get(q) is not None and p["queries"][q] >= 0]
-    # a query that never succeeded is dropped, not stored as null: skips
-    # are named in "skipped", and graft.Bench echoes these files into its
-    # stdout tail where a null reads as a missing measurement (the
-    # BENCH_r10 q47-null problem; same fix as merge_bench.py)
     if vals:
         merged[q] = min(vals)
+    elif any(p["queries"].get(q) is not None for p in passes):
+        # errored in EVERY pass (-1): keep the -1 so the failure stays
+        # visible in the merged artifact (merge_bench.py's invariant) —
+        # dropping it would silently shrink the comparable set. A query
+        # that only ever appeared as null (skipped) is still dropped:
+        # skips are named in "skipped", and graft.Bench echoes these
+        # files into its stdout tail where a null reads as a missing
+        # measurement (the BENCH_r10 q47-null problem).
+        merged[q] = -1
 base["queries"] = merged
 base["passes"] = len(paths)
 base["pass_stat"] = "min of per-pass medians (stall-window guard; see SCALE.md)"
 if "total" in base:
-    base["total"] = round(sum(v for v in merged.values() if v), 2)
+    base["total"] = round(sum(v for v in merged.values() if v and v > 0), 2)
 if "value" in base:
-    base["value"] = round(sum(v for v in merged.values() if v), 3)
+    base["value"] = round(sum(v for v in merged.values() if v and v > 0), 3)
 json.dump(base, open(out_path, "w"))
 print(out_path, "queries:", len(merged))
