@@ -23,9 +23,10 @@ fi
 # Default the Spark side to skipping q47 too: it is the quadratic
 # near-dup query (the committed sf30/sf100 passes always skip it), and
 # an accidental default invocation at a replicated SF must not run it.
-# Small-SF campaigns that WANT q47 pass an explicit ''.
-SPARK_SKIP=${4:-q47_minhash_lsh_neardup}
-DUCK_SKIP=${5:-q47_minhash_lsh_neardup}
+# Small-SF campaigns that WANT q47 pass an explicit '' — hence the
+# colon-less ${4-...}: substitute only when UNSET, not when empty.
+SPARK_SKIP=${4-q47_minhash_lsh_neardup}
+DUCK_SKIP=${5-q47_minhash_lsh_neardup}
 PASSES=${PASSES:-2}
 ORACLE=${ORACLE_JSON:-/tmp/vout/oracle_sql.json}
 mkdir -p bench/passes/sf${SF}
