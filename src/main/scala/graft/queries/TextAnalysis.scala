@@ -425,6 +425,27 @@ object TextAnalysis {
              |WHERE length(word) > 0
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin)),
 
+    QueryDef("q93_heavy_hitters",
+      (s, d) => {
+        // Same vocabulary top-k as q77, computed by the 100 TB-vocabulary
+        // path: per-partition Misra-Gries candidates (<= capacity rows
+        // leave each partition — never one row per distinct key) + exact
+        // recount of candidates only. Exact, not approximate, whenever
+        // every true top-k key clears the N/(capacity+1) frequency bound
+        // (trivially true here; the eviction path is exercised by
+        // HeavyHittersSpec's planted long-tail fixture). Oracle: the
+        // plain exact SQL top-k — identical output by construction.
+        val toks = load(s, d, "documents")
+          .select(explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+        graft.operators.HeavyHitters.topK(toks, "word", k = 50,
+          capacity = 4096)
+      },
+      Some("""SELECT word, count(*) AS cnt
+             |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+             |WHERE length(word) > 0
+             |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin)),
+
     QueryDef("q80_dup_ngram_spans",
       (s, d) => {
         // Exact-substring duplication census (Lee et al. 2022 shape):

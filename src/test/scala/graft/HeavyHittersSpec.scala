@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Misra–Gries + exact-recount top-k: the planted long-tail fixture makes
+  * the summary capacity (64) far smaller than the key universe (5,020),
+  * so the eviction/decrement path actually runs — unlike the q93 gate
+  * corpus, whose vocabulary fits any summary. The guarantee under test:
+  * every key with global count > N/(capacity+1) survives candidate
+  * generation, so the recounted top-k equals the exact top-k.
+  */
+class HeavyHittersSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+
+  private def fixture = {
+    import spark.implicits._
+    // 10 heavy keys (counts 910..1000), 10 medium keys (201..210, below
+    // the bound — allowed to drop from the summary, never in the top-10),
+    // and a 5,000-key count-2 tail. N = 21,605; at capacity 64 the MG
+    // bound N/65 ≈ 332, which every heavy key clears — so the top-10 is
+    // provably covered by the candidate union while ~5,000 tail keys
+    // force constant eviction.
+    val heavy = (1 to 10).flatMap(i => Seq.fill(900 + 10 * i)(f"h$i%02d")) ++
+      (1 to 10).flatMap(i => Seq.fill(200 + i)(f"m$i%02d"))
+    val tail = (1 to 5000).flatMap(i => Seq.fill(2)(f"t$i%04d"))
+    (heavy ++ tail).toDF("k").repartition(8)
+  }
+
+  test("MG+recount top-k equals exact top-k when heavy keys clear the bound") {
+    val df = fixture
+    val n = df.count()
+    val capacity = 64
+    val bound = n.toDouble / (capacity + 1)
+    // the 10 heaviest keys (counts 910..1000) must clear N/(cap+1)
+    assert(1000 > bound && 910 > bound, s"fixture no longer clears bound $bound")
+    // the universe must exceed the capacity so eviction actually runs
+    assert(df.select("k").distinct().count() > capacity)
+
+    val got = graft.operators.HeavyHitters.topK(df, "k", k = 10, capacity = capacity)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val want = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.sameElements(want), s"got ${got.mkString(",")}\nwant ${want.mkString(",")}")
+  }
+
+  test("exactness is self-checkable: k-th count vs N/(capacity+1)") {
+    val df = fixture
+    val out = graft.operators.HeavyHitters.topK(df, "k", k = 10, capacity = 64)
+      .collect()
+    val kth = out.last.getLong(1)
+    val bound = df.count().toDouble / 65
+    // the deployment contract from the scaladoc: kth > bound proves the
+    // returned top-k is exact, using only this output + one count
+    assert(kth > bound, s"fixture should prove its own exactness ($kth <= $bound)")
+  }
+
+  test("ties at the boundary are ordered deterministically (cnt desc, key asc)") {
+    import spark.implicits._
+    val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(5)("c") ++
+      Seq.fill(3)("z")).toDF("k")
+    val got = graft.operators.HeavyHitters.topK(df, "k", k = 2, capacity = 8)
+      .collect().map(_.getString(0))
+    assert(got.sameElements(Array("a", "b")), got.mkString(","))
+  }
+}
