@@ -87,4 +87,63 @@ object HeavyHitters {
       .limit(k)
       .withColumnRenamed("k", keyCol)
   }
+
+  /** Exact top-k keys WITHIN each group (per-language vocabulary,
+    * per-domain hot URLs) — one MG summary per (partition, group), so the
+    * guarantee is per group: any key with in-group count > N_g/(capacity+1)
+    * is a candidate (same pigeonhole over partitions, applied to the
+    * group's own rows). Candidates are (group, key) pairs — ≤
+    * capacity · groups-per-partition rows leave each partition; the exact
+    * recount and the per-group Top-N (`row_number` ≤ k over a window
+    * already partitioned by group) follow. Skewed group sizes are safe:
+    * a dominant group costs one summary per partition like any other,
+    * and the recount's window sees only recounted CANDIDATES (≤
+    * capacity·P rows per group), never the group's raw rows.
+    */
+  def topKPerGroup(df: DataFrame, groupCol: String, keyCol: String, k: Int,
+                   capacity: Int = 4096): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rows = df.select(col(groupCol).cast("string").as("g"),
+      col(keyCol).cast("string").as("k")).as[(String, String)]
+    val candidates = rows.mapPartitions { it =>
+      val perGroup = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+      it.foreach { case (g, key) =>
+        var m = perGroup.get(g)
+        if (m == null) { m = new java.util.HashMap[String, Long](capacity * 2); perGroup.put(g, m) }
+        val c = m.get(key)
+        if (c != 0L) m.put(key, c + 1L)
+        else if (m.size < capacity) m.put(key, 1L)
+        else {
+          val eit = m.entrySet().iterator()
+          while (eit.hasNext) {
+            val e = eit.next()
+            if (e.getValue == 1L) eit.remove() else e.setValue(e.getValue - 1L)
+          }
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      perGroup.entrySet().iterator().asScala.flatMap { ge =>
+        val g = ge.getKey
+        ge.getValue.keySet().iterator().asScala.map(key => (g, key))
+      }
+    }.toDF("g", "k").distinct()
+
+    val counted = df.select(col(groupCol).cast("string").as("g"),
+        col(keyCol).cast("string").as("k"))
+      .join(broadcast(candidates), Seq("g", "k"), "left_semi")
+      .groupBy(col("g"), col("k"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("cnt").desc, col("k"))
+    counted
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("g"), col("cnt").desc, col("k"))
+      .withColumnRenamed("g", groupCol)
+      .withColumnRenamed("k", keyCol)
+  }
 }

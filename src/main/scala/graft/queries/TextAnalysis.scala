@@ -446,6 +446,31 @@ object TextAnalysis {
              |WHERE length(word) > 0
              |GROUP BY word ORDER BY cnt DESC, word LIMIT 50""".stripMargin)),
 
+    QueryDef("q94_heavy_hitters_per_lang",
+      (s, d) => {
+        // Per-group heavy hitters: top-10 vocabulary PER LANGUAGE via one
+        // MG summary per (partition, group) + exact recount + windowed
+        // Top-N over recounted candidates only. The per-group shape is
+        // the curation reality (per-language vocab, per-domain hot URLs)
+        // and is skew-safe: a dominant language costs one summary per
+        // partition like any other group.
+        val toks = load(s, d, "documents")
+          .select(col("lang"),
+            explode(split(lower(col("text")), " ")).as("word"))
+          .filter(length(col("word")) > 0)
+        graft.operators.HeavyHitters.topKPerGroup(toks, "lang", "word",
+          k = 10, capacity = 4096)
+      },
+      Some("""WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+             |          FROM documents),
+             |c AS (SELECT lang, word, count(*) AS cnt FROM t
+             |      WHERE length(word) > 0 GROUP BY lang, word),
+             |r AS (SELECT lang, word, cnt,
+             |        row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rn
+             |      FROM c)
+             |SELECT lang, word, cnt FROM r WHERE rn <= 10
+             |ORDER BY lang, cnt DESC, word""".stripMargin)),
+
     QueryDef("q80_dup_ngram_spans",
       (s, d) => {
         // Exact-substring duplication census (Lee et al. 2022 shape):

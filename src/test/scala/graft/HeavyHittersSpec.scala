@@ -56,6 +56,28 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(kth > bound, s"fixture should prove its own exactness ($kth <= $bound)")
   }
 
+  test("per-group top-k equals exact per-group top-k on skewed group sizes") {
+    import spark.implicits._
+    // group A: 20× the rows of group B, both with their own heavy keys
+    // over forced-eviction tails (capacity 32 vs 600/300 distinct keys)
+    val gA = (1 to 5).flatMap(i => Seq.fill(2000 + 100 * i)(("A", f"a$i%02d"))) ++
+      (1 to 600).flatMap(i => Seq.fill(3)(("A", f"at$i%04d")))
+    val gB = (1 to 5).flatMap(i => Seq.fill(100 + 5 * i)(("B", f"b$i%02d"))) ++
+      (1 to 300).flatMap(i => Seq.fill(1)(("B", f"bt$i%04d")))
+    val df = (gA ++ gB).toDF("g", "k").repartition(8)
+
+    val got = graft.operators.HeavyHitters
+      .topKPerGroup(df, "g", "k", k = 3, capacity = 32)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("cnt").desc, col("k"))
+    val want = df.groupBy("g", "k").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("g"), col("cnt").desc, col("k"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.sameElements(want), s"got ${got.mkString(",")}\nwant ${want.mkString(",")}")
+  }
+
   test("ties at the boundary are ordered deterministically (cnt desc, key asc)") {
     import spark.implicits._
     val df = (Seq.fill(5)("b") ++ Seq.fill(5)("a") ++ Seq.fill(5)("c") ++
