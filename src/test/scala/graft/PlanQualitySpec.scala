@@ -336,4 +336,25 @@ class PlanQualitySpec extends AnyFunSuite {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"mixing added shuffles ($exchanges):\n${p.take(1500)}")
   }
+
+  test("q93 heavy hitters: recount is a BROADCAST semi filter + map-side partial count") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.catalyst.plans.LeftSemi
+    val plan = SparkEntry.queries("q93_heavy_hitters")(spark, dir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    // the token stream must be filtered by a broadcast LeftSemi against
+    // the (tiny) candidate set — a shuffled join here would re-shuffle
+    // the corpus volume the operator exists to avoid
+    val semis = plan.collect {
+      case j: BroadcastHashJoinExec if j.joinType == LeftSemi => j
+    }
+    assert(semis.nonEmpty, "no broadcast semi recount filter:\n" + plan.toString.take(1500))
+    // the candidate recount must partial-aggregate before its exchange
+    assert("partial_count".r.findFirstIn(plan.toString).isDefined,
+      "recount lost map-side combine:\n" + plan.toString.take(1500))
+  }
 }
