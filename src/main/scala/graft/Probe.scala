@@ -461,6 +461,54 @@ object Probe {
     load(s, d, "documents")
       .select(unhex(md5(col("text"))).as("hb"), col("doc_id"))
 
+  /** xxhash64 floor: same scan shape as q44scan but with the 8-byte
+    * hardware-speed hash — the delta vs q44scan is the pure
+    * md5-vs-xxhash compute gap that the prehash rewrite banks on. */
+  def q44xscan(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents")
+      .select(xxhash64(col("text")).as("xh"), col("doc_id"))
+
+  /** q44 cheap-prehash: pass 1 groups on xxhash64(text) (8 bytes,
+    * codegen'd xxHash, no MessageDigest) to find COLLIDING hash groups
+    * (~0.16% of rows in this corpus at every SF); pass 2 re-scans,
+    * broadcast-semi filters to colliding rows, and computes md5 only on
+    * those. Oracle semantics unchanged — md5 still decides group
+    * identity and emits the output hash; any md5-dup pair has equal
+    * text, hence equal xxhash64, hence survives the prefilter. Trades a
+    * second text scan + xxhash for skipping md5 on 99.8% of bytes. */
+  def q44v2(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val colliding = docs
+      .groupBy(xxhash64(col("text")).as("xh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("xh"))
+    docs
+      .join(broadcast(colliding),
+        xxhash64(col("text")) === colliding("xh"), "left_semi")
+      .groupBy(unhex(md5(col("text"))).as("hb"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
+  }
+
+  /** q44 prehash without the broadcast hint — the shape for a corpus
+    * whose dup-group count outgrows the broadcast budget. */
+  def q44v3(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val colliding = docs
+      .groupBy(xxhash64(col("text")).as("xh"))
+      .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+      .select(col("xh"))
+    docs
+      .join(colliding, xxhash64(col("text")) === colliding("xh"), "left_semi")
+      .groupBy(unhex(md5(col("text"))).as("hb"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
+  }
+
   /** Stage decomposition of the BUCKETED q06 — with no exchange left to
     * blame, attribute its cost to scan vs per-order aggregate vs fact
     * join vs the dimension tail. Requires the bench bucketed tables
@@ -580,6 +628,14 @@ object Probe {
       .config("spark.sql.autoBroadcastJoinThreshold",
         sys.env.getOrElse("SPARK_GRAFT_PROBE_BCAST", "64m"))
       .config("spark.sql.join.preferSortMergeJoin", preferSmj)
+      // SPARK_GRAFT_PROBE_HUGEMETHOD: A/B the whole-stage-codegen
+      // fallback threshold. HotSpot refuses to JIT methods over 8000
+      // bytecodes (DontCompileHugeMethods), so a generated stage bigger
+      // than that runs INTERPRETED; setting the limit to 8000 makes
+      // Spark fall back to the (JIT-able) non-fused operators instead.
+      // Question for q06b: is the fused 5-way stage past the JIT cliff?
+      .config("spark.sql.codegen.hugeMethodLimit",
+        sys.env.getOrElse("SPARK_GRAFT_PROBE_HUGEMETHOD", "65535"))
       // SPARK_GRAFT_PROBE_BLOOM=1: runtime bloom-filter A/B for the
       // shuffle semi joins (q28). The default thresholds would exclude
       // the case outright — applicationSideScanSizeThreshold (10 GB)
@@ -669,6 +725,7 @@ object Probe {
       "q19scan" -> (q19scan _), "q19count" -> (q19count _),
       "q40v0" -> (q40v0 _), "q40v1" -> (q40v1 _), "q40v2" -> (q40v2 _),
       "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _), "q44scan" -> (q44scan _),
+      "q44xscan" -> (q44xscan _), "q44v2" -> (q44v2 _), "q44v3" -> (q44v3 _),
       "q17b" -> (q17b _), "q17v0" -> (q17v0 _),
       "q12b" -> (q12b _), "q12v0" -> (q12v0 _),
       "q34b" -> (q34b _), "q34v0" -> (q34v0 _),

@@ -39,11 +39,33 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact-dup groups (hash, keeper id, count) — the audit view. */
-  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.groupBy(md5(col(textCol)).as("content_hash"))
+  /** Exact-dup groups (hash, keeper id, count) — the audit view.
+    *
+    * Cost-gated like q44: above 32 MB of input, a codegen'd xxhash64
+    * pre-pass finds colliding hash groups and md5 runs only on those
+    * rows (md5 still decides group identity and is the emitted hash, so
+    * results are identical — equal md5 implies equal text implies equal
+    * xxhash64). At dedup-realistic dup rates (~0.2%) this removes the
+    * MessageDigest cost from 99.8% of bytes; measured 1.50→1.24 s at
+    * sf100 (Probe q44v1/v2). Below the gate the extra stages cost more
+    * than the md5 they save.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val base =
+      if (bytes < 32L * 1024 * 1024) df
+      else {
+        val colliding = df
+          .groupBy(xxhash64(col(textCol)).as("xh"))
+          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+          .select(col("xh"))
+        df.join(broadcast(colliding),
+          xxhash64(col(textCol)) === colliding("xh"), "left_semi")
+      }
+    base.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
+  }
 
   // ---- minhash + LSH --------------------------------------------------
 

@@ -35,6 +35,11 @@ import org.apache.spark.sql.functions._
   * against N/(capacity+1): if it clears the bound, the result is proven
   * exact (the check is two scalars from this output).
   *
+  * NULL keys are excluded from the count (a NULL never equals itself in
+  * the recount's semi join, so counting it as an MG candidate would
+  * silently drop it from the output anyway — exclusion up front makes the
+  * contract explicit and matches `WHERE key IS NOT NULL` SQL semantics).
+  *
   * Reference capability: corpus vocabulary statistics (the same surface
   * as q77's top-k); this operator is its 100 TB-vocabulary path.
   */
@@ -42,8 +47,9 @@ object HeavyHitters {
 
   /** Exact top-k keys of `keyCol` by count, via MG candidates + recount.
     * Output columns: (`keyCol`, cnt), ordered (cnt DESC, key ASC) — the
-    * same deterministic ordering as an exact SQL top-k, so results are
-    * oracle-comparable whenever the capacity bound holds.
+    * same deterministic ordering as an exact SQL top-k over non-NULL
+    * keys, so results are oracle-comparable whenever the capacity bound
+    * holds.
     */
   def topK(df: DataFrame, keyCol: String, k: Int,
            capacity: Int = 4096): DataFrame = {
@@ -52,7 +58,9 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val keys = df.select(col(keyCol).cast("string").as("k")).as[String]
+    val input = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"))
+    val keys = input.as[String]
     // Per-partition Misra–Gries. Mutating a HashMap during the
     // decrement-all sweep is safe via the entry iterator's remove().
     val candidates = keys.mapPartitions { it =>
@@ -79,7 +87,7 @@ object HeavyHitters {
     // capacity·partitions rows (KB–MB), so broadcast the semi filter; at
     // extreme executor counts drop the hint and let AQE/shuffled-semi
     // handle it — correctness is unchanged.
-    df.select(col(keyCol).cast("string").as("k"))
+    input
       .join(broadcast(candidates), Seq("k"), "left_semi")
       .groupBy(col("k"))
       .agg(count(lit(1)).as("cnt"))
@@ -89,54 +97,94 @@ object HeavyHitters {
   }
 
   /** Exact top-k keys WITHIN each group (per-language vocabulary,
-    * per-domain hot URLs) — one MG summary per (partition, group), so the
-    * guarantee is per group: any key with in-group count > N_g/(capacity+1)
-    * is a candidate (same pigeonhole over partitions, applied to the
-    * group's own rows). Candidates are (group, key) pairs — ≤
-    * capacity · groups-per-partition rows leave each partition; the exact
-    * recount and the per-group Top-N (`row_number` ≤ k over a window
-    * already partitioned by group) follow. Skewed group sizes are safe:
-    * a dominant group costs one summary per partition like any other,
-    * and the recount's window sees only recounted CANDIDATES (≤
-    * capacity·P rows per group), never the group's raw rows.
+    * per-domain hot URLs), regime-switched on group cardinality — because
+    * Misra–Gries per group is only the right algorithm while the group
+    * count is SMALL:
+    *
+    *  - '''MG regime''' (groups ≤ `maxMgGroups`): one MG summary per
+    *    (partition, group) — per-partition memory is O(groups × capacity)
+    *    counters and the candidate union is ≤ groups × capacity distinct
+    *    (group, key) pairs, small enough to broadcast for the recount's
+    *    semi filter. The guarantee is per group: any key with in-group
+    *    count > N_g/(capacity+1) is a candidate (the same pigeonhole over
+    *    partitions, applied to the group's own rows). Skewed group SIZES
+    *    are safe — a dominant group costs one summary per partition like
+    *    any other — it is group COUNT that this regime bounds.
+    *  - '''Exact regime''' (groups > `maxMgGroups`, e.g. per-domain over
+    *    a 100 TB crawl with tens of millions of domains): MG stops
+    *    paying for itself — capacity × groups candidate rows per
+    *    partition would exceed the map-side-combined volume of the exact
+    *    aggregate, the per-partition group map would be an unbounded
+    *    heap, and the candidate set could not be broadcast. The right
+    *    plan is Spark's own: `groupBy(group, key).count` (map-side
+    *    combine, spill-safe hash aggregate, ONE shuffle of narrow
+    *    (group, key, cnt) rows) + per-group window Top-N. Exact
+    *    unconditionally, executor memory bounded by the spillable
+    *    aggregate regardless of cardinality.
+    *
+    * Group cardinality is taken from `expectedGroups` when the caller
+    * knows it; otherwise a single `approx_count_distinct` job (HLL
+    * sketches only — no key shuffle) runs AT CALL TIME to pick the
+    * regime. Both regimes return identical output: (`groupCol`,
+    * `keyCol`, cnt) ordered (group ASC, cnt DESC, key ASC); NULL groups
+    * and NULL keys are excluded (see class doc). The ±2% HLL error can
+    * only flip the regime at the boundary, where both are exact and
+    * comparably priced.
     */
   def topKPerGroup(df: DataFrame, groupCol: String, keyCol: String, k: Int,
-                   capacity: Int = 4096): DataFrame = {
+                   capacity: Int = 4096, maxMgGroups: Int = 64,
+                   expectedGroups: Option[Long] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
     require(capacity >= k, s"capacity ($capacity) must be >= k ($k)")
+    require(maxMgGroups > 0, s"maxMgGroups must be positive, got $maxMgGroups")
     val spark = df.sparkSession
     import spark.implicits._
 
-    val rows = df.select(col(groupCol).cast("string").as("g"),
-      col(keyCol).cast("string").as("k")).as[(String, String)]
-    val candidates = rows.mapPartitions { it =>
-      val perGroup = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
-      it.foreach { case (g, key) =>
-        var m = perGroup.get(g)
-        if (m == null) { m = new java.util.HashMap[String, Long](capacity * 2); perGroup.put(g, m) }
-        val c = m.get(key)
-        if (c != 0L) m.put(key, c + 1L)
-        else if (m.size < capacity) m.put(key, 1L)
-        else {
-          val eit = m.entrySet().iterator()
-          while (eit.hasNext) {
-            val e = eit.next()
-            if (e.getValue == 1L) eit.remove() else e.setValue(e.getValue - 1L)
-          }
-        }
-      }
-      import scala.jdk.CollectionConverters._
-      perGroup.entrySet().iterator().asScala.flatMap { ge =>
-        val g = ge.getKey
-        ge.getValue.keySet().iterator().asScala.map(key => (g, key))
-      }
-    }.toDF("g", "k").distinct()
-
-    val counted = df.select(col(groupCol).cast("string").as("g"),
+    val base = df.filter(col(groupCol).isNotNull && col(keyCol).isNotNull)
+      .select(col(groupCol).cast("string").as("g"),
         col(keyCol).cast("string").as("k"))
-      .join(broadcast(candidates), Seq("g", "k"), "left_semi")
-      .groupBy(col("g"), col("k"))
-      .agg(count(lit(1)).as("cnt"))
+    val nGroups = expectedGroups.getOrElse(
+      base.select(approx_count_distinct(col("g")).as("n")).first().getLong(0))
+
+    val counted =
+      if (nGroups > maxMgGroups) {
+        // Exact regime: map-side-combined count, one narrow shuffle,
+        // spillable — no per-group state, no broadcast.
+        base.groupBy(col("g"), col("k")).agg(count(lit(1)).as("cnt"))
+      } else {
+        // MG regime: candidates never exceed maxMgGroups × capacity
+        // pairs, so the per-partition group map and the broadcast are
+        // both bounded by construction.
+        val rows = base.as[(String, String)]
+        val candidates = rows.mapPartitions { it =>
+          val perGroup = new java.util.HashMap[String, java.util.HashMap[String, Long]]()
+          it.foreach { case (g, key) =>
+            var m = perGroup.get(g)
+            if (m == null) { m = new java.util.HashMap[String, Long](capacity * 2); perGroup.put(g, m) }
+            val c = m.get(key)
+            if (c != 0L) m.put(key, c + 1L)
+            else if (m.size < capacity) m.put(key, 1L)
+            else {
+              val eit = m.entrySet().iterator()
+              while (eit.hasNext) {
+                val e = eit.next()
+                if (e.getValue == 1L) eit.remove() else e.setValue(e.getValue - 1L)
+              }
+            }
+          }
+          import scala.jdk.CollectionConverters._
+          perGroup.entrySet().iterator().asScala.flatMap { ge =>
+            val g = ge.getKey
+            ge.getValue.keySet().iterator().asScala.map(key => (g, key))
+          }
+        }.toDF("g", "k").distinct()
+
+        base
+          .join(broadcast(candidates), Seq("g", "k"), "left_semi")
+          .groupBy(col("g"), col("k"))
+          .agg(count(lit(1)).as("cnt"))
+      }
+
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("g")).orderBy(col("cnt").desc, col("k"))
     counted

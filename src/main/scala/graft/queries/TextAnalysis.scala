@@ -90,19 +90,48 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id LIMIT 500""".stripMargin)),
 
     QueryDef("q44_dedup_exact",
-      // Group on the 16-byte unhex(md5) BINARY, not the 32-char hex
-      // string: binary halves the exchange's key bytes and compares/
-      // hashes without string collation. Hex re-encoding happens only
-      // on the surviving duplicate groups (lower() because hex() emits
-      // uppercase, md5() lowercase). Measured vs the hex-string shape:
-      // 1.33 s vs 7.37 s at sf100, 0.82 s vs 0.93 s at sf30 (Probe
-      // q44v0/v1) — the string key's cost grows with the group count.
-      (s, d) => load(s, d, "documents")
-        .groupBy(unhex(md5(col("text"))).as("hb"))
-        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
-        .filter(col("n_copies") > 1)
-        .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
-        .orderBy(col("keeper")),
+      // Two cost-gated shapes, both grouping on the 16-byte unhex(md5)
+      // BINARY (not the 32-char hex string: binary halves the exchange's
+      // key bytes and compares without string collation — 1.33 s vs
+      // 7.37 s at sf100, Probe q44v0/v1; hex re-encoding happens only on
+      // the surviving duplicate groups, lower() because hex() emits
+      // uppercase, md5() lowercase).
+      //
+      // Above 32 MB of input the md5 compute itself dominates (the md5
+      // scan alone costs more than DuckDB's whole query at sf100 —
+      // SCALE.md floor decomposition), so the large regime PREHASHES
+      // with codegen'd xxhash64 (8 bytes, no MessageDigest): pass 1
+      // finds COLLIDING xxhash64 groups (~0.16% of rows at every SF),
+      // pass 2 broadcast-semi filters to those rows and runs md5 only
+      // there. md5 still decides group identity and emits the output
+      // hash — any md5-dup pair has equal text, hence equal xxhash64,
+      // hence survives the prefilter — so oracle semantics are
+      // unchanged. Probe q44v1/v2: 1.50→1.24 s at sf100, 0.82→0.75 s
+      // at sf30, 0.71→0.65 s at sf10; below the gate the extra stages
+      // lose to the single-pass shape (0.32→0.36 s at sf0.1), which is
+      // why the gate exists. The broadcast holds ~1 colliding key per
+      // 600 rows; a corpus past that budget flips to the unhinted semi
+      // (Probe q44v3).
+      (s, d) => {
+        val docs = load(s, d, "documents")
+        val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
+        val base =
+          if (bytes < 32L * 1024 * 1024) docs
+          else {
+            val colliding = docs
+              .groupBy(xxhash64(col("text")).as("xh"))
+              .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+              .select(col("xh"))
+            docs.join(broadcast(colliding),
+              xxhash64(col("text")) === colliding("xh"), "left_semi")
+          }
+        base
+          .groupBy(unhex(md5(col("text"))).as("hb"))
+          .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+          .filter(col("n_copies") > 1)
+          .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
+          .orderBy(col("keeper"))
+      },
       Some("""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
              |FROM documents GROUP BY md5(text) HAVING count(*) > 1
              |ORDER BY keeper""".stripMargin)),

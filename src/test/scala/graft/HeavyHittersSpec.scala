@@ -86,4 +86,75 @@ class HeavyHittersSpec extends AnyFunSuite {
       .collect().map(_.getString(0))
     assert(got.sameElements(Array("a", "b")), got.mkString(","))
   }
+
+  test("per-group with groups >> maxMgGroups takes the exact regime and stays exact") {
+    import spark.implicits._
+    // 5,000 groups vs maxMgGroups 64 — the per-domain-hot-URLs shape the
+    // MG regime must NOT attempt (its per-partition group map and its
+    // broadcast would both scale with the group count). Each group gets
+    // a distinct heavy key (count 5), a runner-up (count 3), and two
+    // count-1 tail keys; k=2 must pick exactly (heavy, runner-up).
+    val rows = (1 to 5000).flatMap { gi =>
+      val g = f"d$gi%05d"
+      Seq.fill(5)((g, s"hot-$gi")) ++ Seq.fill(3)((g, s"warm-$gi")) ++
+        Seq((g, s"t1-$gi"), (g, s"t2-$gi"))
+    }
+    val df = rows.toDF("g", "k").repartition(8)
+
+    val out = graft.operators.HeavyHitters
+      .topKPerGroup(df, "g", "k", k = 2, capacity = 32, maxMgGroups = 64)
+    // regime check: the exact path has no broadcast semi recount and no
+    // per-group MG map — the plan must contain no broadcast join at all
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"),
+      "exact regime must not broadcast a candidates set:\n" + plan.take(1500))
+
+    val got = out.collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("g").orderBy(col("cnt").desc, col("k"))
+    val want = df.groupBy("g", "k").agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 2).drop("rn")
+      .orderBy(col("g"), col("cnt").desc, col("k"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.length == 10000 && got.sameElements(want),
+      s"exact-regime mismatch: got ${got.length} rows")
+  }
+
+  test("both regimes return identical results (expectedGroups forces each)") {
+    import spark.implicits._
+    val rows = (1 to 8).flatMap { gi =>
+      (1 to 20).flatMap(ki => Seq.fill(ki)((s"g$gi", f"k$ki%02d")))
+    }
+    val df = rows.toDF("g", "k").repartition(4)
+    def run(hint: Long) = graft.operators.HeavyHitters
+      .topKPerGroup(df, "g", "k", k = 5, capacity = 64,
+        expectedGroups = Some(hint))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val mg = run(8L)            // 8 <= maxMgGroups(64) -> MG regime
+    val exact = run(1000000L)   // forces the exact regime on the same data
+    assert(mg.sameElements(exact),
+      s"regimes disagree:\nmg    ${mg.take(8).mkString(",")}\nexact ${exact.take(8).mkString(",")}")
+  }
+
+  test("NULL keys and NULL groups are excluded, matching WHERE IS NOT NULL semantics") {
+    import spark.implicits._
+    val df = (Seq.fill(9)(("g1": String, null: String)) ++
+      Seq.fill(4)(("g1", "a")) ++ Seq.fill(2)(("g1", "b")) ++
+      Seq.fill(7)((null: String, "a")) ++ Seq.fill(3)(("g2", "c")))
+      .toDF("g", "k")
+
+    val top = graft.operators.HeavyHitters.topK(df, "k", k = 3, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // "a" counts 4 (g1) + 7 (null group — still a valid key row) = 11
+    assert(top.sameElements(Array(("a", 11L), ("c", 3L), ("b", 2L))),
+      top.mkString(","))
+
+    for (hint <- Seq(Some(2L), Some(1000000L))) {
+      val per = graft.operators.HeavyHitters
+        .topKPerGroup(df, "g", "k", k = 2, capacity = 16, expectedGroups = hint)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      assert(per.sameElements(Array(("g1", "a", 4L), ("g1", "b", 2L), ("g2", "c", 3L))),
+        s"hint=$hint: ${per.mkString(",")}")
+    }
+  }
 }
