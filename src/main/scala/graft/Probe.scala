@@ -653,6 +653,56 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // hhvocab: the heavy-hitters two-regime measurement. sfDir is a
+    // make_vocab.py output dir (tokens_u*.parquet, fixed rows, swept key
+    // universe); for each file, time the exact q77 shape (one shuffle of
+    // the distinct-key universe) against HeavyHitters.topK (two scans,
+    // candidate-bounded shuffles) and report per-run SHUFFLE WRITE BYTES
+    // from a stage listener — the claim under test is that the exact
+    // shape's shuffle grows with the universe while MG's stays constant,
+    // with a wall-clock crossover once the universe outweighs MG's
+    // second scan.
+    if (only.contains("hhvocab")) {
+      val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+          shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+      })
+      def measure(label: String)(q: => DataFrame): Unit = {
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          q.write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        }
+        once() // warm (page cache + codegen)
+        val timed = (1 to 3).map { _ =>
+          Thread.sleep(300); shuffleBytes.set(0L)
+          val t = once()
+          Thread.sleep(300) // let async listener events drain
+          (t, shuffleBytes.get())
+        }
+        val (sec, bytes) = timed.minBy(_._1)
+        println(f"HHVOCAB $label%-28s sec=$sec%7.2f shuffle_mb=${bytes / 1e6}%9.2f")
+      }
+      val files = new java.io.File(sfDir).listFiles()
+        .filter(_.getName.matches("tokens_u\\d+\\.parquet"))
+        .sortBy(f => f.getName.stripPrefix("tokens_u").stripSuffix(".parquet").toLong)
+      require(files.nonEmpty, s"no tokens_u*.parquet under $sfDir — run tools/make_vocab.py")
+      for (f <- files) {
+        val u = f.getName.stripPrefix("tokens_u").stripSuffix(".parquet")
+        val df = spark.read.parquet(f.getAbsolutePath)
+        measure(s"u=$u exact") {
+          df.groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+            .orderBy(col("cnt").desc, col("word")).limit(50)
+        }
+        measure(s"u=$u mg") {
+          graft.operators.HeavyHitters.topK(df, "word", k = 50, capacity = 4096)
+        }
+      }
+      spark.stop(); sys.exit(0)
+    }
+
     Seq("lineitem", "orders", "customer", "nation", "region", "documents")
       .foreach(t => load(spark, sfDir, t).count())
 
@@ -662,9 +712,40 @@ object Probe {
     // (q02b/q12b/q17b/q34b/q36b) all scan bench_* managed tables. An
     // empty `only` runs EVERY variant, so it needs the build too.
     val bucketReaders = Set("buckets", "q02b", "q12b", "q17b", "q34b", "q36b")
+    val bucketKeys = Seq(
+      "bench_lineitem_bo" -> "l_orderkey", "bench_orders_bo" -> "o_orderkey",
+      "bench_orders_bc" -> "o_custkey", "bench_customer_bc" -> "c_custkey",
+      "bench_events_bu" -> "user_id")
+    // SPARK_GRAFT_PROBE_REUSE_BUCKETS=1: re-register a PREVIOUS probe
+    // run's bucketed warehouse dirs as external bucketed tables instead
+    // of rebuilding (~270 s at sf100) — the bucket count is recovered
+    // from the one-file-per-bucket layout writeBucketed guarantees.
+    // Only valid when the surviving warehouse was built from the SAME
+    // sfDir; the caller asserts that by setting the flag.
+    def registerExisting(): Boolean = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      bucketKeys.forall { case (t, key) =>
+        val loc = new java.io.File(wh, t)
+        val files = Option(loc.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet"))
+        files.nonEmpty && {
+          val schema = spark.read.parquet(loc.getAbsolutePath).schema.toDDL
+          spark.sql(s"DROP TABLE IF EXISTS $t")
+          spark.sql(s"CREATE TABLE $t ($schema) USING PARQUET " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO ${files.length} BUCKETS " +
+            s"LOCATION '${loc.getAbsolutePath}'")
+          println(s"PROBE bucket_reuse $t nb=${files.length}")
+          true
+        }
+      }
+    }
     if (only.isEmpty || only.exists(v => bucketReaders(v) ||
         v.startsWith("q06b") || v.endsWith("_bucketed"))) {
       import graft.operators.Bucketing
+      if (sys.env.get("SPARK_GRAFT_PROBE_REUSE_BUCKETS").contains("1") &&
+          registerExisting()) {
+        // reuse path: tables registered in-place, skip the rebuild
+      } else {
       // a fresh session's in-memory catalog has no record of a previous
       // probe run's managed tables, but their warehouse directories
       // survive and block saveAsTable — clear them first
@@ -704,6 +785,7 @@ object Probe {
       val nbEu = nbOverride.getOrElse(Bucketing.autoBuckets(ev))
       Bucketing.writeBucketed(ev, "bench_events_bu", "user_id", nbEu)
       println(f"PROBE bucket_setup nbBo=$nbBo nbBc=$nbBc nbEu=$nbEu ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      }
     }
 
     if (only.contains("floor")) {
