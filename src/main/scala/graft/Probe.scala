@@ -563,6 +563,36 @@ object Probe {
       .orderBy(col("r_name"))
   }
 
+  /** q06 bucketed JOIN-FIRST: skip the per-order pre-aggregate entirely
+    * and aggregate once, by custkey, after the fact join — one hash
+    * aggregate over 600M rows instead of a 150M-group aggregate PLUS a
+    * 150M-row join plus a second aggregate. The join itself stays
+    * exchange-free (both sides bucketed on orderkey, shuffle_hash
+    * builds orders per bucket); this is the shape a single-node
+    * columnar engine runs, so it measures whether the pre-agg is
+    * paying for itself on the bucketed layout.
+    */
+  def q06bJoinFirst(s: SparkSession, d: String): DataFrame = {
+    val li = s.table("bench_lineitem_bo")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = s.table("bench_orders_bo").select(col("o_orderkey"), col("o_custkey"))
+    val c = load(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = broadcast(load(s, d, "nation"))
+    val r = broadcast(load(s, d, "region"))
+    val perCust = li
+      .join(o.hint("shuffle_hash"), col("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_lines"))
+    perCust.join(c, perCust("o_custkey") === c("c_custkey"))
+      .join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        sum(col("n_lines")).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
   /** Materialize via the noop sink (same as graft.Bench.exec): evaluates
     * every row and column without driver collection — collect() on the
     * scan-only probes would pull the whole table into the driver. */
@@ -814,7 +844,7 @@ object Probe {
       "q36b" -> (q36b _), "q36v0" -> (q36v0 _),
       "q06b_scan" -> (q06bScan _), "q06b_perorder" -> (q06bPerOrder _),
       "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
-      "q06b_smj" -> (q06bSmj _),
+      "q06b_smj" -> (q06bSmj _), "q06b_joinfirst" -> (q06bJoinFirst _),
       "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
         graft.Bench.extras("q05_join_agg_bucketed")(s, d)),
       "q28_in_subquery_bucketed" -> ((s: SparkSession, d: String) =>
