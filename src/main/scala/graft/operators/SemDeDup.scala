@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorExpressions
+
+/** SemDeDup — semantic deduplication: k-means-cluster the embedding
+  * space, then prune cosine near-duplicates WITHIN each cluster only
+  * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+  * through semantic deduplication"). Clustering turns the corpus-wide
+  * quadratic near-dup search into k cluster-bounded ones — the same
+  * blocking idea as MinHash banding, but in embedding space, so it
+  * catches SEMANTIC duplicates exact/fuzzy text hashing cannot.
+  *
+  * Keep rule (join-expressible determinization of the paper's per-cluster
+  * greedy selection): within a cluster, x is DROPPED iff some other
+  * member y with higher keep-priority has cosine(x, y) >= tau, where
+  * priority orders by centroid-similarity ASC (the paper keeps the
+  * member farthest from the centroid — "most atypical" — to preserve
+  * diversity), with id ASC as the tie-break. One bounded self-anti-join
+  * per cluster expresses it; no iteration, no driver state.
+  *
+  * Scale: the anti-join is equi-keyed on `cluster`, so pair volume is
+  * sum over clusters of |c|^2 — the operator's contract is the paper's:
+  * pick k so clusters stay bounded (k ~ corpus/expected-cluster-size).
+  * Assignment is the broadcast-literal codegen'd cosine argmax from
+  * [[KMeans]] (no shuffle); the join shuffles each side once on the
+  * cluster key. A skewed cluster is a data-model signal (raise k), not
+  * an executor OOM: the anti-join is sort-merge-able on both sides.
+  */
+object SemDeDup {
+
+  /** Assign each row to its nearest centroid (cosine, ties to smallest
+    * centroid id — same determinism as [[KMeans.assign]]) and keep the
+    * similarity to the assigned centroid as `cent_sim`.
+    */
+  def assignWithSim(df: DataFrame, embCol: String,
+                    centroids: Array[(Long, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val v = col(embCol).cast("array<double>")
+    val best = centroids.map { case (cid, c) =>
+      struct(VectorExpressions.cosineSim(v, typedLit(c)).as("sim"),
+        lit(-cid).as("neg_cid"))
+    }.reduce((a, b) => greatest(a, b))
+    df.withColumn("_best", best)
+      .withColumn("cluster", -col("_best").getField("neg_cid"))
+      .withColumn("cent_sim", col("_best").getField("sim"))
+      .drop("_best")
+  }
+
+  /** Semantic dedup of `df` on embedding column `embCol`: returns the
+    * KEPT rows with `cluster` and `cent_sim` columns added. `iters` = 0
+    * clusters on the deterministic init centroids (the k smallest-id
+    * vectors); `iters` > 0 runs that many Lloyd iterations first
+    * ([[KMeans.fit]] — only the k×dim centroid matrix crosses the
+    * driver).
+    */
+  def semDedup(df: DataFrame, embCol: String, idCol: String, k: Int,
+               tau: Double, iters: Int = 0): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val centroids =
+      if (iters <= 0) KMeans.initCentroids(df, embCol, idCol, k)
+      else KMeans.fit(df, embCol, idCol, k, iters)
+    val assigned = assignWithSim(df, embCol, centroids)
+    val xv = col(embCol).cast("array<double>")
+    // Rename the shadow side's columns so the self-join condition cannot
+    // resolve both legs to the same attribute (Spark's trivially-true
+    // self-join trap).
+    val shadow = assigned.select(
+      col("cluster").as("y_cluster"), xv.as("y_v"),
+      col("cent_sim").as("y_cs"), col(idCol).cast("long").as("y_id"))
+    assigned.join(shadow,
+      col("cluster") === col("y_cluster") &&
+        (col("y_cs") < col("cent_sim") ||
+          (col("y_cs") === col("cent_sim") &&
+            col("y_id") < col(idCol).cast("long"))) &&
+        VectorExpressions.cosineSim(xv, col("y_v")) >= lit(tau),
+      "left_anti")
+  }
+}

@@ -109,6 +109,46 @@ object Vectors {
              |SELECT g.cluster, n.n_members,
              |  round(sqrt(sum(mx * mx)), 4) AS centroid_norm
              |FROM g JOIN n USING (cluster)
-             |GROUP BY g.cluster, n.n_members ORDER BY g.cluster""".stripMargin))
+             |GROUP BY g.cluster, n.n_members ORDER BY g.cluster""".stripMargin)),
+
+    QueryDef("q95_semdedup",
+      (s, d) => {
+        // SemDeDup (graft.operators.SemDeDup): cluster on the k=8
+        // deterministic init centroids, then drop any vector whose
+        // cluster holds a higher-priority member (farther from the
+        // centroid; id tie-break) within cosine >= 0.35. The fixture has
+        // no planted embedding near-dups (max pairwise cosine ~0.51), so
+        // the gate threshold sits below dedup practice on purpose: it
+        // exercises assignment + the shadow anti-join on both the drop
+        // and keep paths (79 of 500 dropped at sf0.01); the
+        // planted-duplicate semantics are spec-tested (OperatorsSpec).
+        val emb = load(s, d, "embeddings")
+        graft.operators.SemDeDup
+          .semDedup(emb, "embedding", "vec_id", k = 8, tau = 0.35)
+          .select(col("vec_id"), col("cluster"),
+            round(col("cent_sim"), 4).as("cent_sim"))
+          .orderBy(col("vec_id"))
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |c AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS cv
+             |      FROM e ORDER BY vec_id LIMIT 8),
+             |a AS (SELECT vec_id, v, cid,
+             |        list_dot_product(v, cv) /
+             |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) AS sim,
+             |        row_number() OVER (PARTITION BY vec_id
+             |        ORDER BY list_dot_product(v, cv) /
+             |          (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))) DESC,
+             |        cid) AS rn
+             |      FROM e CROSS JOIN c),
+             |m AS (SELECT cid AS cl, vec_id, v, sim AS cent_sim FROM a WHERE rn = 1),
+             |dropped AS (SELECT DISTINCT x.vec_id
+             |  FROM m x JOIN m y ON x.cl = y.cl
+             |   AND (y.cent_sim < x.cent_sim
+             |        OR (y.cent_sim = x.cent_sim AND y.vec_id < x.vec_id))
+             |  WHERE list_dot_product(x.v, y.v) /
+             |    (sqrt(list_dot_product(x.v, x.v)) * sqrt(list_dot_product(y.v, y.v))) >= 0.35)
+             |SELECT vec_id, cl AS cluster, round(cent_sim, 4) AS cent_sim
+             |FROM m WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+             |ORDER BY vec_id""".stripMargin))
   )
 }

@@ -35,6 +35,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(below.isEmpty, "projection below the TopN:\n" + plan.toString.take(1500))
   }
 
+  test("q95 semdedup shadow anti-join is equi-keyed on cluster, never a nested loop") {
+    // the cluster key must reach the join as the equi condition (pair
+    // volume bounded per cluster); a BroadcastNestedLoopJoin or
+    // CartesianProduct here would be the corpus-quadratic shape SemDeDup
+    // exists to avoid.
+    val p = planOf("q95_semdedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("LeftAnti"), p.take(1500))
+  }
+
   test("q06 5-way join broadcasts the dimension tables") {
     val p = planOf("q06_join_5way")
     assert(p.contains("BroadcastHashJoin"), p.take(800))

@@ -384,6 +384,47 @@ class OperatorsSpec extends AnyFunSuite {
     assert(n == rows.size)
   }
 
+  test("semdedup: planted near-dups pruned per cluster, farthest-from-centroid kept") {
+    import spark.implicits._
+    // Two cosine clusters in 2-D; k=2 deterministic init picks ids 0 and
+    // 1 (one per cluster). Cluster 0: {0, 2} with cos(0,2) >= tau — id 2
+    // is farther from the centroid (lower cent_sim), so id 0 is shadowed
+    // and dropped. Cluster 1: {1, 3, 4} — id 3 shadows id 1 the same
+    // way; id 4 is below tau to every member, kept despite lowest
+    // priority being irrelevant (nothing outranks AND matches it).
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.999f, 0.02f)),
+      (3L, Array(0.02f, 0.999f)),
+      (4L, Array(0.7f, 0.75f))).toDF("vec_id", "embedding")
+    val out = SemDeDup.semDedup(emb, "embedding", "vec_id", k = 2, tau = 0.99)
+    val kept = out.select(col("vec_id")).as[Long].collect().toSet
+    assert(kept == Set(2L, 3L, 4L), s"kept $kept")
+    // keepers carry their cluster and centroid similarity; clusters are
+    // the two init ids' cells
+    val clusters = out.select(col("vec_id"), col("cluster")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(2L) == 0L && clusters(3L) == 1L && clusters(4L) == 1L)
+    // brute-force cross-check of the shadow rule over ALL rows
+    val assigned = SemDeDup.assignWithSim(emb, "embedding",
+      KMeans.initCentroids(emb, "embedding", "vec_id", 2))
+      .select(col("vec_id"), col("cluster"), col("cent_sim"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getSeq[Double](3).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val expected = assigned.filter { case (id, cl, cs, v) =>
+      !assigned.exists { case (yid, ycl, ycs, yv) =>
+        ycl == cl && (ycs < cs || (ycs == cs && yid < id)) && cos(v, yv) >= 0.99
+      }
+    }.map(_._1).toSet
+    assert(kept == expected)
+  }
+
   test("ivf persisted index: full probe equals brute force, probes prune partitions") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = emb.filter(col("vec_id") === 0)
