@@ -280,6 +280,66 @@ object Dedup {
     df.join(dupIds, df(idCol) === dupIds("__drop"), "left_anti")
   }
 
+  /** Cross-corpus near-duplicate pairs: MinHash-LSH candidates between a
+    * NEW batch and an existing REFERENCE corpus, verified by exact
+    * shingle Jaccard — the incremental-ingestion form of
+    * [[minhashLshPairs]] (dedup a fresh crawl against the already-kept
+    * lake without re-deduping the lake against itself). Both sides run
+    * the SAME signature hash family, so band buckets align across
+    * corpora; the band join is hinted sort-merge for the same reason as
+    * the self-join (no memory assumption on either side — the reference
+    * is the corpus-scale side at 100 TB), and the verify stage is
+    * candidate-bounded. Returns (id, ref_id, jaccard), one row per
+    * verified cross pair; a doc byte-identical to a reference doc is a
+    * pair like any other (jaccard 1.0).
+    */
+  def minhashLshAgainstPairs(df: DataFrame, ref: DataFrame, textCol: String,
+                             idCol: String, threshold: Double = 0.8,
+                             numPerm: Int = 128, bands: Int = 16,
+                             shingleK: Int = 3): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    def prep(src: DataFrame) =
+      src.select(col(idCol).as("id"), col(textCol).as("__text"))
+        .repartition(math.max(par, src.rdd.getNumPartitions))
+    def banded(base: DataFrame) = base
+      .withColumn("sig", textSignatureUdf(numPerm, shingleK)(col("__text")))
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val base = prep(df)
+    val refBase = prep(ref)
+    val left = banded(base)
+    val right = banded(refBase).withColumnRenamed("id", "ref_id")
+    val candidates = left.join(right.hint("MERGE"), Seq("band", "bucket"))
+      .select(col("id"), col("ref_id"))
+      .dropDuplicates("id", "ref_id")
+    val ha = base.select(col("id"), shingleHashes64Udf(shingleK)(col("__text")).as("__sh_a"))
+    val hb = refBase.select(col("id").as("ref_id"),
+      shingleHashes64Udf(shingleK)(col("__text")).as("__sh_b"))
+    candidates.join(ha, "id").join(hb, "ref_id")
+      .select(col("id"), col("ref_id"),
+        sortedJaccardUdf(col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** New-batch rows with NO verified near-duplicate in the reference
+    * corpus — [[minhashLshAgainstPairs]] reduced to the anti-join
+    * ingestion gate. The reference never loses rows (it is already
+    * kept); only the new batch is filtered.
+    */
+  def dedupAgainst(df: DataFrame, ref: DataFrame, textCol: String,
+                   idCol: String, threshold: Double = 0.8,
+                   numPerm: Int = 128, bands: Int = 16,
+                   shingleK: Int = 3): DataFrame = {
+    val dupIds = minhashLshAgainstPairs(df, ref, textCol, idCol, threshold,
+      numPerm, bands, shingleK).select(col("id").as("__drop")).distinct()
+    df.join(dupIds, df(idCol) === dupIds("__drop"), "left_anti")
+  }
+
   // ---- simhash --------------------------------------------------------
 
   /** 64-bit SimHash over word tokens (murmur3-based, deterministic). */

@@ -53,6 +53,33 @@ object Pipeline {
              |SELECT (SELECT count(*) FROM documents) -
              |       (SELECT count(DISTINCT id_b) FROM pairs) AS n_kept""".stripMargin)),
 
+    QueryDef("q96_dedup_against",
+      (s, d) => {
+        // Incremental-ingestion dedup: the docs with id >= 250 are the
+        // "new batch", those below are the already-kept reference lake;
+        // the operator reports every verified cross-corpus near-dup pair
+        // (13 of the fixture's 25 planted pairs straddle the split — the
+        // 12 within-half pairs must NOT appear). Same LSH family and
+        // recall bound as q47 (1-(1-j^8)^16 ≈ 0.9999 at planted j ≥ 0.9),
+        // so the verified output equals the exact cross all-pairs oracle.
+        val docs = load(s, d, "documents")
+        Dedup.minhashLshAgainstPairs(
+            docs.filter(col("doc_id") >= 250), docs.filter(col("doc_id") < 250),
+            "text", "doc_id", threshold = 0.8, numPerm = 128, bands = 16,
+            shingleK = 3)
+          .orderBy(col("id"), col("ref_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents))
+             |SELECT id, ref_id, jaccard FROM (
+             |  SELECT n.doc_id AS id, r.doc_id AS ref_id,
+             |    round(CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
+             |          len(list_distinct(list_concat(n.sh, r.sh))), 4) AS jaccard
+             |  FROM t n JOIN t r ON n.doc_id >= 250 AND r.doc_id < 250)
+             |WHERE jaccard >= 0.8 ORDER BY id, ref_id""".stripMargin)),
+
     QueryDef("q49_simhash_pairs",
       (s, d) => {
         // The seeded 64-bit signature is not SQL-expressible, so the gate

@@ -164,6 +164,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(0L, 2L, 4L, 5L))
   }
 
+  test("cross-corpus minhash dedup: new batch pruned against reference, reference untouched") {
+    // new batch {1, 3, 5} vs reference {0, 2, 4}: doc 1 is a near-dup of
+    // ref doc 0, doc 3 an exact dup of ref doc 2, doc 5 unrelated. The
+    // within-batch and within-reference relationships must NOT surface —
+    // only cross pairs count.
+    val newBatch = docs.filter(col("doc_id") % 2 === 1)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val pairs = Dedup.minhashLshAgainstPairs(newBatch, ref, "text", "doc_id",
+      threshold = 0.7, numPerm = 128, bands = 16, shingleK = 3)
+      .select(col("id"), col("ref_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 0L), (3L, 2L)), s"pairs $pairs")
+    val kept = Dedup.dedupAgainst(newBatch, ref, "text", "doc_id",
+      threshold = 0.7).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(5L), s"kept $kept")
+  }
+
   test("simhash pairs finds exact and near duplicates within distance") {
     val pairs3 = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
