@@ -715,7 +715,8 @@ object Probe {
         val (sec, bytes) = timed.minBy(_._1)
         println(f"HHVOCAB $label%-28s sec=$sec%7.2f shuffle_mb=${bytes / 1e6}%9.2f")
       }
-      val files = new java.io.File(sfDir).listFiles()
+      val files = Option(new java.io.File(sfDir).listFiles())
+        .getOrElse(Array.empty[java.io.File])
         .filter(_.getName.matches("tokens_u\\d+\\.parquet"))
         .sortBy(f => f.getName.stripPrefix("tokens_u").stripSuffix(".parquet").toLong)
       require(files.nonEmpty, s"no tokens_u*.parquet under $sfDir — run tools/make_vocab.py")
@@ -748,26 +749,41 @@ object Probe {
       "bench_events_bu" -> "user_id")
     // SPARK_GRAFT_PROBE_REUSE_BUCKETS=1: re-register a PREVIOUS probe
     // run's bucketed warehouse dirs as external bucketed tables instead
-    // of rebuilding (~270 s at sf100) — the bucket count is recovered
-    // from the one-file-per-bucket layout writeBucketed guarantees.
-    // Only valid when the surviving warehouse was built from the SAME
-    // sfDir; the caller asserts that by setting the flag.
+    // of rebuilding (~270 s at sf100) — the bucket count is read from
+    // the _GRAFT_NB_<n> marker the build path writes (counting parquet
+    // files is NOT safe: an empty bucket writes no file, and a declared
+    // bucket count below the real one makes Spark's bucketed scan
+    // silently DROP the out-of-range buckets' rows). A dir without a
+    // marker or with a file-count/marker mismatch (beyond missing empty
+    // buckets) forces the rebuild path. Only valid when the surviving
+    // warehouse was built from the SAME sfDir; the caller asserts that
+    // by setting the flag.
     def registerExisting(): Boolean = {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
       bucketKeys.forall { case (t, key) =>
         val loc = new java.io.File(wh, t)
-        val files = Option(loc.listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.endsWith(".parquet"))
-        files.nonEmpty && {
+        val all = Option(loc.listFiles()).getOrElse(Array.empty[java.io.File])
+        val nbMarker = all.map(_.getName)
+          .collectFirst { case n if n.startsWith("_GRAFT_NB_") =>
+            n.stripPrefix("_GRAFT_NB_").toInt }
+        val nFiles = all.count(_.getName.endsWith(".parquet"))
+        nbMarker.exists(nb => nFiles > 0 && nFiles <= nb) && {
+          val nb = nbMarker.get
           val schema = spark.read.parquet(loc.getAbsolutePath).schema.toDDL
           spark.sql(s"DROP TABLE IF EXISTS $t")
           spark.sql(s"CREATE TABLE $t ($schema) USING PARQUET " +
-            s"CLUSTERED BY ($key) SORTED BY ($key) INTO ${files.length} BUCKETS " +
+            s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nb BUCKETS " +
             s"LOCATION '${loc.getAbsolutePath}'")
-          println(s"PROBE bucket_reuse $t nb=${files.length}")
+          println(s"PROBE bucket_reuse $t nb=$nb files=$nFiles")
           true
         }
       }
+    }
+    // Stamp a table dir with its true bucket count so a later reuse run
+    // cannot mis-declare it.
+    def stampNb(t: String, nb: Int): Unit = {
+      val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      new java.io.File(new java.io.File(wh, t), s"_GRAFT_NB_$nb").createNewFile()
     }
     if (only.isEmpty || only.exists(v => bucketReaders(v) ||
         v.startsWith("q06b") || v.endsWith("_bucketed"))) {
@@ -814,6 +830,9 @@ object Probe {
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       val nbEu = nbOverride.getOrElse(Bucketing.autoBuckets(ev))
       Bucketing.writeBucketed(ev, "bench_events_bu", "user_id", nbEu)
+      Seq("bench_lineitem_bo" -> nbBo, "bench_orders_bo" -> nbBo,
+        "bench_orders_bc" -> nbBc, "bench_customer_bc" -> nbBc,
+        "bench_events_bu" -> nbEu).foreach { case (t, nb) => stampNb(t, nb) }
       println(f"PROBE bucket_setup nbBo=$nbBo nbBc=$nbBc nbEu=$nbEu ${(System.nanoTime() - t0) / 1e9}%.2fs")
       }
     }

@@ -39,33 +39,48 @@ object Dedup {
       .drop("__rn")
   }
 
-  /** Exact-dup groups (hash, keeper id, count) — the audit view.
+  /** Cost-gated xxhash64 collision prefilter — ONE copy of the q44 gate
+    * shared by [[exactGroups]] and the q44 gate query. Above `gateBytes`
+    * of scan input (Catalyst stats), keep only rows whose codegen'd
+    * `xxhash64(text)` collides with another row's; md5 then runs on
+    * those survivors only. At dedup-realistic dup rates (~0.2%) this
+    * removes the MessageDigest cost from 99.8% of bytes (measured
+    * 1.50→1.24 s at sf100, Probe q44v1/v2); below the gate the two
+    * extra stages cost more than the md5 they save (sf0.1 0.32→0.36 s).
     *
-    * Cost-gated like q44: above 32 MB of input, a codegen'd xxhash64
-    * pre-pass finds colliding hash groups and md5 runs only on those
-    * rows (md5 still decides group identity and is the emitted hash, so
-    * results are identical — equal md5 implies equal text implies equal
-    * xxhash64). At dedup-realistic dup rates (~0.2%) this removes the
-    * MessageDigest cost from 99.8% of bytes; measured 1.50→1.24 s at
-    * sf100 (Probe q44v1/v2). Below the gate the extra stages cost more
-    * than the md5 they save.
+    * Semantics note: the prefiltered path is faithful to TEXT equality —
+    * equal text ⟹ equal xxhash64 ⟹ survives, so no true duplicate is
+    * ever lost. The md5-only path below the gate inherits md5's
+    * (crafted-collision-level) behavior of grouping two DIFFERENT texts
+    * with a constructed md5 collision; above the gate such a pair has
+    * different xxhash64 values and is correctly NOT reported. The two
+    * regimes can only be told apart by an adversarially constructed md5
+    * collision in the corpus.
     */
-  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+  private[graft] def collidingTextPrefilter(
+      df: DataFrame, textCol: String,
+      gateBytes: Long = 32L * 1024 * 1024): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
-    val base =
-      if (bytes < 32L * 1024 * 1024) df
-      else {
-        val colliding = df
-          .groupBy(xxhash64(col(textCol)).as("xh"))
-          .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-          .select(col("xh"))
-        df.join(broadcast(colliding),
-          xxhash64(col(textCol)) === colliding("xh"), "left_semi")
-      }
-    base.groupBy(md5(col(textCol)).as("content_hash"))
+    if (bytes < gateBytes) df
+    else {
+      val colliding = df
+        .groupBy(xxhash64(col(textCol)).as("xh"))
+        .agg(count(lit(1)).as("n")).filter(col("n") > 1)
+        .select(col("xh"))
+      df.join(broadcast(colliding),
+        xxhash64(col(textCol)) === colliding("xh"), "left_semi")
+    }
+  }
+
+  /** Exact-dup groups (hash, keeper id, count) — the audit view.
+    * Cost-gated via [[collidingTextPrefilter]]; md5 still decides group
+    * identity and is the emitted hash.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    collidingTextPrefilter(df, textCol)
+      .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
-  }
 
   // ---- minhash + LSH --------------------------------------------------
 
@@ -191,6 +206,38 @@ object Dedup {
   private[graft] def signatureForProfile(numPerm: Int, k: Int) = textSignatureUdf(numPerm, k)
   private[graft] def shingleHashesForProfile(k: Int) = shingleHashes64Udf(k)
 
+  /** (id, __text) projection spread over the session's shuffle
+    * parallelism. The signature UDF is the CPU-heaviest stage (numPerm
+    * multiplies per shingle); scan partitioning follows file size, which
+    * for compressed text may be a handful of partitions — one narrow
+    * shuffle of raw text here is amortized over orders of magnitude more
+    * signature compute. Shared by the self-join and cross-corpus
+    * operators.
+    */
+  private def prepTexts(src: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val par = src.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    src.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .repartition(math.max(par, src.rdd.getNumPartitions))
+  }
+
+  /** (id, band, bucket) banding rows from a [[prepTexts]] projection.
+    * This is THE band hash family: the cross-corpus operator's
+    * correctness rests on both corpora hashing bands identically, so
+    * there is exactly one copy of the signature-slice-hash pipeline.
+    */
+  private def bandRows(base: DataFrame, numPerm: Int, bands: Int,
+                       shingleK: Int): DataFrame = {
+    val rowsPerBand = numPerm / bands
+    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
+    base
+      .withColumn("sig", textSignatureUdf(numPerm, shingleK)(col("__text")))
+      .filter(col("sig").isNotNull)
+      .select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   /** Near-duplicate pairs via MinHash-LSH with exact-Jaccard verification.
     *
     * Pipeline (all narrow-key shuffles):
@@ -210,27 +257,8 @@ object Dedup {
   def minhashLshPairs(df: DataFrame, textCol: String, idCol: String,
                       threshold: Double = 0.8, numPerm: Int = 128,
                       bands: Int = 16, shingleK: Int = 3): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
-
-    // The signature UDF is the CPU-heaviest stage (numPerm multiplies per
-    // shingle); scan partitioning follows file size, which for compressed
-    // text may be a handful of partitions. Spread the per-doc work over
-    // the session's shuffle parallelism first — one narrow shuffle of raw
-    // text, amortized over orders of magnitude more signature compute.
-    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val base = df.select(col(idCol).as("id"), col(textCol).as("__text"))
-      .repartition(math.max(par, df.rdd.getNumPartitions))
-    val withSig = base
-      .withColumn("sig", textSignatureUdf(numPerm, shingleK)(col("__text")))
-      .filter(col("sig").isNotNull)
-
-    val banded = withSig.select(
-      col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-
+    val base = prepTexts(df, textCol, idCol)
+    val banded = bandRows(base, numPerm, bands, shingleK)
     val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
     val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
     // MERGE: both sides of a band self-join are the whole banded corpus —
@@ -297,23 +325,11 @@ object Dedup {
                              idCol: String, threshold: Double = 0.8,
                              numPerm: Int = 128, bands: Int = 16,
                              shingleK: Int = 3): DataFrame = {
-    val rowsPerBand = numPerm / bands
-    require(bands * rowsPerBand == numPerm, "bands must divide numPerm")
-    val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    def prep(src: DataFrame) =
-      src.select(col(idCol).as("id"), col(textCol).as("__text"))
-        .repartition(math.max(par, src.rdd.getNumPartitions))
-    def banded(base: DataFrame) = base
-      .withColumn("sig", textSignatureUdf(numPerm, shingleK)(col("__text")))
-      .filter(col("sig").isNotNull)
-      .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val base = prep(df)
-    val refBase = prep(ref)
-    val left = banded(base)
-    val right = banded(refBase).withColumnRenamed("id", "ref_id")
+    val base = prepTexts(df, textCol, idCol)
+    val refBase = prepTexts(ref, textCol, idCol)
+    val left = bandRows(base, numPerm, bands, shingleK)
+    val right = bandRows(refBase, numPerm, bands, shingleK)
+      .withColumnRenamed("id", "ref_id")
     val candidates = left.join(right.hint("MERGE"), Seq("band", "bucket"))
       .select(col("id"), col("ref_id"))
       .dropDuplicates("id", "ref_id")

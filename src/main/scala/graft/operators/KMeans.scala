@@ -34,19 +34,31 @@ object KMeans {
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
 
-  /** Add a `cluster` column: nearest centroid by cosine, ties to the
-    * smallest centroid id. Centroids ride along as broadcast literals.
+  /** Add `cluster` AND `cent_sim` columns: nearest centroid by cosine
+    * (ties to the smallest centroid id) plus the similarity to that
+    * centroid. The single argmax struct shared by [[assign]] and
+    * [[SemDeDup]] — one copy of the tie-break the oracles encode.
     */
-  def assign(df: DataFrame, embCol: String,
-             centroids: Array[(Long, Array[Double])]): DataFrame = {
+  def assignWithSim(df: DataFrame, embCol: String,
+                    centroids: Array[(Long, Array[Double])]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val v = col(embCol).cast("array<double>")
     val best = centroids.map { case (cid, c) =>
       struct(VectorExpressions.cosineSim(v, typedLit(c)).as("sim"),
         lit(-cid).as("neg_cid"))
     }.reduce((a, b) => greatest(a, b))
-    df.withColumn("cluster", -best.getField("neg_cid"))
+    df.withColumn("_best", best)
+      .withColumn("cluster", -col("_best").getField("neg_cid"))
+      .withColumn("cent_sim", col("_best").getField("sim"))
+      .drop("_best")
   }
+
+  /** Add a `cluster` column: nearest centroid by cosine, ties to the
+    * smallest centroid id. Centroids ride along as broadcast literals.
+    */
+  def assign(df: DataFrame, embCol: String,
+             centroids: Array[(Long, Array[Double])]): DataFrame =
+    assignWithSim(df, embCol, centroids).drop("cent_sim")
 
   /** One Lloyd update: element-wise mean of each cluster's members.
     * Returns (cluster, n_members, centroid: array<double>).

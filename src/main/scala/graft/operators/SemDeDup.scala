@@ -32,22 +32,14 @@ import graft.functions.VectorExpressions
 object SemDeDup {
 
   /** Assign each row to its nearest centroid (cosine, ties to smallest
-    * centroid id — same determinism as [[KMeans.assign]]) and keep the
-    * similarity to the assigned centroid as `cent_sim`.
+    * centroid id) and keep the similarity to the assigned centroid as
+    * `cent_sim` — delegates to [[KMeans.assignWithSim]] so SemDeDup and
+    * k-means clustering can never disagree on the tie-break the q95
+    * oracle encodes.
     */
   def assignWithSim(df: DataFrame, embCol: String,
-                    centroids: Array[(Long, Array[Double])]): DataFrame = {
-    require(centroids.nonEmpty, "need at least one centroid")
-    val v = col(embCol).cast("array<double>")
-    val best = centroids.map { case (cid, c) =>
-      struct(VectorExpressions.cosineSim(v, typedLit(c)).as("sim"),
-        lit(-cid).as("neg_cid"))
-    }.reduce((a, b) => greatest(a, b))
-    df.withColumn("_best", best)
-      .withColumn("cluster", -col("_best").getField("neg_cid"))
-      .withColumn("cent_sim", col("_best").getField("sim"))
-      .drop("_best")
-  }
+                    centroids: Array[(Long, Array[Double])]): DataFrame =
+    KMeans.assignWithSim(df, embCol, centroids)
 
   /** Semantic dedup of `df` on embedding column `embCol`: returns the
     * KEPT rows with `cluster` and `cent_sim` columns added. `iters` = 0
@@ -70,12 +62,18 @@ object SemDeDup {
     val shadow = assigned.select(
       col("cluster").as("y_cluster"), xv.as("y_v"),
       col("cent_sim").as("y_cs"), col(idCol).cast("long").as("y_id"))
+    // nanvl guard: a zero-norm embedding makes cosineSim NaN, and Spark
+    // comparison semantics rank NaN ABOVE every double — without the
+    // guard a zero vector would count as "similar to everything" and be
+    // anti-joined away as a duplicate of whatever shares its cluster.
+    // Mapping NaN to -1 keeps zero-norm rows (they are semantically
+    // similar to NOTHING) and stops them shadowing others.
     assigned.join(shadow,
       col("cluster") === col("y_cluster") &&
         (col("y_cs") < col("cent_sim") ||
           (col("y_cs") === col("cent_sim") &&
             col("y_id") < col(idCol).cast("long"))) &&
-        VectorExpressions.cosineSim(xv, col("y_v")) >= lit(tau),
+        nanvl(VectorExpressions.cosineSim(xv, col("y_v")), lit(-1.0)) >= lit(tau),
       "left_anti")
   }
 }

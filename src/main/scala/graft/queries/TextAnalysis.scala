@@ -113,18 +113,10 @@ object TextAnalysis {
       // 600 rows; a corpus past that budget flips to the unhinted semi
       // (Probe q44v3).
       (s, d) => {
-        val docs = load(s, d, "documents")
-        val bytes = docs.queryExecution.optimizedPlan.stats.sizeInBytes
-        val base =
-          if (bytes < 32L * 1024 * 1024) docs
-          else {
-            val colliding = docs
-              .groupBy(xxhash64(col("text")).as("xh"))
-              .agg(count(lit(1)).as("n")).filter(col("n") > 1)
-              .select(col("xh"))
-            docs.join(broadcast(colliding),
-              xxhash64(col("text")) === colliding("xh"), "left_semi")
-          }
+        // the gate + prefilter live in ONE place
+        // (Dedup.collidingTextPrefilter) shared with Dedup.exactGroups
+        val base = graft.operators.Dedup
+          .collidingTextPrefilter(load(s, d, "documents"), "text")
         base
           .groupBy(unhex(md5(col("text"))).as("hb"))
           .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))

@@ -442,6 +442,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == expected)
   }
 
+  test("semdedup: zero-norm embedding is kept and never shadows (NaN cosine guard)") {
+    import spark.implicits._
+    // cosineSim of a zero vector is NaN, and Spark ranks NaN above every
+    // double — without the nanvl guard the zero vector would be dropped
+    // as a "duplicate" of anything sharing its cluster, despite being
+    // similar to nothing. It must survive, and the real near-dup pair
+    // must still resolve normally around it.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 0.0f)),       // zero norm
+      (3L, Array(0.999f, 0.02f))).toDF("vec_id", "embedding")
+    val kept = SemDeDup.semDedup(emb, "embedding", "vec_id", k = 2, tau = 0.99)
+      .select(col("vec_id")).as[Long].collect().toSet
+    // 3 shadows 0 (same cluster, farther from centroid, cos >= tau);
+    // 1 and the zero vector survive untouched
+    assert(kept == Set(1L, 2L, 3L), s"kept $kept")
+  }
+
   test("ivf persisted index: full probe equals brute force, probes prune partitions") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = emb.filter(col("vec_id") === 0)

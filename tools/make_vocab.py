@@ -9,11 +9,13 @@ This generator holds the row count fixed and sweeps the universe:
 
     python3 tools/make_vocab.py /tmp/vocab 1e8 1e4 1e5 1e6 1e7
 
-writes tokens_u{U}.parquet, each N rows of a single `word` column drawn
-Zipf(s≈1): rank = ceil(U^uniform) gives P(rank=r) ≈ 1/(r ln U) — a
-heavy head (rank 1 holds ~1/ln U of all rows) over a long tail, the
-standard token-frequency shape. The true top-k is deeply inside the
-MG exactness bound N/(capacity+1) at every swept U.
+writes tokens_u{U}.parquet, each N rows of a single `word` column with a
+log-uniform (Zipf-like, s≈1) rank distribution: rank = ceil(U^uniform)
+lands on ranks 2..U with P(rank=m) = ln(m/(m-1))/ln(U) — rank 1 itself
+is (almost) never drawn since U^u > 1 for u > 0, so the head is rank 2
+at ~ln(2)/ln(U) of all rows (~4.3% at U=1e7), decaying as ~1/(m ln U)
+down the tail — the standard token-frequency shape. The true top-k is
+deeply inside the MG exactness bound N/(capacity+1) at every swept U.
 """
 import sys, os
 import duckdb
