@@ -46,6 +46,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), p.take(1500))
   }
 
+  test("q96 cross-corpus band join is sort-merge — no broadcast of a corpus-scale side") {
+    // the MERGE hint is the operator's memory contract (neither the new
+    // batch nor the reference fits executor memory at 100 TB); a
+    // broadcast here would mean the size ESTIMATE of the UDF+explode
+    // projection collapsed below the threshold again (the sf30 failure
+    // mode minhashLshPairs documents).
+    val p = planOf("q96_dedup_against")
+    assert(p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("q06 5-way join broadcasts the dimension tables") {
     val p = planOf("q06_join_5way")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
