@@ -593,6 +593,21 @@ object Probe {
       .orderBy(col("r_name"))
   }
 
+  /** Cross-corpus MinHash dedup at bench scale: split documents odd/even
+    * on doc_id (new batch vs reference) and count verified cross pairs —
+    * the at-scale timing point for q96's kernel (the gate runs at
+    * sf0.01). Replicated SFs make every odd doc a near-dup of its even
+    * replicas, so pair volume here is an upper bound on real-corpus
+    * density at the same size.
+    */
+  def q96scale(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    graft.operators.Dedup.minhashLshAgainstPairs(
+        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
+        "text", "doc_id", threshold = 0.8)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Materialize via the noop sink (same as graft.Bench.exec): evaluates
     * every row and column without driver collection — collect() on the
     * scan-only probes would pull the whole table into the driver. */
@@ -864,6 +879,7 @@ object Probe {
       "q06b_scan" -> (q06bScan _), "q06b_perorder" -> (q06bPerOrder _),
       "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
       "q06b_smj" -> (q06bSmj _), "q06b_joinfirst" -> (q06bJoinFirst _),
+      "q96scale" -> (q96scale _),
       "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
         graft.Bench.extras("q05_join_agg_bucketed")(s, d)),
       "q28_in_subquery_bucketed" -> ((s: SparkSession, d: String) =>
