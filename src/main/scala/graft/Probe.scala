@@ -509,6 +509,21 @@ object Probe {
       .orderBy(col("keeper"))
   }
 
+  /** q44 SHIPPED shape (round 14): count-gated broadcast — the colliding
+    * set is materialized with a capped limit+collect and broadcast as a
+    * driver literal when it fits (no probe-side shuffle, no recompute),
+    * falling back to q44v3's unhinted semi on overflow. The timed region
+    * includes the eager probe job.
+    */
+  def q44v4(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup
+      .collidingTextPrefilter(load(s, d, "documents"), "text")
+      .groupBy(unhex(md5(col("text"))).as("hb"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
+      .orderBy(col("keeper"))
+
   /** Stage decomposition of the BUCKETED q06 — with no exchange left to
     * blame, attribute its cost to scan vs per-order aggregate vs fact
     * join vs the dimension tail. Requires the bench bucketed tables
@@ -600,12 +615,75 @@ object Probe {
     * replicas, so pair volume here is an upper bound on real-corpus
     * density at the same size.
     */
-  def q96scale(s: SparkSession, d: String): DataFrame = {
+  /** SPARK_GRAFT_PROBE_Q96_SPLIT=m: batch = doc_id % m == 1, reference =
+    * the rest. m=2 (default) is the symmetric kernel point; m=10 is the
+    * deployment shape (daily batch ≈ lake/10) where the index A/B's
+    * question — does batch cost still include lake signature time? —
+    * actually has a measurable answer.
+    */
+  private def q96split(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2").toInt
     val docs = load(s, d, "documents")
+    (docs.filter(col("doc_id") % m === 1), docs.filter(col("doc_id") % m =!= 1))
+  }
+
+  def q96scale(s: SparkSession, d: String): DataFrame = {
+    val (batch, ref) = q96split(s, d)
     graft.operators.Dedup.minhashLshAgainstPairs(
-        docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0),
-        "text", "doc_id", threshold = 0.8)
+        batch, ref, "text", "doc_id", threshold = 0.8)
       .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** q96 through the PERSISTED index (Dedup.lshBuild +
+    * minhashLshIndexPairs): same odd/even split and pair count as
+    * q96scale, but the even half's signatures come from the stored index.
+    * The one-time build is timed separately (and skipped when the index
+    * dir already exists from a previous pass), so the warm timings here
+    * are the per-BATCH cost a daily ingest pays — the A/B against
+    * q96scale is exactly the lake-signature recompute the index removes.
+    * Batch band rows cross the broadcast gate between sf10 (4M = gate,
+    * broadcast batch, zero lake shuffle) and sf30 (12M, sort-merge), so
+    * the two probe SFs exercise both join regimes.
+    */
+  def q96index(s: SparkSession, d: String): DataFrame = {
+    val (batch, ref) = q96split(s, d)
+    val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2")
+    val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probe_lsh_idx_${new java.io.File(d).getName}_m$m").getAbsolutePath
+    if (!new java.io.File(s"$idx/meta/_SUCCESS").exists()) {
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.lshBuild(ref, "text", "doc_id", idx)
+      println(f"PROBE q96index_build               ${(System.nanoTime() - t0) / 1e9}%6.2fs -> $idx")
+    }
+    graft.operators.Dedup.minhashLshIndexPairs(
+        batch, idx, "text", "doc_id", threshold = 0.8)
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
+  /** SemDeDup shadow-leg A/B (VERDICT r13 What's-wrong #2): the anti-join
+    * derives both legs from `assigned`, so the cosine-argmax assignment
+    * runs once per leg unless persisted. `SPARK_GRAFT_PROBE_Q95=persist`
+    * materializes `assigned` to MEMORY_AND_DISK first; default
+    * recomputes. The embeddings table scales with SF (200k × 64-dim at
+    * sf10, 600k at sf30), so this is a real at-scale point, k=64
+    * matching the sum-|c|²-bounded pair-volume contract.
+    */
+  def q95persist(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{KMeans, SemDeDup}
+    val emb = load(s, d, "embeddings")
+      .select(col("vec_id").cast("long").as("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+    val cents = KMeans.initCentroidsSampled(emb, "embedding", "vec_id",
+      k = 64, seed = 7L)
+    val assigned = SemDeDup.assignWithSim(emb, "embedding", cents)
+    if (sys.env.get("SPARK_GRAFT_PROBE_Q95").contains("persist")) {
+      val p = assigned.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      SemDeDup.semDedupOnAssigned(p, "embedding", "vec_id", tau = 0.35)
+        .agg(count(lit(1)).as("n_kept"))
+    } else {
+      SemDeDup.semDedupOnAssigned(assigned, "embedding", "vec_id", tau = 0.35)
+        .agg(count(lit(1)).as("n_kept"))
+    }
   }
 
   /** Materialize via the noop sink (same as graft.Bench.exec): evaluates
@@ -714,6 +792,22 @@ object Probe {
             sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
           shuffleBytes.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
       })
+      // The listener bus is async: a fixed sleep can cut off late
+      // stage-completed events under GC or bus backlog, losing bytes or
+      // attributing them to the neighboring run. Poll until the counter
+      // has been STABLE for 500 ms (10 s cap) instead — drained means
+      // nothing landed for a full stability window, not "300 ms passed".
+      def drainListenerBus(): Unit = {
+        val t0 = System.nanoTime()
+        var last = shuffleBytes.get()
+        var stableSince = System.nanoTime()
+        while ((System.nanoTime() - stableSince) < 500e6.toLong &&
+               (System.nanoTime() - t0) < 10e9.toLong) {
+          Thread.sleep(100)
+          val cur = shuffleBytes.get()
+          if (cur != last) { last = cur; stableSince = System.nanoTime() }
+        }
+      }
       def measure(label: String)(q: => DataFrame): Unit = {
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -722,9 +816,9 @@ object Probe {
         }
         once() // warm (page cache + codegen)
         val timed = (1 to 3).map { _ =>
-          Thread.sleep(300); shuffleBytes.set(0L)
+          drainListenerBus(); shuffleBytes.set(0L)
           val t = once()
-          Thread.sleep(300) // let async listener events drain
+          drainListenerBus()
           (t, shuffleBytes.get())
         }
         val (sec, bytes) = timed.minBy(_._1)
@@ -768,37 +862,66 @@ object Probe {
     // the _GRAFT_NB_<n> marker the build path writes (counting parquet
     // files is NOT safe: an empty bucket writes no file, and a declared
     // bucket count below the real one makes Spark's bucketed scan
-    // silently DROP the out-of-range buckets' rows). A dir without a
-    // marker or with a file-count/marker mismatch (beyond missing empty
-    // buckets) forces the rebuild path. Only valid when the surviving
-    // warehouse was built from the SAME sfDir; the caller asserts that
-    // by setting the flag.
+    // silently DROP the out-of-range buckets' rows). The marker's
+    // CONTENT stamps provenance — source sfDir and the bucketed table's
+    // row count — and reuse REFUSES on mismatch: a surviving warehouse
+    // built from a different sfDir (or a different
+    // SPARK_GRAFT_PROBE_NBUCKETS run at the same nb) re-registers only
+    // if it provably holds this sfDir's data, instead of silently
+    // benchmarking the wrong corpus. Row-count verification is a
+    // parquet metadata-only count (footers, no data pages). A dir with
+    // no marker, a legacy content-less marker, or any mismatch forces
+    // the rebuild path.
     def registerExisting(): Boolean = {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val sfKey = new java.io.File(sfDir).getAbsolutePath
       bucketKeys.forall { case (t, key) =>
         val loc = new java.io.File(wh, t)
         val all = Option(loc.listFiles()).getOrElse(Array.empty[java.io.File])
-        val nbMarker = all.map(_.getName)
-          .collectFirst { case n if n.startsWith("_GRAFT_NB_") =>
-            n.stripPrefix("_GRAFT_NB_").toInt }
+        val marker = all.find(_.getName.startsWith("_GRAFT_NB_"))
+        val nbMarker = marker.map(_.getName.stripPrefix("_GRAFT_NB_").toInt)
         val nFiles = all.count(_.getName.endsWith(".parquet"))
-        nbMarker.exists(nb => nFiles > 0 && nFiles <= nb) && {
+        val stamp: Map[String, String] = marker.map { f =>
+          scala.util.Try(
+            scala.io.Source.fromFile(f).getLines().flatMap { l =>
+              l.split("=", 2) match {
+                case Array(a, b) => Some(a -> b)
+                case _ => None
+              }
+            }.toMap).getOrElse(Map.empty)
+        }.getOrElse(Map.empty)
+        val provenanceOk = stamp.get("sfDir").contains(sfKey) &&
+          stamp.get("rows").exists { r =>
+            scala.util.Try(r.toLong).toOption
+              .contains(spark.read.parquet(loc.getAbsolutePath).count())
+          }
+        if (marker.nonEmpty && !provenanceOk)
+          println(s"PROBE bucket_reuse_refused $t stamp=$stamp expected_sfDir=$sfKey")
+        nbMarker.exists(nb => nFiles > 0 && nFiles <= nb) && provenanceOk && {
           val nb = nbMarker.get
           val schema = spark.read.parquet(loc.getAbsolutePath).schema.toDDL
           spark.sql(s"DROP TABLE IF EXISTS $t")
           spark.sql(s"CREATE TABLE $t ($schema) USING PARQUET " +
             s"CLUSTERED BY ($key) SORTED BY ($key) INTO $nb BUCKETS " +
             s"LOCATION '${loc.getAbsolutePath}'")
-          println(s"PROBE bucket_reuse $t nb=$nb files=$nFiles")
+          println(s"PROBE bucket_reuse $t nb=$nb files=$nFiles rows=${stamp("rows")}")
           true
         }
       }
     }
-    // Stamp a table dir with its true bucket count so a later reuse run
-    // cannot mis-declare it.
+    // Stamp a table dir with its true bucket count (filename) plus
+    // provenance content (source sfDir + footer-counted rows) so a later
+    // reuse run cannot mis-declare OR mis-source it.
     def stampNb(t: String, nb: Int): Unit = {
       val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-      new java.io.File(new java.io.File(wh, t), s"_GRAFT_NB_$nb").createNewFile()
+      val loc = new java.io.File(wh, t)
+      val rows = spark.read.parquet(loc.getAbsolutePath).count()
+      val f = new java.io.File(loc, s"_GRAFT_NB_$nb")
+      val w = new java.io.PrintWriter(f)
+      try {
+        w.println(s"sfDir=${new java.io.File(sfDir).getAbsolutePath}")
+        w.println(s"rows=$rows")
+      } finally w.close()
     }
     if (only.isEmpty || only.exists(v => bucketReaders(v) ||
         v.startsWith("q06b") || v.endsWith("_bucketed"))) {
@@ -872,6 +995,7 @@ object Probe {
       "q40v0" -> (q40v0 _), "q40v1" -> (q40v1 _), "q40v2" -> (q40v2 _),
       "q44v0" -> (q44v0 _), "q44v1" -> (q44v1 _), "q44scan" -> (q44scan _),
       "q44xscan" -> (q44xscan _), "q44v2" -> (q44v2 _), "q44v3" -> (q44v3 _),
+      "q44v4" -> (q44v4 _),
       "q17b" -> (q17b _), "q17v0" -> (q17v0 _),
       "q12b" -> (q12b _), "q12v0" -> (q12v0 _),
       "q34b" -> (q34b _), "q34v0" -> (q34v0 _),
@@ -880,6 +1004,8 @@ object Probe {
       "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
       "q06b_smj" -> (q06bSmj _), "q06b_joinfirst" -> (q06bJoinFirst _),
       "q96scale" -> (q96scale _),
+      "q96index" -> (q96index _),
+      "q95persist" -> (q95persist _),
       "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
         graft.Bench.extras("q05_join_agg_bucketed")(s, d)),
       "q28_in_subquery_bucketed" -> ((s: SparkSession, d: String) =>

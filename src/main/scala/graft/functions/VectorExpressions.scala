@@ -79,9 +79,152 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused nearest-centroid argmax: `struct(cluster, cent_sim)` of the
+  * centroid with the highest cosine similarity to the input vector, ties
+  * to the smallest centroid id.
+  *
+  * The composed spelling — `greatest(struct(cosineSim(v, c0), -0), …,
+  * struct(cosineSim(v, ck), -k))` — is semantically right but
+  * execution-hostile at any real k: every input row allocates k structs
+  * and runs k-1 field-by-field struct comparisons through the codegen'd
+  * comparator, which measured 55 s PER LEG for k=64 over 200k×64-dim
+  * rows (Probe q95persist, round 14) — ~97% of SemDeDup's entire
+  * runtime. This expression runs the whole argmax as ONE generated
+  * k×dim loop over primitive doubles with zero per-centroid allocation.
+  *
+  * Semantics replicate the greatest-chain fold exactly:
+  *  - ties on similarity (including NaN == NaN) keep the SMALLEST
+  *    centroid id (struct comparison on the -cid field);
+  *  - NaN similarity ranks ABOVE every real number (Spark double
+  *    ordering), so a zero-norm input assigns to the smallest cid with
+  *    cent_sim NaN — the [[graft.operators.SemDeDup]] nanvl guard
+  *    depends on exactly this;
+  *  - a null input array yields null (null-intolerant);
+  *  - a null ELEMENT makes every centroid's cosine null (the
+  *    [[CosineSimExpr]] contract), which the greatest chain resolves to
+  *    (smallest cid, null cent_sim) — all centroids must share one
+  *    dimensionality for this edge to stay order-independent.
+  */
+case class ArgmaxCosineExpr(child: Expression, cids: Array[Long],
+                            cents: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cids.length == cents.length && cids.nonEmpty,
+    "need one id per centroid and at least one centroid")
+  require(cids.sameElements(cids.sorted),
+    "centroids must be sorted by id (tie-break contract)")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("cluster", LongType, nullable = false),
+    StructField("cent_sim", DoubleType, nullable = true)))
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "argmax_cosine"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"argmax_cosine requires an array<double> argument, got ${t.simpleString}")
+  }
+
+  /** sim beats best iff strictly greater under Spark double ordering
+    * (NaN above everything, NaN == NaN); iterating cids ascending makes
+    * "not better" keep the smallest id on ties.
+    */
+  private def better(sim: Double, best: Double): Boolean =
+    if (java.lang.Double.isNaN(sim)) !java.lang.Double.isNaN(best)
+    else !java.lang.Double.isNaN(best) && sim > best
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val d = v.numElements()
+    var bestIdx = 0
+    var bestSim = 0.0
+    var c = 0
+    while (c < cents.length) {
+      val p = cents(c)
+      val n = math.min(p.length, d)
+      var dot = 0.0; var np = 0.0; var nv = 0.0
+      var i = 0
+      while (i < n) {
+        if (v.isNullAt(i))
+          return InternalRow(cids(0), null) // every centroid's cosine is null
+        val xv = v.getDouble(i)
+        dot += p(i) * xv; np += p(i) * p(i); nv += xv * xv
+        i += 1
+      }
+      val sim = dot / (math.sqrt(np) * math.sqrt(nv))
+      if (c == 0 || better(sim, bestSim)) { bestIdx = c; bestSim = sim }
+      c += 1
+    }
+    InternalRow(cids(bestIdx), bestSim)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val centsRef = ctx.addReferenceObj("cents", cents, "double[][]")
+      val cidsRef = ctx.addReferenceObj("cids", cids, "long[]")
+      val d = ctx.freshName("d")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val p = ctx.freshName("p")
+      val dot = ctx.freshName("dot")
+      val np = ctx.freshName("np")
+      val nv = ctx.freshName("nv")
+      val xv = ctx.freshName("xv")
+      val sim = ctx.freshName("sim")
+      val bestIdx = ctx.freshName("bestIdx")
+      val bestSim = ctx.freshName("bestSim")
+      val nullElem = ctx.freshName("nullElem")
+      val outer = ctx.freshName("outer")
+      val btr = ctx.freshName("btr")
+      val row = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
+      s"""
+         |int $d = $v.numElements();
+         |int $bestIdx = 0; double $bestSim = 0.0; boolean $nullElem = false;
+         |$outer:
+         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |  double[] $p = $centsRef[$c];
+         |  int $n = java.lang.Math.min($p.length, $d);
+         |  double $dot = 0.0; double $np = 0.0; double $nv = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($v.isNullAt($i)) { $nullElem = true; break $outer; }
+         |    double $xv = $v.getDouble($i);
+         |    $dot += $p[$i] * $xv; $np += $p[$i] * $p[$i]; $nv += $xv * $xv;
+         |  }
+         |  double $sim = $dot / (java.lang.Math.sqrt($np) * java.lang.Math.sqrt($nv));
+         |  // NaN ranks above every real (Spark double ordering); strict
+         |  // better-than keeps the smallest cid on ties
+         |  boolean $btr = java.lang.Double.isNaN($sim)
+         |    ? !java.lang.Double.isNaN($bestSim)
+         |    : (!java.lang.Double.isNaN($bestSim) && $sim > $bestSim);
+         |  if ($c == 0 || $btr) { $bestIdx = $c; $bestSim = $sim; }
+         |}
+         |${ev.value} = $nullElem
+         |  ? new $row(new Object[]{java.lang.Long.valueOf($cidsRef[0]), null})
+         |  : new $row(new Object[]{java.lang.Long.valueOf($cidsRef[$bestIdx]),
+         |      java.lang.Double.valueOf($bestSim)});
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): ArgmaxCosineExpr =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Cosine similarity of two `array<double>` columns, codegen'd. */
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnShim.column(CosineSimExpr(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** Nearest-centroid assignment as one fused codegen'd loop:
+    * `struct(cluster, cent_sim)` over a driver-side centroid matrix
+    * (compiled in as a reference object — k×dim doubles, KBs). Ties to
+    * the smallest centroid id; see [[ArgmaxCosineExpr]].
+    */
+  def argmaxCosine(v: Column, centroids: Array[(Long, Array[Double])]): Column = {
+    val sorted = centroids.sortBy(_._1)
+    GraftColumnShim.column(ArgmaxCosineExpr(
+      GraftColumnShim.expression(v), sorted.map(_._1), sorted.map(_._2)))
+  }
 }

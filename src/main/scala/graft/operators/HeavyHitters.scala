@@ -96,6 +96,51 @@ object HeavyHitters {
       .withColumnRenamed("k", keyCol)
   }
 
+  /** Unified vocabulary-top-k front door — regime-switched on KEY
+    * cardinality so a caller can never pick the wrong shape at 100 TB
+    * (the [[topKPerGroup]] design applied to the global case):
+    *
+    *  - '''exact regime''' (distinct keys ≤ `maxExactKeys`): one
+    *    map-side-combined `groupBy(key).count` + TakeOrdered — one
+    *    shuffle of the distinct-key universe. The right plan while the
+    *    universe is small (q77's shape; beats MG's second scan).
+    *  - '''MG regime''' (larger universes): [[topK]] — Misra–Gries
+    *    candidates + exact recount; shuffle stays ≤ capacity·partitions
+    *    rows however large the vocabulary.
+    *
+    * The measured crossover (Probe hhvocab, five points to 29.3 M Zipf
+    * keys, SCALE.md): the exact shape's shuffle grows ~44 B/key (981 MB
+    * at 29.3 M keys) while MG stays ≤ 43 MB; single-box wall-clock
+    * crosses at ~1.5×10⁸ keys, but on a cluster the exact shape is
+    * NETWORK-bound far earlier — so the default threshold (10⁷) sits
+    * well below the single-box fit, where both regimes are within
+    * single-digit percent locally and MG is strictly safer beyond.
+    *
+    * Cardinality comes from `expectedKeys` when known; otherwise ONE
+    * `approx_count_distinct` job (HLL sketch, no key shuffle) runs AT
+    * CALL TIME — like [[topKPerGroup]], constructing the frame without
+    * a hint triggers that input scan, so plan-only callers should pass
+    * the hint. Both regimes return (`keyCol`, cnt) ordered
+    * (cnt DESC, key ASC), NULL keys excluded, and are exact under
+    * [[topK]]'s capacity bound (the exact regime unconditionally).
+    */
+  def vocabTopK(df: DataFrame, keyCol: String, k: Int,
+                capacity: Int = 4096, maxExactKeys: Long = 10L * 1000 * 1000,
+                expectedKeys: Option[Long] = None): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val input = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("k"))
+    val nKeys = expectedKeys.getOrElse(
+      input.select(approx_count_distinct(col("k")).as("n")).first().getLong(0))
+    if (nKeys > maxExactKeys) topK(df, keyCol, k, capacity)
+    else
+      input.groupBy(col("k"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("k"))
+        .limit(k)
+        .withColumnRenamed("k", keyCol)
+  }
+
   /** Exact top-k keys WITHIN each group (per-language vocabulary,
     * per-domain hot URLs), regime-switched on group cardinality — because
     * Misra–Gries per group is only the right algorithm while the group
@@ -125,7 +170,12 @@ object HeavyHitters {
     * Group cardinality is taken from `expectedGroups` when the caller
     * knows it; otherwise a single `approx_count_distinct` job (HLL
     * sketches only — no key shuffle) runs AT CALL TIME to pick the
-    * regime. Both regimes return identical output: (`groupCol`,
+    * regime — a deliberate side effect: the regime decides the PLAN, so
+    * it must be fixed before the DataFrame exists. Callers that need
+    * plan-only construction (inspection, registration) without
+    * triggering an input scan must pass `expectedGroups`; the probe is
+    * the no-hint fallback, not the API contract. Both regimes return
+    * identical output: (`groupCol`,
     * `keyCol`, cnt) ordered (group ASC, cnt DESC, key ASC); NULL groups
     * and NULL keys are excluded (see class doc). The ±2% HLL error can
     * only flip the regime at the boundary, where both are exact and

@@ -24,7 +24,12 @@ import graft.functions.VectorExpressions
   */
 object KMeans {
 
-  /** Deterministic init: the k corpus vectors with the smallest ids. */
+  /** Deterministic init: the k corpus vectors with the smallest ids.
+    * Oracle-friendly (a pure function of the data, expressible in SQL)
+    * but quality-blind — if low ids correlate with ingest order, the
+    * seeds all come from one corner of the corpus. Production clustering
+    * should prefer [[initCentroidsSampled]].
+    */
   def initCentroids(df: DataFrame, embCol: String, idCol: String,
                     k: Int): Array[(Long, Array[Double])] =
     df.select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
@@ -34,22 +39,40 @@ object KMeans {
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
 
+  /** Seeded-sample init: the k vectors with the smallest
+    * `xxhash64(id, seed)` — a deterministic pseudo-random draw spread
+    * uniformly over the corpus regardless of id layout, reproducible
+    * across runs and cluster topologies (same contract as
+    * [[Sampling.hashSample]]'s hash-order trick). One
+    * TakeOrdered pass; only k×dim doubles reach the driver.
+    */
+  def initCentroidsSampled(df: DataFrame, embCol: String, idCol: String,
+                           k: Int, seed: Long): Array[(Long, Array[Double])] =
+    df.select(col(idCol).cast("long").as("__id"),
+        col(embCol).cast("array<double>").as("__v"))
+      .orderBy(xxhash64(col("__id"), lit(seed)), col("__id"))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1).toArray) }
+
   /** Add `cluster` AND `cent_sim` columns: nearest centroid by cosine
     * (ties to the smallest centroid id) plus the similarity to that
-    * centroid. The single argmax struct shared by [[assign]] and
-    * [[SemDeDup]] — one copy of the tie-break the oracles encode.
+    * centroid. The single argmax shared by [[assign]] and [[SemDeDup]] —
+    * one copy of the tie-break the oracles encode. Runs as ONE fused
+    * codegen'd k×dim loop ([[VectorExpressions.argmaxCosine]]); the
+    * previous `greatest(struct(cosineSim, -cid), …)` chain allocated k
+    * structs + k-1 struct comparisons per row — measured 55 s per join
+    * leg at k=64 over 200k×64-dim rows (Probe q95persist, round 14; see
+    * SCALE.md for the fused numbers).
     */
   def assignWithSim(df: DataFrame, embCol: String,
                     centroids: Array[(Long, Array[Double])]): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val v = col(embCol).cast("array<double>")
-    val best = centroids.map { case (cid, c) =>
-      struct(VectorExpressions.cosineSim(v, typedLit(c)).as("sim"),
-        lit(-cid).as("neg_cid"))
-    }.reduce((a, b) => greatest(a, b))
-    df.withColumn("_best", best)
-      .withColumn("cluster", -col("_best").getField("neg_cid"))
-      .withColumn("cent_sim", col("_best").getField("sim"))
+    df.withColumn("_best", VectorExpressions.argmaxCosine(v, centroids))
+      .withColumn("cluster", col("_best").getField("cluster"))
+      .withColumn("cent_sim", col("_best").getField("cent_sim"))
       .drop("_best")
   }
 
@@ -75,12 +98,17 @@ object KMeans {
         array_sort(collect_list(struct(col("dim"), col("mean_x"))))
           .getField("mean_x").as("centroid"))
 
-  /** Run `iters` Lloyd iterations from the deterministic init; only the
-    * k×dim centroid matrix crosses the driver per round.
+  /** Run `iters` Lloyd iterations; only the k×dim centroid matrix
+    * crosses the driver per round. `initSeed = None` keeps the
+    * deterministic smallest-id init (the oracle contract); `Some(seed)`
+    * starts from [[initCentroidsSampled]].
     */
   def fit(df: DataFrame, embCol: String, idCol: String, k: Int,
-          iters: Int): Array[(Long, Array[Double])] = {
-    var cs = initCentroids(df, embCol, idCol, k)
+          iters: Int, initSeed: Option[Long] = None): Array[(Long, Array[Double])] = {
+    var cs = initSeed match {
+      case Some(seed) => initCentroidsSampled(df, embCol, idCol, k, seed)
+      case None       => initCentroids(df, embCol, idCol, k)
+    }
     var i = 0
     while (i < iters) {
       cs = lloydStep(df, embCol, cs)

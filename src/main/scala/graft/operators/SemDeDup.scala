@@ -43,18 +43,45 @@ object SemDeDup {
 
   /** Semantic dedup of `df` on embedding column `embCol`: returns the
     * KEPT rows with `cluster` and `cent_sim` columns added. `iters` = 0
-    * clusters on the deterministic init centroids (the k smallest-id
-    * vectors); `iters` > 0 runs that many Lloyd iterations first
-    * ([[KMeans.fit]] — only the k×dim centroid matrix crosses the
-    * driver).
+    * clusters on the init centroids directly; `iters` > 0 runs that many
+    * Lloyd iterations first ([[KMeans.fit]] — only the k×dim centroid
+    * matrix crosses the driver).
+    *
+    * Centroid init contract: `initSeed = None` (default) seeds on the k
+    * SMALLEST-ID vectors — fully deterministic and SQL-expressible,
+    * which is what the q95 oracle encodes, but quality-blind when low
+    * ids correlate with ingest order (all seeds from one corner of the
+    * corpus). A production corpus should pass `Some(seed)` for the
+    * [[KMeans.initCentroidsSampled]] draw: still deterministic and
+    * reproducible (hash order, not partition order), but spread
+    * uniformly over the corpus — the determinism-over-quality trade is
+    * the caller's, stated here rather than hidden.
     */
   def semDedup(df: DataFrame, embCol: String, idCol: String, k: Int,
-               tau: Double, iters: Int = 0): DataFrame = {
+               tau: Double, iters: Int = 0,
+               initSeed: Option[Long] = None): DataFrame = {
     require(k > 0, s"k must be positive, got $k")
-    val centroids =
-      if (iters <= 0) KMeans.initCentroids(df, embCol, idCol, k)
-      else KMeans.fit(df, embCol, idCol, k, iters)
-    val assigned = assignWithSim(df, embCol, centroids)
+    val centroids = (iters, initSeed) match {
+      case (i, None) if i <= 0 => KMeans.initCentroids(df, embCol, idCol, k)
+      case (i, Some(seed)) if i <= 0 =>
+        KMeans.initCentroidsSampled(df, embCol, idCol, k, seed)
+      case (i, seed) => KMeans.fit(df, embCol, idCol, k, i, seed)
+    }
+    semDedupOnAssigned(assignWithSim(df, embCol, centroids), embCol, idCol, tau)
+  }
+
+  /** The shadow anti-join stage over a precomputed assignment — split
+    * out (the [[Dedup.simhashPairsOnSigs]] precedent) so callers can
+    * decide the assigned frame's lifecycle. Both join legs derive from
+    * `assigned`; Spark recomputes the broadcast-literal cosine argmax
+    * (the CPU-heaviest stage) once per leg unless the caller persists.
+    * Probe q95persist A/Bs the two lifecycles at bench scale (see the
+    * numbers there / SCALE.md); [[semDedup]] ships the recompute shape —
+    * persist pays only when the UPSTREAM of `assigned` is far more
+    * expensive than a scan (e.g. embeddings computed in-flight).
+    */
+  def semDedupOnAssigned(assigned: DataFrame, embCol: String, idCol: String,
+                         tau: Double): DataFrame = {
     val xv = col(embCol).cast("array<double>")
     // Rename the shadow side's columns so the self-join condition cannot
     // resolve both legs to the same attribute (Spark's trivially-true

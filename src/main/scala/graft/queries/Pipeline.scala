@@ -80,6 +80,36 @@ object Pipeline {
              |  FROM t n JOIN t r ON n.doc_id >= 250 AND r.doc_id < 250)
              |WHERE jaccard >= 0.8 ORDER BY id, ref_id""".stripMargin)),
 
+    QueryDef("q97_dedup_against_index",
+      (s, d) => {
+        // The PERSISTED-index form of q96: build the reference half's LSH
+        // index once (lshBuild — the lake's one-time signature pass),
+        // then find cross pairs by joining the new batch's band rows
+        // against the stored index. Identical pair semantics to q96 (the
+        // batch is signed with the parameters stored IN the index, so the
+        // hash families cannot diverge), same exact cross all-pairs
+        // oracle; the reference side at query time is parquet scans only
+        // (no signature UDF — plan-pinned in OperatorsSpec).
+        val docs = load(s, d, "documents")
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_q97_lsh_idx").toString
+        Dedup.lshBuild(docs.filter(col("doc_id") < 250), "text", "doc_id",
+          idx, numPerm = 128, bands = 16, shingleK = 3)
+        Dedup.minhashLshIndexPairs(docs.filter(col("doc_id") >= 250), idx,
+            "text", "doc_id", threshold = 0.8)
+          .orderBy(col("id"), col("ref_id"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents))
+             |SELECT id, ref_id, jaccard FROM (
+             |  SELECT n.doc_id AS id, r.doc_id AS ref_id,
+             |    round(CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
+             |          len(list_distinct(list_concat(n.sh, r.sh))), 4) AS jaccard
+             |  FROM t n JOIN t r ON n.doc_id >= 250 AND r.doc_id < 250)
+             |WHERE jaccard >= 0.8 ORDER BY id, ref_id""".stripMargin)),
+
     QueryDef("q49_simhash_pairs",
       (s, d) => {
         // The seeded 64-bit signature is not SQL-expressible, so the gate

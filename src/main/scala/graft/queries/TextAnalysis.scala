@@ -109,9 +109,11 @@ object TextAnalysis {
       // unchanged. Probe q44v1/v2: 1.50→1.24 s at sf100, 0.82→0.75 s
       // at sf30, 0.71→0.65 s at sf10; below the gate the extra stages
       // lose to the single-pass shape (0.32→0.36 s at sf0.1), which is
-      // why the gate exists. The broadcast holds ~1 colliding key per
-      // 600 rows; a corpus past that budget flips to the unhinted semi
-      // (Probe q44v3).
+      // why the gate exists. The broadcast is gated on the MEASURED
+      // colliding-group count (capped limit+collect, round 14): a small
+      // set broadcasts as a driver literal with no probe-side shuffle, a
+      // crawl-scale set falls back to the unhinted spill-safe semi
+      // (Probe q44v2/v3/v4 for the three shapes).
       (s, d) => {
         // the gate + prefilter live in ONE place
         // (Dedup.collidingTextPrefilter) shared with Dedup.exactGroups
@@ -429,17 +431,20 @@ object TextAnalysis {
     QueryDef("q77_vocab_topk",
       (s, d) => {
         // Global vocabulary top-k — the corpus-statistics pass behind BPE
-        // training and frequency filtering. Two-level aggregation: the
-        // word groupBy is map-side-combined (partial counts per
-        // partition, one shuffle of distinct words, not token volume);
-        // the final TopN is a driver-side k-row sort.
-        load(s, d, "documents")
+        // training and frequency filtering, through the regime-switched
+        // front door (HeavyHitters.vocabTopK). The expectedKeys hint
+        // states what the caller knows — this corpus's vocabulary is
+        // small — so the exact regime's plan is chosen without a probe
+        // job: map-side-combined word groupBy (one shuffle of distinct
+        // words, not token volume) + a driver-side k-row TopN. The same
+        // call against a BPE-scale vocabulary (or with no hint and a
+        // large HLL readout) switches to the Misra-Gries path (q93's
+        // shape) with no caller change.
+        val toks = load(s, d, "documents")
           .select(explode(split(lower(col("text")), " ")).as("word"))
           .filter(length(col("word")) > 0)
-          .groupBy(col("word"))
-          .agg(count(lit(1)).as("cnt"))
-          .orderBy(col("cnt").desc, col("word"))
-          .limit(50)
+        graft.operators.HeavyHitters.vocabTopK(toks, "word", k = 50,
+          expectedKeys = Some(100000L))
       },
       Some("""SELECT word, count(*) AS cnt
              |FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)

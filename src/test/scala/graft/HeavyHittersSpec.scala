@@ -56,6 +56,27 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(kth > bound, s"fixture should prove its own exactness ($kth <= $bound)")
   }
 
+  test("vocabTopK: both regimes and the HLL-probe path agree with the exact top-k") {
+    val df = fixture
+    val want = df.groupBy("k").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("k")).limit(10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    def run(df2: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame) =
+      df2(df).collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // exact regime, forced by the hint (universe 5,020 < default bound)
+    val exact = run(graft.operators.HeavyHitters.vocabTopK(_, "k", k = 10,
+      expectedKeys = Some(5020L)))
+    // MG regime, forced by shrinking the exact-regime ceiling to zero
+    val mg = run(graft.operators.HeavyHitters.vocabTopK(_, "k", k = 10,
+      capacity = 64, maxExactKeys = 0L, expectedKeys = Some(5020L)))
+    // no hint: the HLL probe runs at call time and must land in the
+    // exact regime (5,020 keys, ±2% HLL error << the 10^7 default bound)
+    val probed = run(graft.operators.HeavyHitters.vocabTopK(_, "k", k = 10))
+    assert(exact == want, s"exact regime: $exact")
+    assert(mg == want, s"mg regime: $mg")
+    assert(probed == want, s"probed: $probed")
+  }
+
   test("per-group top-k equals exact per-group top-k on skewed group sizes") {
     import spark.implicits._
     // group A: 20× the rows of group B, both with their own heavy keys

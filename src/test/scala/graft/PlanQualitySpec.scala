@@ -56,6 +56,33 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q97 index band join broadcasts the BATCH side — lake band rows never build the broadcast") {
+    // the index path's 100 TB contract: a small batch broadcasts so the
+    // persisted lake index is a streamed scan (zero lake shuffle). The
+    // broadcast build side must therefore be the side that signs the
+    // batch (the minhash_sig projection) — a broadcast built from the
+    // index's parquet band rows would invert the plan into "ship the
+    // lake to the batch".
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    val plan = SparkEntry.queries("q97_dedup_against_index")(spark, dir)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+    val bandJoins = plan.collect {
+      case j: BroadcastHashJoinExec
+        if j.leftKeys.map(_.toString).exists(_.contains("band")) => j
+    }
+    assert(bandJoins.nonEmpty, plan.toString.take(1500))
+    bandJoins.foreach { j =>
+      val build = if (j.buildSide == BuildLeft) j.left else j.right
+      assert(build.toString.contains("minhash_sig"),
+        "broadcast built from the lake side:\n" + build.toString.take(1000))
+    }
+  }
+
   test("q06 5-way join broadcasts the dimension tables") {
     val p = planOf("q06_join_5way")
     assert(p.contains("BroadcastHashJoin"), p.take(800))
@@ -147,6 +174,18 @@ class PlanQualitySpec extends AnyFunSuite {
         col("embedding").cast("array<double>")))
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("*(1) Project"), p.take(500))
+  }
+
+  test("whole-stage codegen covers the argmax-cosine assignment kernel") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.queries.load(spark, dir, "embeddings")
+    val cents = graft.operators.KMeans.initCentroids(emb, "embedding", "vec_id", 8)
+    val df = graft.operators.KMeans.assignWithSim(emb, "embedding", cents)
+      .select(col("cluster"), col("cent_sim"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("argmax_cosine"), p.take(800))
+    assert("\\*\\(\\d+\\) Project".r.findFirstIn(p).isDefined,
+      "assignment projection fell out of whole-stage codegen:\n" + p.take(800))
   }
 
   test("AQE splits a skewed join partition (hot key planted)") {

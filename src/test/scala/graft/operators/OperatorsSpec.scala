@@ -181,6 +181,143 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept == Set(5L), s"kept $kept")
   }
 
+  test("persisted LSH index reproduces direct cross-corpus pairs; lake side reads the index, not the signature UDF") {
+    val newBatch = docs.filter(col("doc_id") % 2 === 1)
+    val ref = docs.filter(col("doc_id") % 2 === 0)
+    val idx = java.nio.file.Files.createTempDirectory("graft_lsh_idx_spec").toString
+    Dedup.lshBuild(ref, "text", "doc_id", idx, numPerm = 128, bands = 16,
+      shingleK = 3)
+    val direct = Dedup.minhashLshAgainstPairs(newBatch, ref, "text", "doc_id",
+      threshold = 0.7, numPerm = 128, bands = 16, shingleK = 3)
+    val viaIdx = Dedup.minhashLshIndexPairs(newBatch, idx, "text", "doc_id",
+      threshold = 0.7)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("ref_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(viaIdx) == Set((1L, 0L), (3L, 2L)), s"via index: ${pairsOf(viaIdx)}")
+    assert(pairsOf(viaIdx) == pairsOf(direct))
+    // the deployment claim, pinned in the plan: the DIRECT path signs
+    // both corpora (2 signature + 2 shingle-hash UDF evaluations); the
+    // index path signs the BATCH only — the lake side is parquet scans
+    // of the persisted band rows and verify hashes.
+    def countIn(s: String, needle: String): Int = needle.r.findAllIn(s).length
+    val directPlan = direct.queryExecution.optimizedPlan.toString
+    val idxPlan = viaIdx.queryExecution.optimizedPlan.toString
+    assert(countIn(directPlan, "minhash_sig") == 2, directPlan.take(1500))
+    assert(countIn(idxPlan, "minhash_sig") == 1, idxPlan.take(1500))
+    assert(countIn(idxPlan, "shingle_hashes64") == 1, idxPlan.take(1500))
+    assert(viaIdx.queryExecution.executedPlan.toString.contains("graft_lsh_idx_spec"),
+      "index files not in the scan")
+    // forced sort-merge regime (huge-batch path) agrees with broadcast
+    val merged = Dedup.minhashLshIndexPairs(newBatch, idx, "text", "doc_id",
+      threshold = 0.7, broadcastMaxBandRows = 0L)
+    assert(pairsOf(merged) == pairsOf(direct))
+    // and the ingestion gate through the index keeps only the novel doc
+    val keptIdx = Dedup.dedupAgainstIndex(newBatch, idx, "text", "doc_id",
+      threshold = 0.7).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(keptIdx == Set(5L), s"kept $keptIdx")
+  }
+
+  test("exactGroups prefiltered shape (gateBytes=0) equals the ungated shape, incl. NULL text") {
+    // the sf0.01 oracle corpus sits below the default 32 MB gate, so the
+    // prefilter branch is forced here (gateBytes = 0) and held to the
+    // ungated output on a fixture with a planted dup group, singletons,
+    // and a NULL-text pair (xxhash64(NULL) = seed for every NULL row —
+    // the NULL group must collide with itself and survive, exactly like
+    // the md5-only path groups it).
+    val withNulls = docs.union(Seq((6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    def groupsOf(gate: Long) =
+      Dedup.exactGroups(withNulls, "text", "doc_id", gateBytes = gate)
+        .collect()
+        .map(r => (r.getAs[String]("content_hash"), r.getAs[Long]("keeper"),
+          r.getAs[Long]("n_copies"))).toSet
+    val ungated = groupsOf(Long.MaxValue)
+    val gated = groupsOf(0L)
+    assert(gated == ungated, s"gated $gated vs ungated $ungated")
+    assert(gated.exists { case (_, keeper, n) => keeper == 2L && n == 2L })
+    assert(gated.exists { case (h, keeper, n) => h == null && keeper == 6L && n == 2L })
+    // both prefilter regimes keep the same survivors: the collect+
+    // broadcast path (count fits the cap) and the overflow fallback to
+    // the unhinted shuffled semi (cap forced to 0)
+    def survivors(cap: Int) =
+      Dedup.collidingTextPrefilter(withNulls, "text", gateBytes = 0L,
+          broadcastMaxCollidingGroups = cap)
+        .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors(1000000) == Set(2L, 3L, 6L, 7L), survivors(1000000).toString)
+    assert(survivors(0) == survivors(1000000))
+  }
+
+  test("argmaxCosine fused kernel replicates the greatest(struct) chain bit-for-bit") {
+    import spark.implicits._
+    // centroid 2 duplicates centroid 0 → every similarity tie must keep
+    // the smaller cid; the zero vector's sims are all NaN → smallest cid
+    // with NaN cent_sim (the SemDeDup nanvl guard's contract); (0.5,0.5)
+    // ties 0-vs-1 exactly → cid 0.
+    val cents: Array[(Long, Array[Double])] = Array(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (2L, Array(1.0, 0.0)))
+    val rows = Seq(
+      (0L, Array(0.9f, 0.1f)), (1L, Array(0.1f, 0.9f)),
+      (2L, Array(0.0f, 0.0f)), (3L, Array(0.5f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val got = KMeans.assignWithSim(rows, "embedding", cents)
+      .select(col("vec_id"), col("cluster"), col("cent_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    // the replaced spelling, computed inline as the reference
+    val v = col("embedding").cast("array<double>")
+    val chain = cents.map { case (cid, c) =>
+      struct(graft.functions.VectorExpressions.cosineSim(v, typedLit(c)).as("sim"),
+        lit(-cid).as("neg_cid"))
+    }.reduce((a, b) => greatest(a, b))
+    val ref = rows.withColumn("_b", chain)
+      .select(col("vec_id"), (-col("_b").getField("neg_cid")).as("cluster"),
+        col("_b").getField("sim").as("cent_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+    def eq(a: Double, b: Double) = (a.isNaN && b.isNaN) || a == b
+    assert(got.length == ref.length)
+    got.zip(ref).foreach { case ((ig, cg, sg), (ir, cr, sr)) =>
+      assert(ig == ir && cg == cr && eq(sg, sr), s"got $got\nref $ref")
+    }
+    assert(got.map(g => (g._1, g._2)).toSeq ==
+      Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 0L)))
+    assert(got(2)._3.isNaN, "zero-norm row must carry NaN cent_sim")
+  }
+
+  test("semdedup seeded-sample init is deterministic and honors the keep-rule") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.999f, 0.02f)),
+      (3L, Array(0.02f, 0.999f)),
+      (4L, Array(0.7f, 0.75f))).toDF("vec_id", "embedding")
+    def run() = SemDeDup.semDedup(emb, "embedding", "vec_id", k = 2,
+      tau = 0.99, initSeed = Some(7L))
+      .select(col("vec_id")).as[Long].collect().toSet
+    val a = run()
+    assert(a == run(), "seeded init not reproducible")
+    // whatever the seed picked, the keep-rule contract must hold: verify
+    // against the brute-force shadow rule computed from the same init
+    val cents = KMeans.initCentroidsSampled(emb, "embedding", "vec_id", 2, 7L)
+    val assigned = SemDeDup.assignWithSim(emb, "embedding", cents)
+      .select(col("vec_id"), col("cluster"), col("cent_sim"),
+        col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getSeq[Double](3).toArray))
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      val dot = x.zip(y).map { case (p, q) => p * q }.sum
+      dot / (math.sqrt(x.map(v => v * v).sum) * math.sqrt(y.map(v => v * v).sum))
+    }
+    val expected = assigned.filter { case (id, cl, cs, v) =>
+      !assigned.exists { case (yid, ycl, ycs, yv) =>
+        ycl == cl && (ycs < cs || (ycs == cs && yid < id)) && cos(v, yv) >= 0.99
+      }
+    }.map(_._1).toSet
+    assert(a == expected, s"kept $a expected $expected")
+  }
+
   test("simhash pairs finds exact and near duplicates within distance") {
     val pairs3 = Dedup.simhashPairs(docs, "text", "doc_id", maxDistance = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Number](2).longValue))
