@@ -645,16 +645,48 @@ object Probe {
     * broadcast batch, zero lake shuffle) and sf30 (12M, sort-merge), so
     * the two probe SFs exercise both join regimes.
     */
-  def q96index(s: SparkSession, d: String): DataFrame = {
-    val (batch, ref) = q96split(s, d)
+  /** Build-or-reuse the probe's persisted LSH index for `d`'s reference
+    * half, PROVENANCE-GUARDED (the registerExisting pattern): the cache
+    * key is (dataset dir name, split modulus, bucket count), but a
+    * surviving index is reused only if its stamp matches the corpus
+    * actually AT that path now — absolute sfDir plus the documents row
+    * count (footer-only) — so a regenerated corpus under the same dir
+    * name forces a rebuild instead of silently joining a stale index.
+    * SPARK_GRAFT_PROBE_IDX_BUCKETS=nb builds the (band, bucket)-bucketed
+    * layout (separate cache entry). Returns (indexPath, buildSeconds —
+    * 0 when reused).
+    */
+  private def ensureProbeIndex(s: SparkSession, d: String): (String, Double) = {
     val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2")
+    val nb = sys.env.getOrElse("SPARK_GRAFT_PROBE_IDX_BUCKETS", "0").toInt
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_probe_lsh_idx_${new java.io.File(d).getName}_m$m").getAbsolutePath
-    if (!new java.io.File(s"$idx/meta/_SUCCESS").exists()) {
+      s"graft_probe_lsh_idx_${new java.io.File(d).getName}_m${m}_b$nb")
+      .getAbsolutePath
+    val expected = s"sfDir=${new java.io.File(d).getAbsolutePath};" +
+      s"docs=${load(s, d, "documents").count()}"
+    val stampFile = new java.io.File(idx, "_GRAFT_PROVENANCE")
+    val stamp = scala.util.Try(scala.util.Using.resource(
+      scala.io.Source.fromFile(stampFile))(_.mkString.trim)).toOption
+    if (new java.io.File(s"$idx/meta/_SUCCESS").exists() &&
+        stamp.contains(expected)) (idx, 0.0)
+    else {
+      if (new java.io.File(idx).exists())
+        println(s"PROBE q96index_reuse_refused stamp=$stamp expected=$expected")
+      val (_, ref) = q96split(s, d)
       val t0 = System.nanoTime()
-      graft.operators.Dedup.lshBuild(ref, "text", "doc_id", idx)
-      println(f"PROBE q96index_build               ${(System.nanoTime() - t0) / 1e9}%6.2fs -> $idx")
+      graft.operators.Dedup.lshBuild(ref, "text", "doc_id", idx,
+        bandBuckets = nb)
+      val sec = (System.nanoTime() - t0) / 1e9
+      val w = new java.io.PrintWriter(stampFile)
+      try w.print(expected) finally w.close()
+      println(f"PROBE q96index_build nb=$nb%-4d       $sec%6.2fs -> $idx")
+      (idx, sec)
     }
+  }
+
+  def q96index(s: SparkSession, d: String): DataFrame = {
+    val (batch, _) = q96split(s, d)
+    val (idx, _) = ensureProbeIndex(s, d)
     graft.operators.Dedup.minhashLshIndexPairs(
         batch, idx, "text", "doc_id", threshold = 0.8)
       .agg(count(lit(1)).as("n_pairs"))
@@ -843,6 +875,52 @@ object Probe {
       spark.stop(); sys.exit(0)
     }
 
+    // q96append: the day-2 index-maintenance cost point. Build the lake
+    // index (timed — delete any cached dir first so build_sec is real),
+    // then time lshAppend of the batch into a fresh COPY of the index
+    // per run (append mutates; copies keep runs independent; the copy
+    // itself is outside the timed region). Claim under test: day-2 cost
+    // is batch-proportional — append_sec tracks the batch (lake/(m-1)
+    // of the corpus at split m), not the lake that build_sec paid for.
+    if (only.contains("q96append")) {
+      import java.nio.file.{Files, Paths}
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        val walk = Files.walk(src)
+        try walk.forEach { p =>
+          val t = dst.resolve(src.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(t): Unit
+          else {
+            Files.createDirectories(t.getParent)
+            Files.copy(p, t): Unit
+          }
+        } finally walk.close()
+      }
+      val (batch, _) = q96split(spark, sfDir)
+      val batchN = batch.count()
+      val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2")
+      val nb = sys.env.getOrElse("SPARK_GRAFT_PROBE_IDX_BUCKETS", "0").toInt
+      rm(new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_probe_lsh_idx_${new java.io.File(sfDir).getName}_m${m}_b$nb"))
+      val (idx, buildSec) = ensureProbeIndex(spark, sfDir)
+      val runs = (1 to 3).map { _ =>
+        val dst = Files.createTempDirectory("graft_probe_lsh_append")
+        copyDir(Paths.get(idx), dst)
+        val t0 = System.nanoTime()
+        graft.operators.Dedup.lshAppend(batch, "text", "doc_id", dst.toString)
+        val sec = (System.nanoTime() - t0) / 1e9
+        rm(dst.toFile)
+        sec
+      }
+      println(f"PROBE q96append nb=$nb m=$m build=$buildSec%.2fs " +
+        f"append_med=${runs.sorted.apply(runs.length / 2)}%.2fs " +
+        s"batch_rows=$batchN runs=${runs.map(r => f"$r%.2f").mkString(",")}")
+      spark.stop(); sys.exit(0)
+    }
+
     Seq("lineitem", "orders", "customer", "nation", "region", "documents")
       .foreach(t => load(spark, sfDir, t).count())
 
@@ -882,13 +960,15 @@ object Probe {
         val nbMarker = marker.map(_.getName.stripPrefix("_GRAFT_NB_").toInt)
         val nFiles = all.count(_.getName.endsWith(".parquet"))
         val stamp: Map[String, String] = marker.map { f =>
-          scala.util.Try(
-            scala.io.Source.fromFile(f).getLines().flatMap { l =>
-              l.split("=", 2) match {
-                case Array(a, b) => Some(a -> b)
-                case _ => None
-              }
-            }.toMap).getOrElse(Map.empty)
+          scala.util.Try(scala.util.Using.resource(scala.io.Source.fromFile(f)) {
+            src =>
+              src.getLines().flatMap { l =>
+                l.split("=", 2) match {
+                  case Array(a, b) => Some(a -> b)
+                  case _ => None
+                }
+              }.toMap
+          }).getOrElse(Map.empty)
         }.getOrElse(Map.empty)
         val provenanceOk = stamp.get("sfDir").contains(sfKey) &&
           stamp.get("rows").exists { r =>

@@ -21,7 +21,11 @@ import org.apache.spark.sql.types._
   *
   * Semantics match the HOF form exactly: left fold in index order over
   * doubles, `null` when either array is null or contains a null element
-  * (zip_with propagates element nulls through the sum the same way).
+  * (zip_with propagates element nulls through the sum the same way), and
+  * `null` when the arrays differ in length — zip_with pads the shorter
+  * side with nulls, which the sum swallows to null; a mixed-dimension
+  * corpus therefore surfaces as nulls, never as a plausible-looking
+  * prefix cosine.
   */
 case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -38,7 +42,8 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
     while (i < n) {
@@ -60,9 +65,10 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  double $xv = $a.getDouble($i);
          |  double $yv = $b.getDouble($i);
@@ -102,8 +108,13 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
   *  - a null input array yields null (null-intolerant);
   *  - a null ELEMENT makes every centroid's cosine null (the
   *    [[CosineSimExpr]] contract), which the greatest chain resolves to
-  *    (smallest cid, null cent_sim) — all centroids must share one
-  *    dimensionality for this edge to stay order-independent.
+  *    (smallest cid, null cent_sim). The same resolution applies to an
+  *    input vector whose LENGTH differs from the centroids' (every
+  *    cosine null under the dimension-mismatch contract above) — a
+  *    mixed-dimension corpus surfaces as null cent_sims, never as
+  *    plausible prefix assignments. Centroids themselves must share one
+  *    dimensionality (constructor-enforced), which is also what keeps
+  *    these null edges order-independent.
   */
 case class ArgmaxCosineExpr(child: Expression, cids: Array[Long],
                             cents: Array[Array[Double]])
@@ -113,6 +124,8 @@ case class ArgmaxCosineExpr(child: Expression, cids: Array[Long],
     "need one id per centroid and at least one centroid")
   require(cids.sameElements(cids.sorted),
     "centroids must be sorted by id (tie-break contract)")
+  require(cents.forall(_.length == cents.head.length),
+    "centroids must share one dimensionality")
 
   override def dataType: DataType = StructType(Seq(
     StructField("cluster", LongType, nullable = false),
@@ -137,15 +150,16 @@ case class ArgmaxCosineExpr(child: Expression, cids: Array[Long],
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val d = v.numElements()
+    if (d != cents.head.length)
+      return InternalRow(cids(0), null) // every centroid's cosine is null
     var bestIdx = 0
     var bestSim = 0.0
     var c = 0
     while (c < cents.length) {
       val p = cents(c)
-      val n = math.min(p.length, d)
       var dot = 0.0; var np = 0.0; var nv = 0.0
       var i = 0
-      while (i < n) {
+      while (i < d) {
         if (v.isNullAt(i))
           return InternalRow(cids(0), null) // every centroid's cosine is null
         val xv = v.getDouble(i)
@@ -166,7 +180,6 @@ case class ArgmaxCosineExpr(child: Expression, cids: Array[Long],
       val d = ctx.freshName("d")
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
       val p = ctx.freshName("p")
       val dot = ctx.freshName("dot")
       val np = ctx.freshName("np")
@@ -181,13 +194,13 @@ case class ArgmaxCosineExpr(child: Expression, cids: Array[Long],
       val row = classOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow].getName
       s"""
          |int $d = $v.numElements();
-         |int $bestIdx = 0; double $bestSim = 0.0; boolean $nullElem = false;
+         |int $bestIdx = 0; double $bestSim = 0.0;
+         |boolean $nullElem = ($d != $centsRef[0].length);
          |$outer:
-         |for (int $c = 0; $c < $centsRef.length; $c++) {
+         |for (int $c = 0; !$nullElem && $c < $centsRef.length; $c++) {
          |  double[] $p = $centsRef[$c];
-         |  int $n = java.lang.Math.min($p.length, $d);
          |  double $dot = 0.0; double $np = 0.0; double $nv = 0.0;
-         |  for (int $i = 0; $i < $n; $i++) {
+         |  for (int $i = 0; $i < $d; $i++) {
          |    if ($v.isNullAt($i)) { $nullElem = true; break $outer; }
          |    double $xv = $v.getDouble($i);
          |    $dot += $p[$i] * $xv; $np += $p[$i] * $p[$i]; $nv += $xv * $xv;

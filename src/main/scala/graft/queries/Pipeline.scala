@@ -14,6 +14,25 @@ import graft.functions.TextFunctions
   */
 object Pipeline {
 
+  /** q97's built index, cached per dataset dir for the JVM's lifetime:
+    * the query builder runs once per gate run, plan inspection, and spec
+    * — rebuilding the two-pass index each time re-paid the build and
+    * leaked a parquet dir in /tmp per invocation. Within one JVM the
+    * dataset at a given path is immutable, so the cache key is the
+    * absolute dir; the dirs are removed by a shutdown hook.
+    */
+  private val q97IndexCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val q97Cleanup: Unit = Runtime.getRuntime.addShutdownHook(
+    new Thread(() => {
+      import scala.jdk.CollectionConverters._
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      q97IndexCache.values().asScala.foreach(p => rm(new java.io.File(p)))
+    }))
+
   val defs: Seq[QueryDef] = Seq(
 
     QueryDef("q47_minhash_lsh_neardup",
@@ -91,10 +110,15 @@ object Pipeline {
         // oracle; the reference side at query time is parquet scans only
         // (no signature UDF — plan-pinned in OperatorsSpec).
         val docs = load(s, d, "documents")
-        val idx = java.nio.file.Files
-          .createTempDirectory("graft_q97_lsh_idx").toString
-        Dedup.lshBuild(docs.filter(col("doc_id") < 250), "text", "doc_id",
-          idx, numPerm = 128, bands = 16, shingleK = 3)
+        q97Cleanup
+        val idx = q97IndexCache.computeIfAbsent(
+          new java.io.File(d).getAbsolutePath, _ => {
+            val p = java.nio.file.Files
+              .createTempDirectory("graft_q97_lsh_idx").toString
+            Dedup.lshBuild(docs.filter(col("doc_id") < 250), "text",
+              "doc_id", p, numPerm = 128, bands = 16, shingleK = 3)
+            p
+          })
         Dedup.minhashLshIndexPairs(docs.filter(col("doc_id") >= 250), idx,
             "text", "doc_id", threshold = 0.8)
           .orderBy(col("id"), col("ref_id"))

@@ -218,6 +218,140 @@ class OperatorsSpec extends AnyFunSuite {
     assert(keptIdx == Set(5L), s"kept $keptIdx")
   }
 
+  test("lshAppend: build(lake) then append(b1) answers a b2 query identically to build(lake ∪ b1), pair-for-pair") {
+    import spark.implicits._
+    val lake = docs.filter(col("doc_id").isin(0L, 2L))
+    val b1 = docs.filter(col("doc_id") === 4L) // accepted batch enters the lake
+    // day-2 batch: near-dups of lake docs 0 and 2 AND of the APPENDED
+    // doc 4 (doc 6 copies its text) — the appended doc must participate
+    val b2 = docs.filter(col("doc_id").isin(1L, 3L)).union(
+      Seq((6L, "unrelated text regarding machine learning data pipelines at scale"))
+        .toDF("doc_id", "text"))
+    def triples(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val incr = java.nio.file.Files.createTempDirectory("graft_lsh_incr").toString
+    Dedup.lshBuild(lake, "text", "doc_id", incr, numPerm = 128, bands = 16,
+      shingleK = 3)
+    Dedup.lshAppend(b1, "text", "doc_id", incr)
+    val full = java.nio.file.Files.createTempDirectory("graft_lsh_full").toString
+    Dedup.lshBuild(lake.union(b1), "text", "doc_id", full, numPerm = 128,
+      bands = 16, shingleK = 3)
+    val viaIncr = triples(Dedup.minhashLshIndexPairs(b2, incr, "text",
+      "doc_id", threshold = 0.7))
+    val viaFull = triples(Dedup.minhashLshIndexPairs(b2, full, "text",
+      "doc_id", threshold = 0.7))
+    assert(viaIncr == viaFull, s"incr $viaIncr vs full $viaFull")
+    assert(viaIncr.map(t => (t._1, t._2)) == Set((1L, 0L), (3L, 2L), (6L, 4L)),
+      viaIncr.toString)
+    assert(viaIncr.find(_._1 == 6L).get._3 == 1.0) // byte-identical append hit
+    // meta refreshed: parameters unchanged, doc tally covers the append
+    val meta = spark.read.parquet(s"$incr/meta").head()
+    assert(meta.getAs[Long]("n_docs") == 3L && meta.getAs[Int]("num_perm") == 128)
+    // the ingestion gate against the maintained index keeps only novelty
+    val kept = Dedup.dedupAgainstIndex(b2, incr, "text", "doc_id",
+      threshold = 0.7).select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept.isEmpty, s"kept $kept") // every b2 doc matches the lake now
+  }
+
+  test("bucketed index (bandBuckets): huge-batch sort-merge regime has NO exchange on the lake side; append preserves layout") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val lake = docs.filter(col("doc_id") % 2 === 0) // {0, 2, 4}
+    val batch = docs.filter(col("doc_id") % 2 === 1) // {1, 3, 5}
+    val dir = java.nio.file.Files.createTempDirectory("graft_lsh_bkt")
+    val idx = dir.toString
+    Dedup.lshBuild(lake, "text", "doc_id", idx, numPerm = 128, bands = 16,
+      shingleK = 3, bandBuckets = 4)
+    // forced sort-merge (broadcast gate 0) = the standing huge-batch plan
+    val q = Dedup.minhashLshIndexPairs(batch, idx, "text", "doc_id",
+      threshold = 0.7, broadcastMaxBandRows = 0L)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("id"), col("ref_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsOf(q) == Set((1L, 0L), (3L, 2L)), pairsOf(q).toString)
+    val plan = q.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val bandJoins = plan.collect {
+      case j: SortMergeJoinExec
+        if j.leftKeys.map(_.toString).exists(_.contains("band")) => j
+    }
+    assert(bandJoins.nonEmpty, plan.toString.take(1500))
+    bandJoins.foreach { j =>
+      val lakeSide = Seq(j.left, j.right)
+        .find(_.toString.contains(dir.getFileName.toString))
+      assert(lakeSide.nonEmpty, "bucketed index scan not under the band join:\n" +
+        plan.toString.take(1500))
+      val exchanges = lakeSide.get.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty, "lake side of the band join shuffled despite " +
+        "bucketed layout:\n" + lakeSide.get.toString.take(1500))
+    }
+    // append keeps the bucketed layout live: new docs land in the right
+    // buckets and the refreshed meta still carries the bucket count
+    Dedup.lshAppend(
+      Seq((6L, "unrelated text regarding machine learning data pipelines at scale"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx)
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Int]("band_buckets") == 4 && meta.getAs[Long]("n_docs") == 4L)
+    val b2 = Seq((7L, "unrelated text regarding machine learning data pipelines at scale"))
+      .toDF("doc_id", "text")
+    val got = pairsOf(Dedup.minhashLshIndexPairs(b2, idx, "text", "doc_id",
+      threshold = 0.7, broadcastMaxBandRows = 0L))
+    assert(got == Set((7L, 4L), (7L, 6L)), got.toString)
+  }
+
+  test("vector kernels surface dimension mismatch as null — exactly the HOF zip_with contract, never a prefix cosine") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(1.0, 2.0), Array(1.0, 2.0, 3.0)), // mismatched dims
+      (1L, Array(1.0, 2.0), Array(2.0, 4.0)))      // matched
+      .toDF("rid", "a", "b")
+    // the documented reference spelling: zip_with pads the shorter side
+    // with nulls, which the aggregate sum swallows to null
+    val hofDot = "aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (s, v) -> s + v)"
+    val ref = df.select(col("rid"), expr(
+      s"$hofDot / (sqrt(aggregate(transform(a, x -> x * x), 0D, (s, v) -> s + v)) * " +
+        "sqrt(aggregate(transform(b, x -> x * x), 0D, (s, v) -> s + v)))").as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    def check(): Unit = {
+      val got = df.select(col("rid"),
+        graft.functions.VectorExpressions.cosineSim(col("a"), col("b")).as("c"))
+        .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+      assert(got(0L).isEmpty, s"mismatch must be null, got ${got(0L)}")
+      assert(got == ref, s"got $got vs HOF $ref")
+    }
+    check() // codegen path
+    val ws = spark.conf.get("spark.sql.codegen.wholeStage")
+    try {
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      check() // interpreted path (nullSafeEval)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", ws)
+      spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+    }
+    // argmax: mixed-length CENTROIDS fail fast at construction…
+    intercept[IllegalArgumentException] {
+      graft.functions.VectorExpressions.argmaxCosine(col("a"),
+        Array((0L, Array(1.0)), (1L, Array(1.0, 0.0))))
+    }
+    // …and a mismatched INPUT resolves like the all-cosines-null edge:
+    // smallest cid, null cent_sim (q78/q95's chain semantics)
+    val cents: Array[(Long, Array[Double])] =
+      Array((3L, Array(1.0, 0.0)), (5L, Array(0.0, 1.0)))
+    val rows = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val assigned = KMeans.assignWithSim(rows, "embedding", cents)
+      .select(col("vec_id"), col("cluster"), col("cent_sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).sortBy(_._1)
+    assert(assigned(0) == ((0L, 3L, None)), assigned.mkString(", "))
+    assert(assigned(1) == ((1L, 3L, Some(1.0))), assigned.mkString(", "))
+  }
+
   test("exactGroups prefiltered shape (gateBytes=0) equals the ungated shape, incl. NULL text") {
     // the sf0.01 oracle corpus sits below the default 32 MB gate, so the
     // prefilter branch is forced here (gateBytes = 0) and held to the
