@@ -46,7 +46,8 @@ object Bench {
     "q05_join_agg_bucketed", "q28_in_subquery_bucketed",
     "q02_global_agg_bucketed", "q12_distinct_on_bucketed",
     "q16_window_topk_per_group_bucketed", "q17_window_running_sum_bucketed",
-    "q34_events_sessions_bucketed", "q36_events_funnel_bucketed")
+    "q34_events_sessions_bucketed", "q36_events_funnel_bucketed",
+    "q44_dedup_exact_bucketed")
 
   /** Bench-only queries (operator-level, no oracle counterpart).
     *
@@ -62,6 +63,22 @@ object Bench {
     "q49_simhash_wide" -> ((s, d) => graft.operators.Dedup.simhashPairs(
       graft.queries.load(s, d, "documents"), "text", "doc_id",
       maxDistance = 3, pieces = 8)),
+    "q44_dedup_exact_bucketed" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      // q44 on the hash-at-ingest layout (bench_documents_xh, built at
+      // ingest/setup time like the join-bucketed tables): identical
+      // output to q44_dedup_exact, but the colliding probe reads the
+      // stored 8-byte fingerprint column only and the corpus text is
+      // decoded exactly once (the md5 pass over colliding survivors).
+      val t = s.table("bench_documents_xh")
+      graft.operators.Dedup
+        .collidingTextPrefilter(t, "text", prehashedCol = Some("xh"))
+        .groupBy(unhex(md5(col("text"))).as("hb"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+        .filter(col("n_copies") > 1)
+        .select(lower(hex(col("hb"))).as("h"), col("keeper"), col("n_copies"))
+        .orderBy(col("keeper"))
+    }),
     "q06_join_5way_bucketed" -> ((s, d) => {
       import org.apache.spark.sql.functions._
       // JOIN-FIRST on the bucketed layout (round-13 Probe q06b_joinfirst
@@ -384,6 +401,14 @@ object Bench {
         .select("user_id", "ts", "event_id", "event_type")
       Bucketing.writeBucketed(ev, "bench_events_bu", "user_id",
         Bucketing.autoBuckets(ev, minBuckets = minB))
+      // hash-at-ingest for exact dedup (q44's deployment layout, same
+      // ingest-time reasoning as the join buckets): store xxhash64(text)
+      // next to the text ONCE; every dedup probe after reads the 8-byte
+      // fingerprint chunks instead of decoding the corpus text twice.
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      graft.queries.load(spark, sfDir, "documents")
+        .select(col("doc_id"), col("text"), xxhash64(col("text")).as("xh"))
+        .write.mode("overwrite").saveAsTable("bench_documents_xh")
       (System.nanoTime() - t0) / 1e9
     }
 

@@ -81,12 +81,19 @@ object Dedup {
   private[graft] def collidingTextPrefilter(
       df: DataFrame, textCol: String,
       gateBytes: Long = 32L * 1024 * 1024,
-      broadcastMaxCollidingGroups: Int = 1000000): DataFrame = {
+      broadcastMaxCollidingGroups: Int = 1000000,
+      prehashedCol: Option[String] = None): DataFrame = {
     val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
     if (bytes < gateBytes) df
     else {
+      // a corpus whose ingest stored the fingerprint skips the hash
+      // compute AND the text decode on the probe pass — the colliding
+      // aggregation reads the 8-byte column only. Bind through df(...)
+      // so a stored column named "xh" cannot collide with the probe
+      // frames' own "xh" in the join conditions below.
+      def xh = prehashedCol.map(df(_)).getOrElse(xxhash64(col(textCol)))
       val colliding = df
-        .groupBy(xxhash64(col(textCol)).as("xh"))
+        .groupBy(xh.as("xh"))
         .agg(count(lit(1)).as("n")).filter(col("n") > 1)
         .select(col("xh"))
       val probed = colliding.limit(broadcastMaxCollidingGroups + 1)
@@ -95,11 +102,9 @@ object Dedup {
         val spark = df.sparkSession
         import spark.implicits._
         val small = probed.toSeq.toDF("xh")
-        df.join(broadcast(small),
-          xxhash64(col(textCol)) === small("xh"), "left_semi")
+        df.join(broadcast(small), xh === small("xh"), "left_semi")
       } else {
-        df.join(colliding,
-          xxhash64(col(textCol)) === colliding("xh"), "left_semi")
+        df.join(colliding, xh === colliding("xh"), "left_semi")
       }
     }
   }
@@ -113,6 +118,34 @@ object Dedup {
   def exactGroups(df: DataFrame, textCol: String, idCol: String,
                   gateBytes: Long = 32L * 1024 * 1024): DataFrame =
     collidingTextPrefilter(df, textCol, gateBytes)
+      .groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
+  /** [[exactGroups]] for a lake whose INGEST stored the 64-bit content
+    * fingerprint (`hashCol` = `xxhash64(textCol)`, written once when the
+    * row entered the lake) — the layout answer to exact dedup at 100 TB,
+    * the same move as bucketing-at-ingest for joins: the colliding-group
+    * probe then reads ONLY the 8-byte fingerprint column (KBs of parquet
+    * chunks per million docs — no text decode, no hash compute), and the
+    * corpus text is decoded exactly once, in the md5 pass over colliding
+    * survivors. Identical output and broadcast/overflow gate as the
+    * prefiltered [[exactGroups]] (spec-pinned equal); faithfulness needs
+    * only that `hashCol` is a pure function of the text (equal text ⟹
+    * equal stored hash), which `xxhash64` at ingest gives by
+    * construction. Cost: probe pass ~free, main pass = one text scan —
+    * vs the unhashed shape's two full text scans. The same `gateBytes`
+    * cost gate applies as in [[exactGroups]]: below it, even a ~free
+    * probe pass plus a semi join lose to the single md5 pass (measured
+    * 0.17 vs 0.33 s at sf0.1), so tiny inputs skip the prefilter
+    * regardless of layout.
+    */
+  def exactGroupsPrehashed(df: DataFrame, textCol: String, idCol: String,
+                           hashCol: String,
+                           gateBytes: Long = 32L * 1024 * 1024,
+                           broadcastMaxCollidingGroups: Int = 1000000): DataFrame =
+    collidingTextPrefilter(df, textCol, gateBytes,
+        broadcastMaxCollidingGroups, prehashedCol = Some(hashCol))
       .groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)

@@ -130,6 +130,28 @@ object TextAnalysis {
              |FROM documents GROUP BY md5(text) HAVING count(*) > 1
              |ORDER BY keeper""".stripMargin)),
 
+    QueryDef("q98_dedup_exact_prehashed",
+      // q44 on the hash-at-ingest layout (Dedup.exactGroupsPrehashed):
+      // the 64-bit fingerprint column a 100 TB lake stores at ingest is
+      // materialized in-flight here (the bench variant reads it from a
+      // stored table instead); the colliding probe groups on the stored
+      // column — no xxhash64 of text anywhere in the plan — and md5 runs
+      // on colliding survivors only. Output must equal q44's oracle
+      // exactly (same md5 group identity, same keeper/count semantics).
+      (s, d) => {
+        val docs = load(s, d, "documents")
+          .withColumn("__xh", xxhash64(col("text")))
+        // gateBytes = 0 forces the prehashed prefilter at gate scale
+        // (sf0.01 sits below the production 32 MB gate)
+        graft.operators.Dedup
+          .exactGroupsPrehashed(docs, "text", "doc_id", "__xh", gateBytes = 0L)
+          .select(col("content_hash").as("h"), col("keeper"), col("n_copies"))
+          .orderBy(col("keeper"))
+      },
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) HAVING count(*) > 1
+             |ORDER BY keeper""".stripMargin)),
+
     QueryDef("q45_dedup_exact_summary",
       (s, d) => {
         val docs = load(s, d, "documents")

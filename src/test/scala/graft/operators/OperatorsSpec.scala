@@ -382,6 +382,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(survivors(0) == survivors(1000000))
   }
 
+  test("exactGroupsPrehashed (stored fingerprint) equals exactGroups, incl. NULL text and both broadcast regimes") {
+    import spark.implicits._
+    val withNulls = docs.union(Seq((6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    // the lake layout: fingerprint stored next to the text at ingest —
+    // materialized to parquet so the query plans see a STORED column,
+    // not an in-flight projection
+    val tmp = java.nio.file.Files.createTempDirectory("graft_prehash").toString
+    withNulls.withColumn("xh", xxhash64(col("text")))
+      .write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+    def groupsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[String]("content_hash"),
+        r.getAs[Long]("keeper"), r.getAs[Long]("n_copies"))).toSet
+    val want = groupsOf(Dedup.exactGroups(withNulls, "text", "doc_id",
+      gateBytes = 0L))
+    val got = groupsOf(Dedup.exactGroupsPrehashed(stored, "text", "doc_id",
+      "xh", gateBytes = 0L))
+    assert(got == want, s"prehashed $got vs computed $want")
+    assert(got.exists { case (_, keeper, n) => keeper == 2L && n == 2L })
+    assert(got.exists { case (h, keeper, n) => h == null && keeper == 6L && n == 2L })
+    // overflow regime (cap 0 forces the unhinted shuffled semi) agrees
+    val overflow = groupsOf(Dedup.exactGroupsPrehashed(stored, "text",
+      "doc_id", "xh", gateBytes = 0L, broadcastMaxCollidingGroups = 0))
+    assert(overflow == want, s"overflow $overflow vs $want")
+    // the layout's whole point, pinned: no xxhash64 anywhere in the plan
+    // (the probe groups on the STORED column)
+    val plan = Dedup.exactGroupsPrehashed(stored, "text", "doc_id", "xh",
+      gateBytes = 0L).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("xxhash64"), plan.take(1200))
+  }
+
   test("argmaxCosine fused kernel replicates the greatest(struct) chain bit-for-bit") {
     import spark.implicits._
     // centroid 2 duplicates centroid 0 → every similarity tie must keep

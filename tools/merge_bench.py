@@ -53,6 +53,10 @@ art = {
     # misleading q47 null). Errored queries (value -1) stay visible.
     "spark": {"warm_runs": 3, "warm_stat": "median",
               "skipped": sorted(spark.get("skipped", [])),
+              # carried through from tools/patch_bench_query.py so the
+              # committed artifact records any single-query re-measure
+              # (which value was replaced, by what, and how)
+              **({"patched": spark["patched"]} if "patched" in spark else {}),
               "queries": {k: v for k, v in spark["queries"].items()
                           if v is not None}},
     "duckdb": {"engine_version": duck.get("version", duck.get("engine_version", "1.0.0")),
