@@ -635,15 +635,18 @@ object Probe {
   }
 
   /** q96 through the PERSISTED index (Dedup.lshBuild +
-    * minhashLshIndexPairs): same odd/even split and pair count as
-    * q96scale, but the even half's signatures come from the stored index.
-    * The one-time build is timed separately (and skipped when the index
-    * dir already exists from a previous pass), so the warm timings here
-    * are the per-BATCH cost a daily ingest pays — the A/B against
-    * q96scale is exactly the lake-signature recompute the index removes.
-    * Batch band rows cross the broadcast gate between sf10 (4M = gate,
-    * broadcast batch, zero lake shuffle) and sf30 (12M, sort-merge), so
-    * the two probe SFs exercise both join regimes.
+    * minhashLshIndexPairs): same split and pair count as q96scale, but
+    * the reference side's signatures come from the stored index. The
+    * one-time build is timed separately (and skipped when a
+    * provenance-matching index survives from a previous pass), so the
+    * warm timings here are the per-BATCH cost a daily ingest pays — the
+    * A/B against q96scale is exactly the lake-signature recompute the
+    * index removes. At SPLIT=10 the batch's band rows cross the 1M
+    * broadcast gate between sf10 (50k docs × 16 = 800k: broadcast the
+    * batch, zero lake shuffle) and sf30 (150k × 16 = 2.4M: sort-merge),
+    * so the two SFs exercise both join regimes; sf100 is the density
+    * pathology where the path-independent verify stage dominates every
+    * shape (round-15 numbers + analysis in SCALE.md).
     */
   /** Build-or-reuse the probe's persisted LSH index for `d`'s reference
     * half, PROVENANCE-GUARDED (the registerExisting pattern): the cache

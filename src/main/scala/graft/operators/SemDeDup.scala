@@ -73,12 +73,18 @@ object SemDeDup {
   /** The shadow anti-join stage over a precomputed assignment — split
     * out (the [[Dedup.simhashPairsOnSigs]] precedent) so callers can
     * decide the assigned frame's lifecycle. Both join legs derive from
-    * `assigned`; Spark recomputes the broadcast-literal cosine argmax
-    * (the CPU-heaviest stage) once per leg unless the caller persists.
-    * Probe q95persist A/Bs the two lifecycles at bench scale (see the
-    * numbers there / SCALE.md); [[semDedup]] ships the recompute shape —
-    * persist pays only when the UPSTREAM of `assigned` is far more
-    * expensive than a scan (e.g. embeddings computed in-flight).
+    * `assigned`; Spark recomputes the scan + fused argmax once per leg
+    * unless the caller persists. Measured both ways with the fused
+    * kernel (Probe q95persist, round 15, SCALE.md): persist WINS ~20%
+    * at bench scale (recompute 2.19/2.94 s vs persist 1.74/2.44 s at
+    * sf10/sf30) because it saves one scan+argmax leg. [[semDedup]]
+    * still ships recompute as the default: the persisted frame is
+    * CORPUS-sized, so at 100 TB MEMORY_AND_DISK means writing and
+    * re-reading the corpus through executor storage — byte volume that
+    * grows with the thing being deduped — while recompute's extra cost
+    * is one cheap fused argmax over a scan both legs need anyway.
+    * Callers whose upstream is genuinely expensive (embeddings computed
+    * in-flight) persist and call this directly.
     */
   def semDedupOnAssigned(assigned: DataFrame, embCol: String, idCol: String,
                          tau: Double): DataFrame = {
