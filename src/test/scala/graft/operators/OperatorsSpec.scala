@@ -301,6 +301,12 @@ class OperatorsSpec extends AnyFunSuite {
     val got = pairsOf(Dedup.minhashLshIndexPairs(b2, idx, "text", "doc_id",
       threshold = 0.7, broadcastMaxBandRows = 0L))
     assert(got == Set((7L, 4L), (7L, 6L)), got.toString)
+    // layout-cost pin: the pre-write repartition on the bucket columns
+    // means each write lands AT MOST one file per bucket (build + one
+    // append ⇒ ≤ 2×nb band files), not tasks × buckets
+    val bandFiles = Option(new java.io.File(idx, "bands").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(bandFiles > 0 && bandFiles <= 8, s"band files: $bandFiles")
   }
 
   test("round-14-format index (meta without band_buckets) still queries and appends") {
