@@ -351,6 +351,46 @@ object Curation {
              |FROM fp WHERE f NOT IN (SELECT f FROM ref)
              |GROUP BY lang ORDER BY lang""".stripMargin)),
 
+    QueryDef("qs07_stream_index_dedup_loop",
+      (s, d) => {
+        // THE daily-ingest loop as a stream: the lake (doc_id < 250) is
+        // persisted as an LSH index (a fresh copy per invocation — the
+        // loop MUTATES it via lshAppend); the batch half (>= 250)
+        // streams in, each micro-batch deduped against the index and
+        // its accepted docs appended back. The gate drains in a single
+        // trigger so the accept set is order-independent and the oracle
+        // stays relational: kept = batch docs with no verified cross
+        // near-dup into the lake (q96/q97 pair semantics, same
+        // 1-(1-j^8)^16 recall bound), and the index's doc count grows by
+        // exactly the kept set. The multi-micro-batch loop property
+        // (later batches deduped against EARLIER ACCEPTED docs) is
+        // spec-pinned in StreamingSpec with maxFilesPerTrigger = 1.
+        val docs = load(s, d, "documents")
+        val idx = java.nio.file.Files.createTempDirectory("qs07idx").toString
+        graft.operators.Dedup.lshBuild(docs.filter(col("doc_id") < 250),
+          "text", "doc_id", idx)
+        val in = java.nio.file.Files.createTempDirectory("qs07in").toString
+        docs.filter(col("doc_id") >= 250).coalesce(1)
+          .write.mode("append").parquet(in)
+        graft.streaming.DocsStream.runIndexDedupLoopAsStream(
+          s, in, idx, "qs07_loop_mem")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM documents)),
+             |dropped AS (
+             |  SELECT DISTINCT n.doc_id FROM t n JOIN t r
+             |    ON n.doc_id >= 250 AND r.doc_id < 250
+             |   AND CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
+             |       len(list_distinct(list_concat(n.sh, r.sh))) >= 0.8)
+             |SELECT
+             |  (SELECT count(*) FROM documents WHERE doc_id >= 250) -
+             |  (SELECT count(*) FROM dropped) AS n_kept,
+             |  (SELECT count(*) FROM documents WHERE doc_id < 250) +
+             |  (SELECT count(*) FROM documents WHERE doc_id >= 250) -
+             |  (SELECT count(*) FROM dropped) AS n_index_docs""".stripMargin)),
+
     QueryDef("qs06_stream_to_shards",
       (s, d) => {
         // STREAMING SINK gate: the curated stream lands as

@@ -51,6 +51,58 @@ object DocsStream {
     spark.table(queryName)
   }
 
+  /** The DAILY-INGEST LOOP as a stream: each micro-batch is deduped
+    * against the PERSISTED LSH index ([[graft.operators.Dedup.dedupAgainstIndex]])
+    * and the ACCEPTED rows are appended back to the index
+    * ([[graft.operators.Dedup.lshAppend]]) — so a doc in a LATER
+    * micro-batch that near-duplicates an EARLIER accepted doc is dropped
+    * too, and the lake's text never enters the stream (the index carries
+    * its band rows and verify hashes). `foreachBatch` is the required
+    * shape: the index operators run eager jobs (the batch-size probe)
+    * and mutate external state (the index files), both of which the
+    * declarative streaming surface forbids — the documented Structured
+    * Streaming pattern for external-state sinks. Per micro-batch the
+    * work is batch-proportional (sign the batch, join the stored index,
+    * append the survivors), which is exactly the property `lshAppend`
+    * exists to provide; the index MUTATES, so callers own its lifecycle
+    * (point this at a copy if the base index must survive).
+    *
+    * `maxFilesPerTrigger` splits the input into multiple micro-batches
+    * (specs use it to prove the loop property); the default drains
+    * everything available per trigger. Returns one row after the stream
+    * drains: (n_kept, n_index_docs).
+    */
+  def runIndexDedupLoopAsStream(spark: SparkSession, inputDir: String,
+                                indexPath: String, queryName: String,
+                                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
+    val kept = new java.util.concurrent.atomic.AtomicLong
+    val q = stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        // accepted is used twice (count + append) — persist the
+        // micro-batch-sized frame so the index join runs once per batch
+        val accepted = graft.operators.Dedup
+          .dedupAgainstIndex(batch.toDF(), indexPath, "text", "doc_id")
+          .persist()
+        kept.addAndGet(accepted.count())
+        graft.operators.Dedup.lshAppend(accepted, "text", "doc_id", indexPath)
+        accepted.unpersist()
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val nDocs = spark.read.parquet(s"$indexPath/meta").head()
+      .getAs[Long]("n_docs")
+    Seq((kept.get(), nDocs)).toDF("n_kept", "n_index_docs")
+  }
+
   /** The curated stream landing as TRAINING SHARDS: same plant → redact
     * → sample pipeline as [[runCurationAsStream]], but the sink is
     * `foreachBatch` appending language-partitioned parquet — the

@@ -72,6 +72,44 @@ class StreamingSpec extends AnyFunSuite {
       rows.mkString(","))
   }
 
+  test("index-dedup loop: a later micro-batch is deduped against an EARLIER batch's accepted docs") {
+    import graft.operators.Dedup
+    // lake: two docs; its index is the loop's mutable state
+    val lake = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark and distributed query engines"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_loop_idx").toString
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    // two input FILES → two micro-batches (maxFilesPerTrigger = 1).
+    // file A: doc 10 (novel text X), doc 12 (copy of lake doc 2 → dropped
+    // by the PRE-BUILT index). file B: doc 11 (copy of X → must be
+    // dropped by the doc ACCEPTED from the other batch — the loop
+    // property; it is NOT a dup of anything in the original lake), and
+    // doc 13 (novel → kept).
+    val novelX = "entirely new material discussing streaming ingestion loops and persisted indexes"
+    val in = java.nio.file.Files.createTempDirectory("graft_loop_in").toString
+    Seq((10L, novelX),
+      (12L, "completely different content about spark and distributed query engines"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((11L, novelX),
+      (13L, "yet another unrelated document about benchmark artifacts and pass medians"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val out = DocsStream.runIndexDedupLoopAsStream(spark, in, idx,
+        "loop_spec_mem", maxFilesPerTrigger = Some(1))
+      .collect().head
+    // whichever of {10, 11} processes first is accepted; the other is
+    // dropped by the APPEND — kept = that one + 13 = 2 (if the append
+    // never happened, both copies of X survive and kept = 3)
+    assert(out.getAs[Long]("n_kept") == 2L, out.toString)
+    assert(out.getAs[Long]("n_index_docs") == 4L, out.toString)
+    // and the index now answers for the accepted X: a third copy of X
+    // arriving tomorrow is a duplicate
+    val tomorrow = Seq((20L, novelX)).toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstIndex(tomorrow, idx, "text", "doc_id")
+      .count() == 0L)
+  }
+
   test("runDedupAsStream bridges a raw nanos-int64 ts column (driver data has shipped both ways)") {
     // The driver has regenerated testdata with ts as TIMESTAMP(NANOS)
     // (read as raw longs under nanosAsLong) in some rounds and as
