@@ -31,6 +31,12 @@ case class CosineSimExpr(left: Expression, right: Expression) extends BinaryExpr
 
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // can return null for NON-null inputs (length mismatch, null element),
+  // so the default left.nullable || right.nullable is wrong when both
+  // inputs are non-nullable (e.g. two literals): codegen would bind
+  // ev.isNull to the false literal and the mismatch branch could not
+  // assign it
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_sim"
 
   override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {

@@ -479,9 +479,19 @@ object Dedup {
       // task holds exactly one bucket's rows — nb files, not tasks × nb.
       val tmp = bandsTableName(path) + "_build"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      // CTAS refuses a non-empty location (allowNonEmptyLocationInCTAS
+      // is off), so a REBUILD over an existing index clears the band
+      // dir first — overwrite semantics the plain-parquet branch gets
+      // natively
+      val bandsDir = new java.io.File(path, "bands")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(): Unit
+      }
+      if (bandsDir.exists()) rm(bandsDir)
       bandData.repartition(bandBuckets, col("band"), col("bucket"))
         .write.mode("overwrite")
-        .option("path", new java.io.File(path, "bands").getAbsolutePath)
+        .option("path", bandsDir.getAbsolutePath)
         .bucketBy(bandBuckets, "band", "bucket").sortBy("band", "bucket")
         .saveAsTable(tmp)
       spark.sql(s"DROP TABLE $tmp")

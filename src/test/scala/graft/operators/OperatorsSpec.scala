@@ -307,6 +307,16 @@ class OperatorsSpec extends AnyFunSuite {
     val bandFiles = Option(new java.io.File(idx, "bands").listFiles())
       .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
     assert(bandFiles > 0 && bandFiles <= 8, s"band files: $bandFiles")
+    // REBUILD over the existing (appended) bucketed index must succeed —
+    // the bucketed CTAS branch clears the band dir first (CTAS itself
+    // refuses a non-empty location) — and reset the index to the lake
+    Dedup.lshBuild(lake, "text", "doc_id", idx, numPerm = 128, bands = 16,
+      shingleK = 3, bandBuckets = 4)
+    val meta2 = spark.read.parquet(s"$idx/meta").head()
+    assert(meta2.getAs[Long]("n_docs") == 3L &&
+      meta2.getAs[Int]("band_buckets") == 4)
+    assert(pairsOf(Dedup.minhashLshIndexPairs(batch, idx, "text", "doc_id",
+      threshold = 0.7, broadcastMaxBandRows = 0L)) == Set((1L, 0L), (3L, 2L)))
   }
 
   test("round-14-format index (meta without band_buckets) still queries and appends") {
@@ -369,6 +379,17 @@ class OperatorsSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.codegen.wholeStage", ws)
       spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
     }
+    // two NON-NULLABLE inputs (literals): the expression must still be
+    // allowed to produce null (nullable override) — a mismatch between
+    // two literals returns null instead of mis-compiling or NPE-ing
+    val lits = spark.range(1).select(
+      graft.functions.VectorExpressions.cosineSim(
+        typedLit(Array(1.0, 2.0)), typedLit(Array(1.0, 2.0, 3.0))).as("c"),
+      graft.functions.VectorExpressions.cosineSim(
+        typedLit(Array(1.0, 0.0)), typedLit(Array(1.0, 0.0))).as("ok"))
+      .collect().head
+    assert(lits.isNullAt(0) && lits.getDouble(1) == 1.0, lits.toString)
+
     // argmax: mixed-length CENTROIDS fail fast at construction…
     intercept[IllegalArgumentException] {
       graft.functions.VectorExpressions.argmaxCosine(col("a"),
