@@ -62,6 +62,7 @@ art = {
     "duckdb": {"engine_version": duck.get("version", duck.get("engine_version", "1.0.0")),
                "warm_runs": 3, "warm_stat": "median",
                "skipped": sorted(duck.get("skipped", [])),
+               **({"patched": duck["patched"]} if "patched" in duck else {}),
                "queries": {k: v for k, v in duck["queries"].items()
                            if v is not None}},
     "comparable": rollup(comparable),
