@@ -659,19 +659,31 @@ object Probe {
     * layout (separate cache entry). Returns (indexPath, buildSeconds —
     * 0 when reused).
     */
+  /** The expected provenance stamp's docs count, memoized per dataset
+    * dir for the JVM lifetime — within one JVM the corpus at a path is
+    * immutable, and without the memo every warm q96index invocation
+    * paid a count() job the old _SUCCESS-exists check did not.
+    */
+  private val probeStampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private def ensureProbeIndex(s: SparkSession, d: String): (String, Double) = {
     val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2")
     val nb = sys.env.getOrElse("SPARK_GRAFT_PROBE_IDX_BUCKETS", "0").toInt
     val idx = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_probe_lsh_idx_${new java.io.File(d).getName}_m${m}_b$nb")
       .getAbsolutePath
-    val expected = s"sfDir=${new java.io.File(d).getAbsolutePath};" +
-      s"docs=${load(s, d, "documents").count()}"
+    val dAbs = new java.io.File(d).getAbsolutePath
+    def expected: String = probeStampCache.computeIfAbsent(dAbs,
+      _ => s"sfDir=$dAbs;docs=${load(s, d, "documents").count()}")
     val stampFile = new java.io.File(idx, "_GRAFT_PROVENANCE")
     val stamp = scala.util.Try(scala.util.Using.resource(
       scala.io.Source.fromFile(stampFile))(_.mkString.trim)).toOption
+    // cheap existence checks FIRST; the count behind `expected` runs
+    // only when there is a surviving index to adjudicate (then once per
+    // JVM), or when a rebuild must write a fresh stamp
     if (new java.io.File(s"$idx/meta/_SUCCESS").exists() &&
-        stamp.contains(expected)) (idx, 0.0)
+        stamp.isDefined && stamp.contains(expected)) (idx, 0.0)
     else {
       if (new java.io.File(idx).exists())
         println(s"PROBE q96index_reuse_refused stamp=$stamp expected=$expected")

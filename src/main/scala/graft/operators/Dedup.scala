@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, each designed for
@@ -460,15 +461,32 @@ object Dedup {
     * Build cost is two text passes over the lake (band rows and verify
     * hashes are separate projections of the same signature scan; caching
     * a 100 TB projection to merge them costs more than the second read).
-    * Overwrite-only; day-2 maintenance is [[lshAppend]].
+    * Overwrite-only; day-2 maintenance is [[lshAppend]], periodic
+    * small-file folding is [[lshCompact]].
+    *
+    * All layout I/O goes through the Hadoop FileSystem of `path`, so the
+    * index can live on any supported store (`file:`, `hdfs:`, `s3a:`,
+    * the repo's `r2:`) — paths may be plain local dirs or full URIs.
+    * Data rows carry an `append_attempt` column (null for base rows);
+    * appends become visible only through commit markers under
+    * `_commits/` — see [[lshAppend]] for the crash-safety contract.
     */
   def lshBuild(ref: DataFrame, textCol: String, idCol: String, path: String,
                numPerm: Int = 128, bands: Int = 16, shingleK: Int = 3,
                bandBuckets: Int = 0): Unit = {
     val spark = ref.sparkSession
+    val (fs, root) = indexFs(spark, path)
+    val bandsPath = new HPath(root, "bands")
+    // a REBUILD over a previously appended index erases the appends'
+    // rows, so their commit markers must not survive either (stale
+    // markers are harmless to correctness — they reference attempts
+    // with no rows — but every later read would carry dead entries)
+    fs.delete(new HPath(root, "_commits"), true): Unit
     val base = prepTexts(ref, textCol, idCol)
     val bandData = bandRows(base, numPerm, bands, shingleK)
       .withColumnRenamed("id", "ref_id")
+      .withColumn(AttemptCol, lit(null).cast("string"))
+      .select("ref_id", "band", "bucket", AttemptCol)
     if (bandBuckets > 0) {
       // Bucketed write goes through the catalog (Spark's bucketed layout
       // is a table property, not a parquet one): create the external
@@ -477,34 +495,36 @@ object Dedup {
       // repartition on the bucket columns first: HashPartitioning here is
       // the same pmod(hash) the bucketed writer assigns files by, so each
       // task holds exactly one bucket's rows — nb files, not tasks × nb.
-      val tmp = bandsTableName(path) + "_build"
+      val tmp = bandsTableName(spark, path) + "_build"
       spark.sql(s"DROP TABLE IF EXISTS $tmp")
       // CTAS refuses a non-empty location (allowNonEmptyLocationInCTAS
       // is off), so a REBUILD over an existing index clears the band
       // dir first — overwrite semantics the plain-parquet branch gets
       // natively
-      val bandsDir = new java.io.File(path, "bands")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      if (bandsDir.exists()) rm(bandsDir)
+      fs.delete(bandsPath, true): Unit
       bandData.repartition(bandBuckets, col("band"), col("bucket"))
         .write.mode("overwrite")
-        .option("path", bandsDir.getAbsolutePath)
+        .option("path", bandsPath.toString)
         .bucketBy(bandBuckets, "band", "bucket").sortBy("band", "bucket")
         .saveAsTable(tmp)
       spark.sql(s"DROP TABLE $tmp")
     } else {
-      bandData.write.mode("overwrite").parquet(s"$path/bands")
+      bandData.write.mode("overwrite").parquet(bandsPath.toString)
     }
     base.select(col("id").as("ref_id"),
         shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
-      .write.mode("overwrite").parquet(s"$path/hashes")
+      .withColumn(AttemptCol, lit(null).cast("string"))
+      .write.mode("overwrite").parquet(new HPath(root, "hashes").toString)
+    // a rebuild may change the bucket count or schema under a standing
+    // catalog registration — drop it; the next bucketed read re-registers
+    registerLock.synchronized {
+      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}"): Unit
+    }
     // footer-only count of what was actually written — the doc tally a
     // reuse guard can check without re-reading data pages
-    val nDocs = spark.read.parquet(s"$path/hashes").count()
-    writeIndexMeta(spark, path, numPerm, bands, shingleK, nDocs, bandBuckets)
+    val nDocs = spark.read.parquet(new HPath(root, "hashes").toString).count()
+    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
+      bandBuckets)
   }
 
   /** APPEND a batch to a persisted LSH index ([[lshBuild]]) — the day-2
@@ -518,42 +538,124 @@ object Dedup {
     * Cost is batch-proportional: signs only `accepted`, appends its band
     * rows and shingle hashes, and rewrites the one-row meta (parameters
     * are re-read FROM the index, so the hash family cannot drift; the
-    * refreshed `n_docs` is a footer-only count). Equivalence contract,
-    * spec-pinned pair-for-pair: `build(lake); append(b)` answers every
-    * query identically to `build(lake ∪ b)` — band rows and hashes are
-    * deterministic per doc, so layout is the only difference. Appending a
-    * doc id already in the index duplicates its band rows (candidates
-    * dedup, but the verify join would emit two rows) — the contract is
-    * append ACCEPTED (novel) docs, single writer at a time.
+    * refreshed `n_docs` counts committed docs only). Equivalence
+    * contract, spec-pinned pair-for-pair: `build(lake); append(b)`
+    * answers every query identically to `build(lake ∪ b)` — band rows
+    * and hashes are deterministic per doc, so layout is the only
+    * difference. Appending a doc id already in the index duplicates its
+    * band rows (candidates dedup, but the verify join would emit two
+    * rows) — the contract is append ACCEPTED (novel) docs, one logical
+    * writer at a time (retries of that writer are fine, below).
+    *
+    * CRASH SAFETY AND RETRIES. Every append writes its rows tagged with
+    * a fresh attempt id, then publishes them with ONE atomic marker
+    * rename under `_commits/` — data first, marker last. Readers resolve
+    * visibility through the markers ([[visibleIndexRows]]), so:
+    *  - a crash anywhere before the marker rename leaves the index
+    *    answering queries exactly as before the append (a partial write
+    *    can never surface band rows without their verify hashes — the
+    *    silent-missed-dup failure an unguarded append had);
+    *  - re-running an append with the SAME `appendId` after a committed
+    *    one is a NO-OP (the marker already exists), which makes
+    *    at-least-once drivers — Structured Streaming's `foreachBatch`
+    *    retrying a micro-batch — idempotent: key the id on the batch id
+    *    (see [[graft.streaming.DocsStream.runIndexDedupLoopAsStream]]);
+    *  - a crashed attempt's rows are invisible garbage until
+    *    [[lshCompact]] rewrites them away.
+    * With `appendId = None` a random id is used: still crash-safe
+    * (all-or-nothing), but each completed call is a distinct append —
+    * callers that may retry MUST pass a stable id. A crash between the
+    * marker rename and the meta rewrite leaves `n_docs` stale by one
+    * batch; queries are unaffected and the next append or compact
+    * repairs the tally.
+    *
+    * Pre-round-16 indexes (no `append_attempt` column) take the legacy
+    * in-place append, which has neither guarantee; passing `appendId`
+    * on one throws — run [[lshCompact]] once to upgrade the layout.
     */
   def lshAppend(accepted: DataFrame, textCol: String, idCol: String,
-                path: String): Unit = {
+                path: String, appendId: Option[String] = None): Unit = {
     val spark = accepted.sparkSession
-    val meta = spark.read.parquet(s"$path/meta").head()
+    val (fs, root) = indexFs(spark, path)
+    val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
     val numPerm = meta.getAs[Int]("num_perm")
     val bands = meta.getAs[Int]("bands")
     val shingleK = meta.getAs[Int]("shingle_k")
     val nb = bandBucketsOf(meta)
+    val bandsPath = new HPath(root, "bands")
+    val hashesPath = new HPath(root, "hashes")
+    val legacy = !spark.read.parquet(bandsPath.toString)
+      .columns.contains(AttemptCol)
+    if (legacy) {
+      require(appendId.isEmpty, "idempotent appendId requires the " +
+        "commit-marker index format (round 16+); run lshCompact(path) " +
+        "once to upgrade this index in place")
+      val base = prepTexts(accepted, textCol, idCol)
+      val newBands = bandRows(base, numPerm, bands, shingleK)
+        .withColumnRenamed("id", "ref_id")
+      if (nb > 0) {
+        val t = registerBandsTable(spark, path, nb)
+        newBands.repartition(nb, col("band"), col("bucket"))
+          .select(col("ref_id"), col("band"), col("bucket"))
+          .write.mode("append").insertInto(t)
+      } else {
+        newBands.write.mode("append").parquet(bandsPath.toString)
+      }
+      base.select(col("id").as("ref_id"),
+          shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
+        .write.mode("append").parquet(hashesPath.toString)
+      val nDocs = spark.read.parquet(hashesPath.toString).count()
+      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs, nb)
+      return
+    }
+    val commitsDir = new HPath(root, "_commits")
+    val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
+    require(!id.contains("/") && !id.startsWith("."),
+      s"appendId must be a plain marker-file name, got '$id'")
+    val marker = new HPath(commitsDir, id)
+    if (fs.exists(marker)) return // already committed — idempotent no-op
+    val attempt = java.util.UUID.randomUUID().toString
     val base = prepTexts(accepted, textCol, idCol)
     val newBands = bandRows(base, numPerm, bands, shingleK)
       .withColumnRenamed("id", "ref_id")
+      .withColumn(AttemptCol, lit(attempt))
+      .select("ref_id", "band", "bucket", AttemptCol)
     if (nb > 0) {
       // insertInto the re-registered bucketed table: the bucketed writer
       // hashes (band, bucket) with the same family as the build, so
       // appended files land in the right buckets; a bucket accumulates
-      // one file per append (Spark groups them by bucket id at scan).
+      // one file per append (Spark groups them by bucket id at scan —
+      // [[lshCompact]] folds the accumulation back to one per bucket).
       val t = registerBandsTable(spark, path, nb)
       newBands.repartition(nb, col("band"), col("bucket"))
-        .select(col("ref_id"), col("band"), col("bucket"))
         .write.mode("append").insertInto(t)
     } else {
-      newBands.write.mode("append").parquet(s"$path/bands")
+      newBands.write.mode("append").parquet(bandsPath.toString)
     }
     base.select(col("id").as("ref_id"),
         shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
-      .write.mode("append").parquet(s"$path/hashes")
-    val nDocs = spark.read.parquet(s"$path/hashes").count()
-    writeIndexMeta(spark, path, numPerm, bands, shingleK, nDocs, nb)
+      .withColumn(AttemptCol, lit(attempt))
+      .write.mode("append").parquet(hashesPath.toString)
+    // COMMIT: write the marker to a dot-temp and rename into place — the
+    // rename is the atomic publish point, so a half-written marker (a
+    // crash between create and close) can never be mistaken for a
+    // commit and silently drop the batch on retry
+    fs.mkdirs(commitsDir): Unit
+    val tmpMarker = new HPath(commitsDir, s".$id.tmp")
+    scala.util.Using.resource(fs.create(tmpMarker, true)) { out =>
+      out.write(attempt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    if (!fs.rename(tmpMarker, marker)) {
+      fs.delete(tmpMarker, false): Unit
+      // rename refuses when the destination exists: an earlier commit of
+      // this appendId won and this attempt's rows stay invisible garbage
+      // (compact removes them); anything else is a real commit failure
+      if (!fs.exists(marker))
+        throw new java.io.IOException(s"lshAppend: failed to commit $marker")
+    }
+    val nDocs = visibleIndexRows(spark.read.parquet(hashesPath.toString),
+      committedAttempts(fs, root)).count()
+    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs, nb)
   }
 
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
@@ -571,32 +673,199 @@ object Dedup {
       meta.getAs[Int]("band_buckets")
     else 0
 
-  /** Deterministic catalog name for an index's bucketed band table —
-    * derived from the absolute path so re-registration is idempotent per
-    * index, and two indexes never collide in one session's catalog.
+  /** Rows of an appendable index data file carry the attempt id that
+    * wrote them (null = base build / compacted rows); visibility is
+    * resolved through `_commits/` markers — see [[lshAppend]].
     */
-  private def bandsTableName(path: String): String = {
-    val abs = new java.io.File(path).getAbsolutePath
+  private val AttemptCol = "append_attempt"
+
+  /** FileSystem + fully-qualified root for an index path. Every layout
+    * operation (marker I/O, rebuild deletes, swap renames, catalog
+    * LOCATIONs) goes through the Hadoop FileSystem API, so the index
+    * works on any supported store (`file:`, `hdfs:`, `s3a:`, the repo's
+    * `r2:`) — not just the local filesystem.
+    */
+  private def indexFs(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  /** Attempt ids of COMMITTED appends: one marker file per appendId
+    * under `_commits/`, holding the attempt id its rows were tagged
+    * with. Driver-side listing, O(appends since the last compact) —
+    * [[lshCompact]] folds markers away.
+    */
+  private def committedAttempts(fs: FileSystem, root: HPath): Seq[String] = {
+    val dir = new HPath(root, "_commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val s = scala.util.Using.resource(fs.open(st.getPath))(in =>
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        if (s.nonEmpty) Some(s) else None
+      }
+  }
+
+  /** Visibility filter for index data: base rows (null attempt) plus
+    * rows of committed appends. Rows of an uncommitted attempt — a
+    * crashed or in-flight [[lshAppend]] — are invisible, which is the
+    * crash-safety contract: a partial append can never surface band
+    * rows without their verify hashes (or vice versa). Pre-round-16
+    * files have no attempt column and read unfiltered, preserving their
+    * semantics. The filter is a scan-local predicate on a constant
+    * column — no exchange is added, so the bucketed layout's
+    * no-lake-side-shuffle plan pin survives it.
+    */
+  private def visibleIndexRows(df: DataFrame, committed: Seq[String]): DataFrame =
+    if (!df.columns.contains(AttemptCol)) df
+    else {
+      val keep =
+        if (committed.isEmpty) col(AttemptCol).isNull
+        else col(AttemptCol).isNull || col(AttemptCol).isin(committed: _*)
+      df.filter(keep).drop(AttemptCol)
+    }
+
+  /** Committed (visible) document count of a persisted index — counts
+    * the verify-hash rows (one per doc) through the marker filter, so it
+    * is correct even when a crash left `meta`'s tally stale.
+    */
+  def lshIndexDocCount(spark: SparkSession, path: String): Long = {
+    val (fs, root) = indexFs(spark, path)
+    visibleIndexRows(spark.read.parquet(new HPath(root, "hashes").toString),
+      committedAttempts(fs, root)).count()
+  }
+
+  /** Compact a persisted LSH index IN PLACE: fold every committed append
+    * into the base layout, drop invisible rows left by crashed append
+    * attempts, clear the commit markers, and refresh the meta tally.
+    * Appends accumulate one file per write (per bucket, for a bucketed
+    * index — a year of daily ingest is 365 files/bucket, the classic
+    * small-file scan-task explosion); compaction restores one file per
+    * bucket (spec-pinned ≤ nb band files) while preserving the bucketed
+    * layout, bucket hash family, and meta parameters. Also UPGRADES a
+    * pre-round-16 index (no attempt column) to the commit-marker format,
+    * enabling idempotent `appendId` appends on it.
+    *
+    * The visible row set is identical before and after (spec-pinned
+    * pair-for-pair), so query results cannot change. Offline maintenance
+    * op — one writer, no concurrent readers. Crash ordering: the
+    * rewrites land in `.compact` side dirs first (originals untouched);
+    * each dir then swaps in via two renames (live → `.old`, compact →
+    * live); markers are deleted only after BOTH swaps, so a crash
+    * between them leaves a consistent index (the un-swapped side still
+    * resolves its appends through the markers, the swapped side already
+    * folded them to base rows — same logical set). A crash INSIDE a
+    * swap window is recoverable from the `.old` dir it leaves behind.
+    * On stores without atomic rename (S3-style), the swap is
+    * copy-backed — the same offline-op caveat applies as for any
+    * rename-based layout maintenance there.
+    */
+  def lshCompact(spark: SparkSession, path: String): Unit = {
+    val (fs, root) = indexFs(spark, path)
+    val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
+    val numPerm = meta.getAs[Int]("num_perm")
+    val bands = meta.getAs[Int]("bands")
+    val shingleK = meta.getAs[Int]("shingle_k")
+    val nb = bandBucketsOf(meta)
+    val committed = committedAttempts(fs, root)
+    def visible(sub: String): DataFrame = visibleIndexRows(
+      spark.read.parquet(new HPath(root, sub).toString), committed)
+      .withColumn(AttemptCol, lit(null).cast("string"))
+    val bandsLive = new HPath(root, "bands")
+    val bandsNew = new HPath(root, "bands.compact")
+    val hashesLive = new HPath(root, "hashes")
+    val hashesNew = new HPath(root, "hashes.compact")
+    fs.delete(bandsNew, true): Unit
+    fs.delete(hashesNew, true): Unit
+    val bandData = visible("bands").select("ref_id", "band", "bucket", AttemptCol)
+    if (nb > 0) {
+      val tmp = bandsTableName(spark, path) + "_compact"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      bandData.repartition(nb, col("band"), col("bucket"))
+        .write.mode("overwrite")
+        .option("path", bandsNew.toString)
+        .bucketBy(nb, "band", "bucket").sortBy("band", "bucket")
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tmp")
+    } else {
+      // unbucketed: the rewrite's input partitioning bin-packs the small
+      // append files (spark.sql.files.maxPartitionBytes), so the output
+      // lands as few right-sized files without an extra shuffle
+      bandData.write.parquet(bandsNew.toString)
+    }
+    visible("hashes").select("ref_id", "sh", AttemptCol)
+      .write.parquet(hashesNew.toString)
+    def swap(live: HPath, fresh: HPath): Unit = {
+      val old = new HPath(live.getParent, live.getName + ".old")
+      fs.delete(old, true): Unit
+      if (fs.exists(live) && !fs.rename(live, old))
+        throw new java.io.IOException(s"lshCompact: cannot move $live aside")
+      if (!fs.rename(fresh, live))
+        throw new java.io.IOException(s"lshCompact: cannot publish $fresh")
+      fs.delete(old, true): Unit
+    }
+    swap(bandsLive, bandsNew)
+    swap(hashesLive, hashesNew)
+    fs.delete(new HPath(root, "_commits"), true): Unit
+    // the standing catalog registration's cached file listing is stale
+    // after the swap — drop it; the next bucketed read re-registers
+    registerLock.synchronized {
+      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}"): Unit
+    }
+    val nDocs = spark.read.parquet(hashesLive.toString).count()
+    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs, nb)
+  }
+
+  /** Deterministic catalog name for an index's bucketed band table —
+    * derived from the fully-qualified URI so re-registration is
+    * idempotent per index, two indexes never collide in one session's
+    * catalog, and the same index addressed through different spellings
+    * of one URI resolves to one name.
+    */
+  private def bandsTableName(spark: SparkSession, path: String): String = {
+    val q = indexFs(spark, path)._2.toString
     val h = java.lang.Integer.toHexString(
-      scala.util.hashing.MurmurHash3.stringHash(abs))
+      scala.util.hashing.MurmurHash3.stringHash(q))
     s"graft_lsh_bands_$h"
   }
 
-  /** (Re-)register the external bucketed band table over `$path/bands`.
-    * DROP + CREATE rather than CREATE IF NOT EXISTS: an existing entry
-    * could be a stale registration of a rebuilt index with a different
-    * bucket count.
+  private val registerLock = new Object
+
+  /** Ensure the session catalog carries the external bucketed band table
+    * for `path`, REUSING a live registration when its location and
+    * bucket spec already match — the common case: a streaming loop
+    * queries the same index every micro-batch, and the old
+    * DROP+CREATE-per-call both churned the catalog and let two
+    * concurrent readers race (one's DROP between the other's
+    * registration and its scan planning). Re-creates the entry only on
+    * absence or mismatch (a rebuilt index with a different bucket count
+    * or schema — rebuild and compact also drop the entry themselves),
+    * and the check-then-create is synchronized JVM-wide, which covers
+    * every session of this driver (the table catalog is shared state).
     */
-  private def registerBandsTable(spark: org.apache.spark.sql.SparkSession,
+  private def registerBandsTable(spark: SparkSession,
                                  path: String, nb: Int): String = {
-    val name = bandsTableName(path)
-    val loc = new java.io.File(path, "bands").getAbsolutePath
-    val schema = spark.read.parquet(loc).schema.toDDL
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    spark.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
-      s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
-      s"INTO $nb BUCKETS LOCATION '$loc'")
-    name
+    val name = bandsTableName(spark, path)
+    val loc = new HPath(indexFs(spark, path)._2, "bands")
+    registerLock.synchronized {
+      val live = spark.catalog.tableExists(name) && {
+        val t = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(name))
+        t.storage.locationUri.exists(u => new HPath(u).toString == loc.toString) &&
+          t.bucketSpec.exists(b => b.numBuckets == nb &&
+            b.bucketColumnNames == Seq("band", "bucket"))
+      }
+      if (!live) {
+        val schema = spark.read.parquet(loc.toString).schema.toDDL
+        spark.sql(s"DROP TABLE IF EXISTS $name")
+        spark.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
+          s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
+          s"INTO $nb BUCKETS LOCATION '${loc.toString}'")
+      }
+      name
+    }
   }
 
   /** Cross-corpus near-dup pairs of a fresh batch against a PERSISTED
@@ -632,20 +901,25 @@ object Dedup {
                            idCol: String, threshold: Double = 0.8,
                            broadcastMaxBandRows: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
-    val meta = spark.read.parquet(s"$indexPath/meta").head()
+    val (fs, root) = indexFs(spark, indexPath)
+    val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
     val numPerm = meta.getAs[Int]("num_perm")
     val bands = meta.getAs[Int]("bands")
     val shingleK = meta.getAs[Int]("shingle_k")
     val nb = bandBucketsOf(meta)
+    // appends are visible only through their commit markers (see
+    // [[lshAppend]]): resolve the committed set once (driver-side
+    // listing) and filter both index scans through it
+    val committed = committedAttempts(fs, root)
     val base = prepTexts(df, textCol, idCol)
     val batchBands = bandRows(base, numPerm, bands, shingleK)
     // a bucketed index ([[lshBuild]] bandBuckets) reads through its
-    // re-registered catalog table so the scan carries the bucket spec:
-    // in the sort-merge regime the lake side then needs NO exchange (its
+    // (cached) catalog table so the scan carries the bucket spec: in the
+    // sort-merge regime the lake side then needs NO exchange (its
     // HashPartitioning on (band, bucket) already satisfies the join)
-    val refBands =
+    val refBands = visibleIndexRows(
       if (nb > 0) spark.table(registerBandsTable(spark, indexPath, nb))
-      else spark.read.parquet(s"$indexPath/bands")
+      else spark.read.parquet(new HPath(root, "bands").toString), committed)
     // one cheap count job over the batch (no UDFs) — bands per doc is
     // exactly `bands` for signed docs, so docs × bands bounds the band
     // rows without evaluating the signature
@@ -658,7 +932,8 @@ object Dedup {
       .dropDuplicates("id", "ref_id")
     val ha = base.select(col("id"),
       shingleHashes64Udf(shingleK)(col("__text")).as("__sh_a"))
-    val hb = spark.read.parquet(s"$indexPath/hashes")
+    val hb = visibleIndexRows(
+        spark.read.parquet(new HPath(root, "hashes").toString), committed)
       .select(col("ref_id"), col("sh").as("__sh_b"))
     candidates.join(ha, "id").join(hb, "ref_id")
       .select(col("id"), col("ref_id"),

@@ -338,7 +338,8 @@ object Curation {
         // the reference are dropped inside the stream. The oracle
         // recomputes the same anti join in batch SQL.
         val docs = load(s, d, "documents")
-        val tmp = java.nio.file.Files.createTempDirectory("qs05").toString
+        val tmp = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("qs05").toString)
         docs.coalesce(1).write.mode("append").parquet(tmp)
         graft.streaming.DocsStream.runStaticDedupAsStream(
             s, tmp, docs.filter(col("doc_id") < 250), "qs05_dedup_mem")
@@ -366,14 +367,20 @@ object Curation {
         // (later batches deduped against EARLIER ACCEPTED docs) is
         // spec-pinned in StreamingSpec with maxFilesPerTrigger = 1.
         val docs = load(s, d, "documents")
-        val idx = java.nio.file.Files.createTempDirectory("qs07idx").toString
+        // per-invocation scratch (the loop MUTATES the index, so it
+        // cannot be cached like q97's) — deferred-deleted at JVM exit
+        // instead of leaking a dir per gate run / plan inspection / spec
+        def tmp(prefix: String): String = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory(prefix).toString)
+        val idx = tmp("qs07idx")
         graft.operators.Dedup.lshBuild(docs.filter(col("doc_id") < 250),
           "text", "doc_id", idx)
-        val in = java.nio.file.Files.createTempDirectory("qs07in").toString
+        val in = tmp("qs07in")
         docs.filter(col("doc_id") >= 250).coalesce(1)
           .write.mode("append").parquet(in)
         graft.streaming.DocsStream.runIndexDedupLoopAsStream(
-          s, in, idx, "qs07_loop_mem")
+          s, in, idx, "qs07_loop_mem",
+          checkpointLocation = Some(tmp("qs07ckpt")))
       },
       Some("""WITH t AS (
              |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
@@ -398,8 +405,10 @@ object Curation {
         // reads the shards BACK and holds them to the same oracle as
         // the in-stream qs03 summary — gating the file-commit path, not
         // just the computation.
-        val tmp = java.nio.file.Files.createTempDirectory("qs06in").toString
-        val out = java.nio.file.Files.createTempDirectory("qs06out").toString + "/shards"
+        val tmp = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("qs06in").toString)
+        val out = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("qs06out").toString) + "/shards"
         load(s, d, "documents").coalesce(1).write.mode("append").parquet(tmp)
         graft.streaming.DocsStream.runCurationToShards(s, tmp, out)
         s.read.parquet(out)
@@ -435,7 +444,8 @@ object Curation {
         // drift. The oracle recomputes redaction+sampling in SQL; the
         // sum over REDACTED lengths only matches if redaction actually
         // ran inside the stream.
-        val tmp = java.nio.file.Files.createTempDirectory("qs03").toString
+        val tmp = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("qs03").toString)
         load(s, d, "documents").coalesce(1).write.mode("append").parquet(tmp)
         graft.streaming.DocsStream.runCurationAsStream(s, tmp, "qs03_curation_mem")
           .orderBy(col("lang"))

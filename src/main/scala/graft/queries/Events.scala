@@ -139,7 +139,8 @@ object Events {
         // exactly the original row set — aggregated per type so the
         // oracle is the plain batch aggregation over events.
         val ev = load(s, d, "events")
-        val tmp = java.nio.file.Files.createTempDirectory("qs02").toString
+        val tmp = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("qs02").toString)
         ev.coalesce(1).write.mode("append").parquet(tmp)
         ev.filter(col("event_id") % 3 === 0)
           .coalesce(1).write.mode("append").parquet(tmp)
@@ -161,7 +162,8 @@ object Events {
         // watermark closure, so the oracle is the plain batch interval
         // join; the summary is computed batch-side from the sink.
         val ev = load(s, d, "events")
-        val tmp = java.nio.file.Files.createTempDirectory("qs04").toString
+        val tmp = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("qs04").toString)
         ev.coalesce(1).write.mode("append").parquet(tmp)
         graft.streaming.EventsStream
           .runIntervalJoinAsStream(s, tmp, "qs04_join_mem")

@@ -19,19 +19,11 @@ object Pipeline {
     * — rebuilding the two-pass index each time re-paid the build and
     * leaked a parquet dir in /tmp per invocation. Within one JVM the
     * dataset at a given path is immutable, so the cache key is the
-    * absolute dir; the dirs are removed by a shutdown hook.
+    * absolute dir; the dirs are deferred-deleted via
+    * [[graft.core.TempDirs]] at JVM exit.
     */
   private val q97IndexCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private lazy val q97Cleanup: Unit = Runtime.getRuntime.addShutdownHook(
-    new Thread(() => {
-      import scala.jdk.CollectionConverters._
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
-        f.delete(): Unit
-      }
-      q97IndexCache.values().asScala.foreach(p => rm(new java.io.File(p)))
-    }))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -110,11 +102,10 @@ object Pipeline {
         // oracle; the reference side at query time is parquet scans only
         // (no signature UDF — plan-pinned in OperatorsSpec).
         val docs = load(s, d, "documents")
-        q97Cleanup
         val idx = q97IndexCache.computeIfAbsent(
           new java.io.File(d).getAbsolutePath, _ => {
-            val p = java.nio.file.Files
-              .createTempDirectory("graft_q97_lsh_idx").toString
+            val p = graft.core.TempDirs.deleteOnExit(java.nio.file.Files
+              .createTempDirectory("graft_q97_lsh_idx").toString)
             Dedup.lshBuild(docs.filter(col("doc_id") < 250), "text",
               "doc_id", p, numPerm = 128, bands = 16, shingleK = 3)
             p

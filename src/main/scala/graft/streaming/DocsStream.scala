@@ -67,6 +67,20 @@ object DocsStream {
     * exists to provide; the index MUTATES, so callers own its lifecycle
     * (point this at a copy if the base index must survive).
     *
+    * RETRY SAFETY. `foreachBatch` is at-least-once: on failure a
+    * micro-batch re-runs with the SAME batch id. The append is keyed on
+    * that id (`"<queryName>-b<batchId>"`), so a retry of a batch whose
+    * append already committed is a no-op instead of duplicating index
+    * rows, and a crash mid-append leaves the uncommitted attempt
+    * invisible (the retry redoes it) — the [[graft.operators.Dedup.lshAppend]]
+    * commit-marker contract. Pass `checkpointLocation` so a RESTARTED
+    * stream resumes from the last committed micro-batch instead of
+    * re-reading the input from scratch; re-running a fully drained,
+    * checkpointed loop over the same input processes nothing and leaves
+    * the index untouched (spec-pinned). The returned `n_kept` is derived
+    * from the index itself (committed docs after minus before), so
+    * retries can never double-count it.
+    *
     * `maxFilesPerTrigger` splits the input into multiple micro-batches
     * (specs use it to prove the loop property); the default drains
     * everything available per trigger. Returns one row after the stream
@@ -74,33 +88,36 @@ object DocsStream {
     */
   def runIndexDedupLoopAsStream(spark: SparkSession, inputDir: String,
                                 indexPath: String, queryName: String,
-                                maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+                                maxFilesPerTrigger: Option[Int] = None,
+                                checkpointLocation: Option[String] = None): DataFrame = {
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(inputDir)
-    val kept = new java.util.concurrent.atomic.AtomicLong
-    val q = stream.writeStream.queryName(queryName)
+    val n0 = graft.operators.Dedup.lshIndexDocCount(spark, indexPath)
+    val writer0 = stream.writeStream.queryName(queryName)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       _: Long) =>
-        // accepted is used twice (count + append) — persist the
-        // micro-batch-sized frame so the index join runs once per batch
+                       batchId: Long) =>
+        // accepted is read twice by the append (band rows + verify
+        // hashes) — persist the micro-batch-sized frame so the index
+        // join runs once per batch
         val accepted = graft.operators.Dedup
           .dedupAgainstIndex(batch.toDF(), indexPath, "text", "doc_id")
           .persist()
-        kept.addAndGet(accepted.count())
-        graft.operators.Dedup.lshAppend(accepted, "text", "doc_id", indexPath)
+        graft.operators.Dedup.lshAppend(accepted, "text", "doc_id", indexPath,
+          appendId = Some(s"$queryName-b$batchId"))
         accepted.unpersist()
         ()
       }
+    val q = checkpointLocation
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
       .start()
     q.processAllAvailable()
     q.stop()
     import spark.implicits._
-    val nDocs = spark.read.parquet(s"$indexPath/meta").head()
-      .getAs[Long]("n_docs")
-    Seq((kept.get(), nDocs)).toDF("n_kept", "n_index_docs")
+    val n1 = graft.operators.Dedup.lshIndexDocCount(spark, indexPath)
+    Seq((n1 - n0, n1)).toDF("n_kept", "n_index_docs")
   }
 
   /** The curated stream landing as TRAINING SHARDS: same plant → redact
@@ -129,8 +146,8 @@ object DocsStream {
           .sortWithinPartitions(col("lang"), col("doc_id"))
           .write.mode("append").partitionBy("lang").parquet(outDir)
       }
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("qs06ckpt").toString)
+      .option("checkpointLocation", graft.core.TempDirs.deleteOnExit(
+        java.nio.file.Files.createTempDirectory("qs06ckpt").toString))
       .start()
     q.processAllAvailable()
     q.stop()

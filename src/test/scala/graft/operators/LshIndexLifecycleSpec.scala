@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Round-16 persisted-LSH-index lifecycle contracts: crash-safe +
+  * idempotent appends (commit markers), compaction, legacy-format
+  * upgrade, URI-addressed layouts, and the cached catalog registration.
+  */
+class LshIndexLifecycleSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = graft.TestSpark.spark
+  import spark.implicits._
+
+  private val lakeRows = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "completely different content about spark and distributed query engines"))
+  private val doc4 =
+    (4L, "unrelated text regarding machine learning data pipelines at scale")
+  private def lake = lakeRows.toDF("doc_id", "text")
+  private def b1 = Seq(doc4).toDF("doc_id", "text")
+  // probes: 1 near-dups lake doc 0, 3 dups lake doc 2, 7 dups appended doc 4
+  private def probe = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"),
+    (3L, "completely different content about spark and distributed query engines"),
+    (7L, doc4._2)).toDF("doc_id", "text")
+
+  private def pairs(idx: String, df: DataFrame = probe): Seq[(Long, Long)] = {
+    val rows = Dedup.minhashLshIndexPairs(df, idx, "text", "doc_id",
+      threshold = 0.7).select(col("id"), col("ref_id")).collect()
+    rows.map(r => (r.getLong(0), r.getLong(1))).toSeq
+  }
+  private def tmpDir(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+  private def commitMarkers(idx: String): Array[java.io.File] =
+    Option(new java.io.File(idx, "_commits").listFiles())
+      .getOrElse(Array.empty).filterNot(_.getName.startsWith("."))
+
+  test("lshAppend with the same appendId is a no-op: retried appends never duplicate index rows") {
+    val idx = tmpDir("lsh_idem")
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day1"))
+    val once = pairs(idx)
+    assert(once.toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)), once.toString)
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+    // the at-least-once retry: same appendId again (twice, for measure)
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day1"))
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day1"))
+    val again = pairs(idx)
+    assert(again == once, s"retry changed results: $again vs $once")
+    // pair-LEVEL check: a duplicated append would emit (7,4) twice from
+    // the verify join — the exact silent corruption this protocol stops
+    assert(again.count(_ == (7L, 4L)) == 1, again.toString)
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+    assert(spark.read.parquet(s"$idx/meta").head().getAs[Long]("n_docs") == 3L)
+    // a distinct appendId is a distinct append and keeps accumulating
+    Dedup.lshAppend(
+      Seq((6L, "yet another unrelated document about benchmark artifacts and pass medians"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("day2"))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 4L)
+  }
+
+  test("crashed append (no commit marker) is invisible; the retry completes it exactly once") {
+    val idx = tmpDir("lsh_crash")
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    val before = pairs(idx)
+    assert(before.toSet == Set((1L, 0L), (3L, 2L)), before.toString)
+    // simulate a crash after the data writes but before the commit: run
+    // a full append (real band rows AND hashes land in the dirs), then
+    // remove its marker — byte-identical to the crash-window state
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day1"))
+    commitMarkers(idx).foreach(f => assert(f.delete()))
+    // uncommitted rows must not surface: not as pairs, not in the tally
+    assert(pairs(idx).toSet == before.toSet,
+      "uncommitted append rows leaked into query results")
+    assert(Dedup.lshIndexDocCount(spark, idx) == 2L)
+    // ... and crucially doc 4 is NOT half-present: the whole batch reads
+    // as never-appended, so the retry re-appends it (the unguarded
+    // layout left band rows whose candidates silently vanished in the
+    // verify join — missed dups with no error)
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day1"))
+    val after = pairs(idx)
+    assert(after.toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)), after.toString)
+    // the garbage rows from the crashed attempt share doc 4's content;
+    // only the committed attempt may surface — exactly one (7,4) pair
+    assert(after.count(_ == (7L, 4L)) == 1, after.toString)
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+  }
+
+  test("lshCompact folds appends: ≤ nb band files, identical pairs, markers cleared, params preserved") {
+    val idx = tmpDir("lsh_compact")
+    Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 4)
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("d1"))
+    Dedup.lshAppend(
+      Seq((6L, "yet another unrelated document about benchmark artifacts and pass medians"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("d2"))
+    // plant a crashed attempt too — compact must drop its garbage rows
+    Dedup.lshAppend(
+      Seq((8L, "garbage attempt that never committed and must be dropped"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("d3"))
+    commitMarkers(idx).filter(_.getName == "d3").foreach(f => assert(f.delete()))
+    def bandFiles = Option(new java.io.File(idx, "bands").listFiles())
+      .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    val filesBefore = bandFiles
+    assert(filesBefore > 4, s"fixture too small to prove compaction: $filesBefore")
+    val before = pairs(idx)
+    Dedup.lshCompact(spark, idx)
+    assert(bandFiles <= 4 && bandFiles > 0,
+      s"compact left $bandFiles band files (was $filesBefore, nb=4)")
+    assert(pairs(idx).toSet == before.toSet, "compaction changed pair results")
+    assert(commitMarkers(idx).isEmpty &&
+      !new java.io.File(idx, "_commits").exists(), "markers survived compact")
+    assert(!new java.io.File(idx, "bands.compact").exists() &&
+      !new java.io.File(idx, "bands.old").exists(), "compact left swap dirs")
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Int]("num_perm") == 128 &&
+      meta.getAs[Int]("band_buckets") == 4 &&
+      meta.getAs[Long]("n_docs") == 4L, meta.toString) // garbage doc 8 dropped
+    // the lifecycle continues on the compacted layout
+    Dedup.lshAppend(
+      Seq((9L, "post compact append of a fresh document about partition layouts"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("d4"))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 5L)
+    assert(pairs(idx).toSet == before.toSet)
+  }
+
+  test("legacy index (no attempt column): reads and plain-appends as before; appendId refused; lshCompact upgrades it") {
+    val idx = tmpDir("lsh_legacy")
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    // strip the attempt column from both data dirs — the exact layout a
+    // round-15 build wrote
+    for ((sub, cols) <- Seq("bands" -> Seq("ref_id", "band", "bucket"),
+                            "hashes" -> Seq("ref_id", "sh"))) {
+      val legacyRows = spark.read.parquet(s"$idx/$sub")
+        .select(cols.map(col): _*).collect()
+      val schema = org.apache.spark.sql.types.StructType(
+        spark.read.parquet(s"$idx/$sub").schema.filter(f => cols.contains(f.name)))
+      spark.createDataFrame(
+          java.util.Arrays.asList(legacyRows: _*), schema)
+        .write.mode("overwrite").parquet(s"$idx/$sub")
+    }
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)))
+    // legacy in-place append still works (no idempotency guarantee)...
+    Dedup.lshAppend(b1, "text", "doc_id", idx)
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)))
+    // ...but an idempotent appendId on the legacy layout is refused with
+    // the upgrade hint, not silently downgraded
+    val e = intercept[IllegalArgumentException] {
+      Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day9"))
+    }
+    assert(e.getMessage.contains("lshCompact"), e.getMessage)
+    Dedup.lshCompact(spark, idx)
+    assert(spark.read.parquet(s"$idx/bands").columns.contains("append_attempt"),
+      "compact did not upgrade the layout")
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)))
+    Dedup.lshAppend(
+      Seq((6L, "yet another unrelated document about benchmark artifacts and pass medians"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("day9"))
+    Dedup.lshAppend(b1.withColumn("doc_id", lit(99L)), "text", "doc_id", idx,
+      appendId = Some("day9")) // same id → no-op; doc 99 never enters
+    assert(Dedup.lshIndexDocCount(spark, idx) == 4L)
+  }
+
+  test("index addressed by file: URI — build, query, append, compact all run through the FileSystem API") {
+    val dir = tmpDir("lsh_uri")
+    val idx = "file:" + dir
+    Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 2)
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)))
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("u1"))
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)))
+    Dedup.lshCompact(spark, idx)
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+    // the same physical index addressed with and without the scheme
+    // resolves to ONE catalog name (qualified-URI identity)
+    assert(pairs(dir).toSet == pairs(idx).toSet)
+  }
+
+  test("bucketed-index registration is cached: repeated queries reuse one catalog entry; concurrent sessions don't race") {
+    val idx = tmpDir("lsh_reg")
+    Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 2)
+    val qualified = {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p).toString
+    }
+    val name = "graft_lsh_bands_" + java.lang.Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(qualified))
+    def createTime: Long = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name)).createTime
+    assert(pairs(idx).nonEmpty)
+    val t0 = createTime
+    assert(pairs(idx).nonEmpty); assert(pairs(idx).nonEmpty)
+    assert(createTime == t0,
+      "repeated queries re-registered the band table (DROP+CREATE churn)")
+    // two concurrent sessions over one index: the synchronized
+    // check-then-create must never let one session's registration DROP
+    // out from under the other's scan planning
+    val probeDir = tmpDir("lsh_reg_probe")
+    probe.write.mode("overwrite").parquet(probeDir)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => {
+        try {
+          val s = spark.newSession()
+          val df = s.read.parquet(probeDir)
+          (1 to 3).foreach { _ =>
+            val got = Dedup.minhashLshIndexPairs(df, idx, "text", "doc_id",
+                threshold = 0.7)
+              .select(col("id"), col("ref_id")).collect()
+              .map(r => (r.getLong(0), r.getLong(1))).toSet
+            assert(got == Set((1L, 0L), (3L, 2L)), got.toString)
+          }
+        } catch { case t: Throwable => errors.add(t) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    assert(errors.isEmpty, s"concurrent index queries failed: ${errors.peek()}")
+    // rebuild with a DIFFERENT bucket count invalidates and re-registers
+    Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 4)
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)))
+    assert(spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+      .bucketSpec.exists(_.numBuckets == 4))
+  }
+}

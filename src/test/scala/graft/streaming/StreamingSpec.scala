@@ -110,6 +110,39 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("index-dedup loop is restart- and retry-safe: a checkpointed re-run over the same input is a no-op") {
+    import graft.operators.Dedup
+    val lake = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_loop_ck_idx").toString
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    val in = java.nio.file.Files.createTempDirectory("graft_loop_ck_in").toString
+    Seq((10L, "entirely new material discussing streaming ingestion loops and persisted indexes"),
+      (12L, "the quick brown fox jumps over the lazy dog near the river bank today"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val ck = java.nio.file.Files.createTempDirectory("graft_loop_ck").toString
+    val r1 = DocsStream.runIndexDedupLoopAsStream(spark, in, idx,
+      "loop_ck_mem", checkpointLocation = Some(ck)).collect().head
+    assert(r1.getAs[Long]("n_kept") == 1L && r1.getAs[Long]("n_index_docs") == 2L,
+      r1.toString)
+    // the restart: same input, same checkpoint — the file source replays
+    // nothing, and even a replayed micro-batch would hit its committed
+    // appendId marker; the index must be byte-for-byte equivalent
+    val r2 = DocsStream.runIndexDedupLoopAsStream(spark, in, idx,
+      "loop_ck_mem", checkpointLocation = Some(ck)).collect().head
+    assert(r2.getAs[Long]("n_kept") == 0L && r2.getAs[Long]("n_index_docs") == 2L,
+      s"checkpointed re-run mutated the index: $r2")
+    // the at-least-once retry inside one run: re-delivering the SAME
+    // micro-batch id against the mutated index is a no-op append (the
+    // commit marker for queryName-b0 exists), so no duplicate rows
+    Dedup.lshAppend(
+      Seq((10L, "entirely new material discussing streaming ingestion loops and persisted indexes"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx,
+      appendId = Some("loop_ck_mem-b0"))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 2L)
+  }
+
   test("runDedupAsStream bridges a raw nanos-int64 ts column (driver data has shipped both ways)") {
     // The driver has regenerated testdata with ts as TIMESTAMP(NANOS)
     // (read as raw longs under nanosAsLong) in some rounds and as
