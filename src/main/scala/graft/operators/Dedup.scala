@@ -151,6 +151,35 @@ object Dedup {
       .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
       .filter(col("n_copies") > 1)
 
+  /** Exact-dup groups with the STORED 64-bit fingerprint as group
+    * identity — the DEPLOYMENT form of exact dedup on the
+    * hash-at-ingest layout, completing what [[exactGroupsPrehashed]]
+    * started: when ingest wrote `hashCol = xxhash64(textCol)` next to
+    * the text, dup-group discovery needs NO text at all — one scan of
+    * the 8-byte column (parquet prunes every other column) and one
+    * narrow-key shuffle. md5, and the full-corpus text decode it
+    * forces, is confined to the AUDIT view ([[exactGroupsPrehashed]] /
+    * the q98 gate), which oracle-strength output demands but the daily
+    * dedup loop does not.
+    *
+    * Faithfulness: equal text ⟹ equal stored fingerprint, so no true
+    * duplicate is ever missed, and (keeper, n_copies) equals the md5
+    * view's whenever the corpus has no cross-text fingerprint
+    * collision — spec-pinned, and gated against the md5 oracle (q99).
+    * A 64-bit identity can FALSE-MERGE two distinct texts with
+    * probability ≈ n²/2⁶⁵ corpus-wide (~3×10⁻⁵ at 10⁹ docs); pipelines
+    * for which that is material run the audit view over the reported
+    * groups — that verification is dup-proportional, never
+    * corpus-proportional, which is the whole point of the layout.
+    * Null-text rows share the fingerprint of the empty hash input and
+    * group together, mirroring [[exact]]'s null-window behavior.
+    */
+  def exactGroupsFingerprint(df: DataFrame, idCol: String,
+                             hashCol: String): DataFrame =
+    df.groupBy(col(hashCol).as("fingerprint"))
+      .agg(min(col(idCol)).as("keeper"), count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+
   // ---- minhash + LSH --------------------------------------------------
 
   /** Word k-shingles of normalized text; documents shorter than k words

@@ -152,6 +152,37 @@ object TextAnalysis {
              |FROM documents GROUP BY md5(text) HAVING count(*) > 1
              |ORDER BY keeper""".stripMargin)),
 
+    QueryDef("q99_dedup_exact_fingerprint",
+      // The DEPLOYMENT shape of exact dedup on the hash-at-ingest layout
+      // (Dedup.exactGroupsFingerprint): group identity is the stored
+      // 64-bit fingerprint, so the plan touches no text — the md5 pass
+      // lives only in the audit view (q44/q98). The gate corpus has no
+      // exact dups (q44 is an empty-set gate), so dups are PLANTED
+      // in-query the way q69 plants PII: both engines append an
+      // id-shifted copy of the first 50 docs, giving 50 two-row groups.
+      // The fingerprint itself is not oracle-comparable (xxhash64 vs
+      // md5), so the gate emits the group STRUCTURE — (keeper,
+      // n_copies) per group, ordered — which equals the md5 oracle's
+      // exactly when no cross-text fingerprint collision exists in the
+      // corpus (the operator's documented contract).
+      (s, d) => {
+        val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
+        val planted = docs.unionByName(
+          docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        graft.operators.Dedup.exactGroupsFingerprint(
+            planted.withColumn("xh", xxhash64(col("text"))), "doc_id", "xh")
+          .select(col("keeper"), col("n_copies"))
+          .orderBy(col("keeper"))
+      },
+      Some("""WITH aug AS (
+             |  SELECT doc_id, text FROM documents
+             |  UNION ALL
+             |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 50)
+             |SELECT min(doc_id) AS keeper, count(*) AS n_copies
+             |FROM aug GROUP BY md5(text) HAVING count(*) > 1
+             |ORDER BY keeper""".stripMargin)),
+
     QueryDef("q45_dedup_exact_summary",
       (s, d) => {
         val docs = load(s, d, "documents")

@@ -152,6 +152,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.contains(6L) && !kept.contains(7L), kept.toString)
   }
 
+  test("exactGroupsFingerprint = exactGroups' (keeper, n_copies); the scan never reads text") {
+    import spark.implicits._
+    def groupsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("keeper"), col("n_copies")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val md5Groups = groupsOf(Dedup.exactGroups(docs, "text", "doc_id"))
+    assert(md5Groups == Set((2L, 2L)), md5Groups.toString) // planted 2/3 dup
+    val withFp = docs.withColumn("xh", xxhash64(col("text")))
+    assert(groupsOf(Dedup.exactGroupsFingerprint(withFp, "doc_id", "xh")) ==
+      md5Groups)
+    // the deployment claim: on the hash-at-ingest layout the dup-group
+    // scan reads (fingerprint, id) ONLY — text is pruned at the parquet
+    // reader, so the query's IO is ~0.2% of the audit view's
+    val dir = java.nio.file.Files.createTempDirectory("fp_layout").toString
+    withFp.write.mode("overwrite").parquet(dir)
+    val q = Dedup.exactGroupsFingerprint(spark.read.parquet(dir), "doc_id", "xh")
+    val scan = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+      .find(_.contains("ReadSchema"))
+    assert(scan.isDefined, q.queryExecution.executedPlan.toString.take(1200))
+    assert(!scan.get.replaceAll("Location.*", "").contains("text"),
+      s"text column not pruned from the fingerprint scan: ${scan.get.take(600)}")
+    assert(groupsOf(q) == md5Groups)
+  }
+
   test("minhash LSH finds planted near-dup and survives verification") {
     val pairs = Dedup.minhashLshPairs(docs, "text", "doc_id", threshold = 0.5,
       numPerm = 128, bands = 32)
