@@ -936,6 +936,72 @@ object Probe {
       spark.stop(); sys.exit(0)
     }
 
+    // q96compact: the small-file story of index maintenance. Build the
+    // lake index UNBUCKETED (append accumulates whole files per write;
+    // with file bin-packing the scan cost shows up as openCostInBytes-
+    // driven partition growth), append the batch in 5 slices (5 days of
+    // ingest), measure band-file count / scan partitions / warm query,
+    // then lshCompact and re-measure. Claims under test: compaction
+    // restores the file count and scan-partition count to build-time
+    // shape, and pair results are unchanged (count printed both sides).
+    if (only.contains("q96compact")) {
+      import java.nio.file.{Files, Paths}
+      def rmDir(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmDir)
+        f.delete(): Unit
+      }
+      def copyDir(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+        val walk = Files.walk(src)
+        try walk.forEach { p =>
+          val t = dst.resolve(src.relativize(p).toString)
+          if (Files.isDirectory(p)) Files.createDirectories(t): Unit
+          else { Files.createDirectories(t.getParent); Files.copy(p, t): Unit }
+        } finally walk.close()
+      }
+      val (batch, _) = q96split(spark, sfDir)
+      val (idx0, _) = ensureProbeIndex(spark, sfDir)
+      val idx = Files.createTempDirectory("graft_probe_lsh_compact")
+      copyDir(Paths.get(idx0), idx)
+      // a surviving pre-round-16 probe index has no attempt column —
+      // lshCompact upgrades it in place (the documented migration path)
+      if (!spark.read.parquet(s"$idx/bands").columns.contains("append_attempt")) {
+        graft.operators.Dedup.lshCompact(spark, idx.toString)
+        println("PROBE q96compact upgraded legacy-format index via lshCompact")
+      }
+      (0 until 5).foreach { k =>
+        graft.operators.Dedup.lshAppend(
+          batch.filter(col("doc_id") % 5 === k), "text", "doc_id",
+          idx.toString, appendId = Some(s"day$k"))
+      }
+      def stats(): (Int, Int) = {
+        val files = Option(new java.io.File(idx.toFile, "bands").listFiles())
+          .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+        (files, spark.read.parquet(s"$idx/bands").rdd.getNumPartitions)
+      }
+      def warmQuery(): (Double, Long) = {
+        def once(): (Double, Long) = {
+          val t0 = System.nanoTime()
+          val n = graft.operators.Dedup.minhashLshIndexPairs(
+            batch, idx.toString, "text", "doc_id", threshold = 0.8).count()
+          ((System.nanoTime() - t0) / 1e9, n)
+        }
+        once()
+        val runs = (1 to 3).map(_ => once())
+        (runs.map(_._1).sorted.apply(1), runs.head._2)
+      }
+      val (filesB, partsB) = stats()
+      val (secB, pairsB) = warmQuery()
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.lshCompact(spark, idx.toString)
+      val compactSec = (System.nanoTime() - t0) / 1e9
+      val (filesA, partsA) = stats()
+      val (secA, pairsA) = warmQuery()
+      println(f"PROBE q96compact files=$filesB->$filesA scan_parts=$partsB->$partsA " +
+        f"query=$secB%.2f->$secA%.2fs pairs=$pairsB->$pairsA compact=$compactSec%.2fs")
+      rmDir(idx.toFile)
+      spark.stop(); sys.exit(0)
+    }
+
     Seq("lineitem", "orders", "customer", "nation", "region", "documents")
       .foreach(t => load(spark, sfDir, t).count())
 
