@@ -510,7 +510,7 @@ object Dedup {
     // rows, so their commit markers must not survive either (stale
     // markers are harmless to correctness — they reference attempts
     // with no rows — but every later read would carry dead entries)
-    fs.delete(new HPath(root, "_commits"), true): Unit
+    IndexLifecycle.clearCommits(fs, root)
     val base = prepTexts(ref, textCol, idCol)
     val bandData = bandRows(base, numPerm, bands, shingleK)
       .withColumnRenamed("id", "ref_id")
@@ -637,12 +637,10 @@ object Dedup {
       writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs, nb)
       return
     }
-    val commitsDir = new HPath(root, "_commits")
     val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
-    require(!id.contains("/") && !id.startsWith("."),
-      s"appendId must be a plain marker-file name, got '$id'")
-    val marker = new HPath(commitsDir, id)
-    if (fs.exists(marker)) return // already committed — idempotent no-op
+    IndexLifecycle.validateAppendId(id)
+    if (fs.exists(IndexLifecycle.markerPath(root, id)))
+      return // already committed — idempotent no-op
     val attempt = java.util.UUID.randomUUID().toString
     val base = prepTexts(accepted, textCol, idCol)
     val newBands = bandRows(base, numPerm, bands, shingleK)
@@ -665,23 +663,9 @@ object Dedup {
         shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
       .withColumn(AttemptCol, lit(attempt))
       .write.mode("append").parquet(hashesPath.toString)
-    // COMMIT: write the marker to a dot-temp and rename into place — the
-    // rename is the atomic publish point, so a half-written marker (a
-    // crash between create and close) can never be mistaken for a
-    // commit and silently drop the batch on retry
-    fs.mkdirs(commitsDir): Unit
-    val tmpMarker = new HPath(commitsDir, s".$id.tmp")
-    scala.util.Using.resource(fs.create(tmpMarker, true)) { out =>
-      out.write(attempt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-    if (!fs.rename(tmpMarker, marker)) {
-      fs.delete(tmpMarker, false): Unit
-      // rename refuses when the destination exists: an earlier commit of
-      // this appendId won and this attempt's rows stay invisible garbage
-      // (compact removes them); anything else is a real commit failure
-      if (!fs.exists(marker))
-        throw new java.io.IOException(s"lshAppend: failed to commit $marker")
-    }
+    // COMMIT: atomic marker publish (data first, marker last) — see
+    // [[IndexLifecycle.commitMarker]]
+    IndexLifecycle.commitMarker(fs, root, id, attempt)
     val nDocs = visibleIndexRows(spark.read.parquet(hashesPath.toString),
       committedAttempts(fs, root)).count()
     writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs, nb)
@@ -704,57 +688,16 @@ object Dedup {
 
   /** Rows of an appendable index data file carry the attempt id that
     * wrote them (null = base build / compacted rows); visibility is
-    * resolved through `_commits/` markers — see [[lshAppend]].
+    * resolved through `_commits/` markers — see [[lshAppend]]. The
+    * machinery is [[IndexLifecycle]], shared with the IVF index.
     */
-  private val AttemptCol = "append_attempt"
-
-  /** FileSystem + fully-qualified root for an index path. Every layout
-    * operation (marker I/O, rebuild deletes, swap renames, catalog
-    * LOCATIONs) goes through the Hadoop FileSystem API, so the index
-    * works on any supported store (`file:`, `hdfs:`, `s3a:`, the repo's
-    * `r2:`) — not just the local filesystem.
-    */
-  private def indexFs(spark: SparkSession, path: String): (FileSystem, HPath) = {
-    val p = new HPath(path)
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    (fs, fs.makeQualified(p))
-  }
-
-  /** Attempt ids of COMMITTED appends: one marker file per appendId
-    * under `_commits/`, holding the attempt id its rows were tagged
-    * with. Driver-side listing, O(appends since the last compact) —
-    * [[lshCompact]] folds markers away.
-    */
-  private def committedAttempts(fs: FileSystem, root: HPath): Seq[String] = {
-    val dir = new HPath(root, "_commits")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
-      .flatMap { st =>
-        val s = scala.util.Using.resource(fs.open(st.getPath))(in =>
-          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        if (s.nonEmpty) Some(s) else None
-      }
-  }
-
-  /** Visibility filter for index data: base rows (null attempt) plus
-    * rows of committed appends. Rows of an uncommitted attempt — a
-    * crashed or in-flight [[lshAppend]] — are invisible, which is the
-    * crash-safety contract: a partial append can never surface band
-    * rows without their verify hashes (or vice versa). Pre-round-16
-    * files have no attempt column and read unfiltered, preserving their
-    * semantics. The filter is a scan-local predicate on a constant
-    * column — no exchange is added, so the bucketed layout's
-    * no-lake-side-shuffle plan pin survives it.
-    */
+  private val AttemptCol = IndexLifecycle.AttemptCol
+  private def indexFs(spark: SparkSession, path: String): (FileSystem, HPath) =
+    IndexLifecycle.fsFor(spark, path)
+  private def committedAttempts(fs: FileSystem, root: HPath): Seq[String] =
+    IndexLifecycle.committedAttempts(fs, root)
   private def visibleIndexRows(df: DataFrame, committed: Seq[String]): DataFrame =
-    if (!df.columns.contains(AttemptCol)) df
-    else {
-      val keep =
-        if (committed.isEmpty) col(AttemptCol).isNull
-        else col(AttemptCol).isNull || col(AttemptCol).isin(committed: _*)
-      df.filter(keep).drop(AttemptCol)
-    }
+    IndexLifecycle.visibleRows(df, committed)
 
   /** Committed (visible) document count of a persisted index — counts
     * the verify-hash rows (one per doc) through the marker filter, so it
@@ -768,7 +711,9 @@ object Dedup {
 
   /** Compact a persisted LSH index IN PLACE: fold every committed append
     * into the base layout, drop invisible rows left by crashed append
-    * attempts, clear the commit markers, and refresh the meta tally.
+    * attempts, fold the commit markers to empty idempotency tombstones
+    * (a folded appendId still no-ops on retry), and refresh the meta
+    * tally.
     * Appends accumulate one file per write (per bucket, for a bucketed
     * index — a year of daily ingest is 365 files/bucket, the classic
     * small-file scan-task explosion); compaction restores one file per
@@ -782,7 +727,7 @@ object Dedup {
     * op — one writer, no concurrent readers. Crash ordering: the
     * rewrites land in `.compact` side dirs first (originals untouched);
     * each dir then swaps in via two renames (live → `.old`, compact →
-    * live); markers are deleted only after BOTH swaps, so a crash
+    * live); markers are folded only after BOTH swaps, so a crash
     * between them leaves a consistent index (the un-swapped side still
     * resolves its appends through the markers, the swapped side already
     * folded them to base rows — same logical set). A crash INSIDE a
@@ -826,18 +771,19 @@ object Dedup {
     }
     visible("hashes").select("ref_id", "sh", AttemptCol)
       .write.parquet(hashesNew.toString)
-    def swap(live: HPath, fresh: HPath): Unit = {
-      val old = new HPath(live.getParent, live.getName + ".old")
-      fs.delete(old, true): Unit
-      if (fs.exists(live) && !fs.rename(live, old))
-        throw new java.io.IOException(s"lshCompact: cannot move $live aside")
-      if (!fs.rename(fresh, live))
-        throw new java.io.IOException(s"lshCompact: cannot publish $fresh")
-      fs.delete(old, true): Unit
-    }
-    swap(bandsLive, bandsNew)
-    swap(hashesLive, hashesNew)
-    fs.delete(new HPath(root, "_commits"), true): Unit
+    IndexLifecycle.swapDir(fs, bandsLive, bandsNew)
+    IndexLifecycle.swapDir(fs, hashesLive, hashesNew)
+    // FOLD the commit markers to empty tombstones instead of deleting
+    // them: an appendId marker is also the idempotency record, and an
+    // at-least-once driver can replay a batch whose append committed
+    // BEFORE this compact (crash between the compact and the stream's
+    // checkpoint commit) — deleting its marker would let the replay
+    // re-append the already-folded rows. An empty marker means
+    // "committed and folded": [[lshAppend]]'s exists-check still
+    // no-ops on it, while [[committedAttempts]] skips its (gone)
+    // attempt id. A year of daily ingest retains 365 empty files —
+    // the append log, negligible next to the data it describes.
+    IndexLifecycle.foldMarkers(fs, root)
     // the standing catalog registration's cached file listing is stale
     // after the swap — drop it; the next bucketed read re-registers
     registerLock.synchronized {

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared commit-marker machinery for PERSISTED index layouts —
+  * [[Dedup]]'s LSH index and [[SimilaritySearch]]'s IVF index run the
+  * same day-2 lifecycle (build once, append accepted batches, compact
+  * periodically), so they share one durability protocol:
+  *
+  *  - appends write their data rows tagged with a fresh attempt id,
+  *    then publish them with ONE atomic marker rename under
+  *    `_commits/<appendId>` — data first, marker last;
+  *  - readers resolve visibility through the markers
+  *    ([[visibleRows]]), so a crashed append is invisible and a
+  *    retried `appendId` is a no-op (at-least-once drivers like
+  *    Structured Streaming's `foreachBatch` become idempotent by
+  *    keying the id on the batch id);
+  *  - compactions fold committed rows to base (null attempt), drop
+  *    crashed-attempt garbage, and truncate markers to empty
+  *    idempotency TOMBSTONES (a folded appendId still no-ops — a
+  *    replay of a batch committed before the compact must not
+  *    re-append).
+  *
+  * All layout I/O goes through the Hadoop FileSystem API, so indexes
+  * work on any supported store (`file:`, `hdfs:`, `s3a:`, the repo's
+  * `r2:`), and every guarantee is paid in O(appends) driver-side
+  * metadata — never data-proportional work (see SCALE.md round 16).
+  */
+private[operators] object IndexLifecycle {
+
+  /** Data rows carry the attempt id that wrote them; null = base. */
+  val AttemptCol = "append_attempt"
+
+  /** FileSystem + fully-qualified root for an index path. */
+  def fsFor(spark: SparkSession, path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    (fs, fs.makeQualified(p))
+  }
+
+  def markerPath(root: HPath, id: String): HPath =
+    new HPath(new HPath(root, "_commits"), id)
+
+  def validateAppendId(id: String): Unit =
+    require(!id.contains("/") && !id.startsWith("."),
+      s"appendId must be a plain marker-file name, got '$id'")
+
+  /** Attempt ids of COMMITTED appends — one marker per appendId under
+    * `_commits/`; empty (tombstone) markers contribute no attempt.
+    * Driver-side listing, O(appends since the last compact).
+    */
+  def committedAttempts(fs: FileSystem, root: HPath): Seq[String] = {
+    val dir = new HPath(root, "_commits")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq
+      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .flatMap { st =>
+        val s = scala.util.Using.resource(fs.open(st.getPath))(in =>
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        if (s.nonEmpty) Some(s) else None
+      }
+  }
+
+  /** Base rows (null attempt) plus rows of committed appends; rows of
+    * uncommitted attempts are invisible. Pre-marker-format files have
+    * no attempt column and read unfiltered. The filter is a scan-local
+    * predicate on a constant column — it adds no exchange, so layout
+    * plan properties (bucketed distribution, partition pruning)
+    * survive it.
+    */
+  def visibleRows(df: DataFrame, committed: Seq[String]): DataFrame =
+    if (!df.columns.contains(AttemptCol)) df
+    else {
+      val keep =
+        if (committed.isEmpty) col(AttemptCol).isNull
+        else col(AttemptCol).isNull || col(AttemptCol).isin(committed: _*)
+      df.filter(keep).drop(AttemptCol)
+    }
+
+  /** Publish an append: write the marker to a dot-temp and rename into
+    * place — the rename is the atomic publish point, so a half-written
+    * marker (crash between create and close) can never be mistaken for
+    * a commit and silently drop the batch on retry. Tolerates an
+    * existing marker (an earlier commit of the same appendId won; this
+    * attempt's rows stay invisible garbage until the next compact).
+    */
+  def commitMarker(fs: FileSystem, root: HPath, id: String,
+                   attempt: String): Unit = {
+    val commitsDir = new HPath(root, "_commits")
+    fs.mkdirs(commitsDir): Unit
+    val tmp = new HPath(commitsDir, s".$id.tmp")
+    scala.util.Using.resource(fs.create(tmp, true)) { out =>
+      out.write(attempt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val marker = new HPath(commitsDir, id)
+    if (!fs.rename(tmp, marker)) {
+      fs.delete(tmp, false): Unit
+      if (!fs.exists(marker))
+        throw new java.io.IOException(s"failed to commit append marker $marker")
+    }
+  }
+
+  /** Truncate every marker to an empty tombstone (post-compact): the
+    * appendId keeps no-op'ing on retry while its (folded) attempt id
+    * no longer gates any rows. Orphaned dot-temps are removed.
+    */
+  def foldMarkers(fs: FileSystem, root: HPath): Unit = {
+    val commits = new HPath(root, "_commits")
+    if (fs.exists(commits)) fs.listStatus(commits).foreach { st =>
+      if (st.getPath.getName.startsWith("."))
+        fs.delete(st.getPath, false): Unit
+      else if (st.getLen > 0)
+        fs.create(st.getPath, true).close()
+    }
+  }
+
+  /** Remove the marker dir entirely — for REBUILDS, which erase the
+    * appended rows themselves (stale markers would be harmless but
+    * would ride every later read until a compact).
+    */
+  def clearCommits(fs: FileSystem, root: HPath): Unit =
+    fs.delete(new HPath(root, "_commits"), true): Unit
+
+  /** Swap a compacted side dir into place: live → `.old`, fresh →
+    * live, delete `.old`. A crash inside the window is recoverable
+    * from the `.old` dir; callers order marker folding AFTER all swaps
+    * so every intermediate state reads consistently.
+    */
+  def swapDir(fs: FileSystem, live: HPath, fresh: HPath): Unit = {
+    val old = new HPath(live.getParent, live.getName + ".old")
+    fs.delete(old, true): Unit
+    if (fs.exists(live) && !fs.rename(live, old))
+      throw new java.io.IOException(s"compact: cannot move $live aside")
+    if (!fs.rename(fresh, live))
+      throw new java.io.IOException(s"compact: cannot publish $fresh")
+    fs.delete(old, true): Unit
+  }
+}

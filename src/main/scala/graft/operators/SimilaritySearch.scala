@@ -268,11 +268,90 @@ object SimilaritySearch {
     val cents = sampleCentroids(df, embCol, idCol, nlist)
     val spark = df.sparkSession
     import spark.implicits._
+    val (fs, root) = IndexLifecycle.fsFor(spark, path)
+    // a rebuild erases appended rows — their commit markers go with them
+    IndexLifecycle.clearCommits(fs, root)
     cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
       .toDF("cluster", "centroid")
-      .write.mode("overwrite").parquet(s"$path/centroids")
+      .write.mode("overwrite")
+      .parquet(new org.apache.hadoop.fs.Path(root, "centroids").toString)
     assignWith(df, embCol, cents)
-      .write.mode("overwrite").partitionBy("cluster").parquet(s"$path/corpus")
+      .withColumn(IndexLifecycle.AttemptCol, lit(null).cast("string"))
+      .write.mode("overwrite").partitionBy("cluster")
+      .parquet(new org.apache.hadoop.fs.Path(root, "corpus").toString)
+  }
+
+  /** The STORED coarse quantizer, ordered by cluster id — the frozen
+    * assignment contract every append and query shares.
+    */
+  private def storedCentroids(spark: org.apache.spark.sql.SparkSession,
+                              root: org.apache.hadoop.fs.Path): Array[Array[Double]] =
+    spark.read.parquet(new org.apache.hadoop.fs.Path(root, "centroids").toString)
+      .select(col("cluster"), col("centroid")).orderBy(col("cluster")).collect()
+      .map(_.getSeq[Double](1).toArray)
+
+  /** APPEND a batch to a persisted IVF index — the ANN side of the
+    * day-2 lifecycle ([[Dedup.lshAppend]] is the dedup side; both run
+    * [[IndexLifecycle]]'s commit-marker protocol, so appends are
+    * crash-safe — a partial write is invisible until the atomic marker
+    * publish — and `appendId`-idempotent under at-least-once retries).
+    * The coarse quantizer is FROZEN at build time, the standard IVF
+    * maintenance contract: appended vectors are assigned against the
+    * STORED centroids (sidecar read, O(nlist·d)), so cell membership
+    * stays consistent with the build and queries prune identically;
+    * re-training the quantizer is a rebuild. Cost is
+    * batch-proportional — assign the batch, append its rows into the
+    * cluster-partitioned layout; the lake's vectors never move.
+    * `df` must carry the build table's columns. Pre-round-16 indexes
+    * (no attempt column) take the plain in-place append; passing
+    * `appendId` on one throws — run [[ivfCompact]] once to upgrade.
+    */
+  def ivfAppend(df: DataFrame, embCol: String, idCol: String, path: String,
+                appendId: Option[String] = None): Unit = {
+    val spark = df.sparkSession
+    val (fs, root) = IndexLifecycle.fsFor(spark, path)
+    val corpus = new org.apache.hadoop.fs.Path(root, "corpus")
+    val cents = storedCentroids(spark, root)
+    val legacy = !spark.read.parquet(corpus.toString)
+      .columns.contains(IndexLifecycle.AttemptCol)
+    if (legacy) {
+      require(appendId.isEmpty, "idempotent appendId requires the " +
+        "commit-marker index format (round 16+); run ivfCompact(path) " +
+        "once to upgrade this index in place")
+      assignWith(df, embCol, cents)
+        .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
+      return
+    }
+    val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
+    IndexLifecycle.validateAppendId(id)
+    if (fs.exists(IndexLifecycle.markerPath(root, id)))
+      return // already committed — idempotent no-op
+    val attempt = java.util.UUID.randomUUID().toString
+    assignWith(df, embCol, cents)
+      .withColumn(IndexLifecycle.AttemptCol, lit(attempt))
+      .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
+    IndexLifecycle.commitMarker(fs, root, id, attempt)
+  }
+
+  /** Compact a persisted IVF index in place: fold committed appends to
+    * base rows (appends accumulate files per cluster partition — the
+    * same small-file arc as the LSH band dirs), drop crashed-attempt
+    * garbage, fold markers to idempotency tombstones, and UPGRADE a
+    * pre-round-16 layout to the commit-marker format. Offline op,
+    * single writer — same swap ordering and crash-recovery notes as
+    * [[Dedup.lshCompact]].
+    */
+  def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val (fs, root) = IndexLifecycle.fsFor(spark, path)
+    val live = new org.apache.hadoop.fs.Path(root, "corpus")
+    val fresh = new org.apache.hadoop.fs.Path(root, "corpus.compact")
+    fs.delete(fresh, true): Unit
+    val committed = IndexLifecycle.committedAttempts(fs, root)
+    IndexLifecycle.visibleRows(spark.read.parquet(live.toString), committed)
+      .withColumn(IndexLifecycle.AttemptCol, lit(null).cast("string"))
+      .write.partitionBy("cluster").parquet(fresh.toString)
+    IndexLifecycle.swapDir(fs, live, fresh)
+    IndexLifecycle.foldMarkers(fs, root)
   }
 
   /** Query a persisted IVF index: rank exact cosine inside the `nprobe`
@@ -282,7 +361,9 @@ object SimilaritySearch {
   def ivfQuery(spark: org.apache.spark.sql.SparkSession, path: String,
                embCol: String, idCol: String, query: Array[Double], k: Int,
                nprobe: Int, scale: Int = 6): DataFrame = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val (fs, root) = IndexLifecycle.fsFor(spark, path)
+    val cents = spark.read.parquet(
+        new org.apache.hadoop.fs.Path(root, "centroids").toString)
       .select(col("cluster"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
     def cos(p: Array[Double]): Double = {
@@ -295,7 +376,12 @@ object SimilaritySearch {
     val probed = cents.sortBy { case (i, p) => (-cos(p), i) }
       .take(nprobe).map(_._1)
     val q = typedLit(query)
-    spark.read.parquet(s"$path/corpus")
+    // appended rows resolve through their commit markers (IndexLifecycle)
+    // — a scan-local filter on a data column, so the planning-time
+    // partition pruning on `cluster` is untouched
+    IndexLifecycle.visibleRows(
+        spark.read.parquet(new org.apache.hadoop.fs.Path(root, "corpus").toString),
+        IndexLifecycle.committedAttempts(fs, root))
       .filter(col("cluster").isin(probed.toSeq: _*))
       .select(col(idCol).as("id"),
         round(cosine(col(embCol).cast("array<double>"), q), scale).as("cos_sim"))

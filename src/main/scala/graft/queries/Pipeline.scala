@@ -242,6 +242,44 @@ object Pipeline {
              |FROM e, t WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
+    QueryDef("q82_ivf_index_append",
+      (s, d) => {
+        // The IVF index's DAY-2 lifecycle, oracle-gated with q65's
+        // lossless-partition invariant: build the persisted index on
+        // HALF the corpus, ivfAppend the other half (commit-marker
+        // protocol, appendId keyed), then probe ALL cells — cells
+        // partition the corpus losslessly and appended vectors are
+        // assigned by the SAME frozen quantizer, so the full probe must
+        // reproduce the exact brute-force top-k over the WHOLE corpus
+        // bit-for-bit. An append that dropped, duplicated, or
+        // mis-assigned rows breaks the equality. The second append of
+        // the same appendId is the in-gate retry: a no-op by contract.
+        val emb = load(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        val idx = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory("q82ivfidx").toString)
+        SimilaritySearch.ivfBuild(
+          corpus.filter(col("vec_id") % 2 === 1), "embedding", "vec_id",
+          nlist = 16, idx)
+        val batch = corpus.filter(col("vec_id") % 2 === 0)
+        SimilaritySearch.ivfAppend(batch, "embedding", "vec_id", idx,
+          appendId = Some("day1"))
+        SimilaritySearch.ivfAppend(batch, "embedding", "vec_id", idx,
+          appendId = Some("day1")) // retried delivery — must no-op
+        SimilaritySearch.ivfQuery(s, idx, "embedding", "vec_id", query,
+          k = 10, nprobe = 16, scale = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |t AS (SELECT v AS tv FROM e WHERE vec_id = 0)
+             |SELECT vec_id AS id,
+             |round(list_dot_product(v, tv) /
+             |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(tv, tv))), 4) AS cos_sim
+             |FROM e, t WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
+
     QueryDef("q67_image_meta",
       (s, d) => {
         // REAL codec gate: deterministic PNG (RGB + grayscale) and JPEG

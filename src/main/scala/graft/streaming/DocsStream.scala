@@ -81,6 +81,17 @@ object DocsStream {
     * from the index itself (committed docs after minus before), so
     * retries can never double-count it.
     *
+    * `compactEvery = Some(n)` runs [[graft.operators.Dedup.lshCompact]]
+    * after every n-th micro-batch's append — the standing loop's answer
+    * to append-file accumulation (one file per bucket per append; a
+    * year of daily ingest would otherwise scan 365 files/bucket —
+    * Probe q96compact measures the cost). Safe inside `foreachBatch`:
+    * the loop is the index's single writer and sole reader between
+    * triggers, which is exactly compaction's documented requirement.
+    * Compaction preserves the visible row set, so results are unchanged
+    * (spec-pinned); a compact after a retried (no-op) append is itself
+    * a no-op rewrite.
+    *
     * `maxFilesPerTrigger` splits the input into multiple micro-batches
     * (specs use it to prove the loop property); the default drains
     * everything available per trigger. Returns one row after the stream
@@ -89,7 +100,8 @@ object DocsStream {
   def runIndexDedupLoopAsStream(spark: SparkSession, inputDir: String,
                                 indexPath: String, queryName: String,
                                 maxFilesPerTrigger: Option[Int] = None,
-                                checkpointLocation: Option[String] = None): DataFrame = {
+                                checkpointLocation: Option[String] = None,
+                                compactEvery: Option[Int] = None): DataFrame = {
     val schema = spark.read.parquet(inputDir).schema
     val reader = spark.readStream.schema(schema)
     val stream = maxFilesPerTrigger
@@ -108,6 +120,10 @@ object DocsStream {
         graft.operators.Dedup.lshAppend(accepted, "text", "doc_id", indexPath,
           appendId = Some(s"$queryName-b$batchId"))
         accepted.unpersist()
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            graft.operators.Dedup.lshCompact(spark, indexPath)
+        }
         ()
       }
     val q = checkpointLocation

@@ -108,8 +108,16 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
     assert(bandFiles <= 4 && bandFiles > 0,
       s"compact left $bandFiles band files (was $filesBefore, nb=4)")
     assert(pairs(idx).toSet == before.toSet, "compaction changed pair results")
-    assert(commitMarkers(idx).isEmpty &&
-      !new java.io.File(idx, "_commits").exists(), "markers survived compact")
+    // markers are FOLDED to empty tombstones, not deleted: they remain
+    // the idempotency record for batches whose append committed before
+    // the compact (an at-least-once replay must still no-op)
+    val folded = commitMarkers(idx)
+    assert(folded.map(_.getName).toSet == Set("d1", "d2") &&
+      folded.forall(_.length == 0L), folded.map(_.getName).mkString(","))
+    Dedup.lshAppend(b1.withColumn("doc_id", lit(777L)), "text", "doc_id", idx,
+      appendId = Some("d1")) // folded id → no-op; doc 777 never enters
+    assert(Dedup.lshIndexDocCount(spark, idx) == 4L)
+    assert(pairs(idx).toSet == before.toSet)
     assert(!new java.io.File(idx, "bands.compact").exists() &&
       !new java.io.File(idx, "bands.old").exists(), "compact left swap dirs")
     val meta = spark.read.parquet(s"$idx/meta").head()
@@ -174,6 +182,69 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
     // the same physical index addressed with and without the scheme
     // resolves to ONE catalog name (qualified-URI identity)
     assert(pairs(dir).toSet == pairs(idx).toSet)
+  }
+
+  test("IVF index lifecycle: crash-safe idempotent append, compaction, legacy upgrade — same protocol as the LSH index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val base = corpus.filter(col("vec_id") % 2 === 1)
+    val batch = corpus.filter(col("vec_id") % 2 === 0)
+    val idx = tmpDir("ivf_lc")
+    SimilaritySearch.ivfBuild(base, "embedding", "vec_id", nlist = 8, idx)
+    def top10: Seq[Long] = SimilaritySearch.ivfQuery(spark, idx, "embedding",
+      "vec_id", query, k = 10, nprobe = 8).collect().map(_.getLong(0)).toSeq
+    val baseTop = top10
+    // crash simulation: a committed append whose marker is then removed
+    // reads as never-appended (partial writes invisible)
+    SimilaritySearch.ivfAppend(batch, "embedding", "vec_id", idx,
+      appendId = Some("day1"))
+    commitMarkers(idx).foreach(f => assert(f.delete()))
+    assert(top10 == baseTop, "uncommitted IVF append rows leaked")
+    // the retry completes it; full probe == brute force over the union
+    // (lossless cells + frozen quantizer), and a re-retry is a no-op
+    SimilaritySearch.ivfAppend(batch, "embedding", "vec_id", idx,
+      appendId = Some("day1"))
+    SimilaritySearch.ivfAppend(batch, "embedding", "vec_id", idx,
+      appendId = Some("day1"))
+    val exact = SimilaritySearch.bruteForceTopK(
+      corpus, "embedding", "vec_id", query, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top10 == exact, s"$top10 vs $exact")
+    // compaction folds the append (garbage attempt rows dropped, marker
+    // tombstoned) without changing results; folded id still no-ops
+    SimilaritySearch.ivfCompact(spark, idx)
+    assert(top10 == exact)
+    val folded = commitMarkers(idx)
+    assert(folded.map(_.getName).toSeq == Seq("day1") && folded.head.length == 0L)
+    SimilaritySearch.ivfAppend(batch, "embedding", "vec_id", idx,
+      appendId = Some("day1"))
+    assert(top10 == exact, "folded appendId replayed")
+    // legacy upgrade: strip the attempt column (round-15 layout), plain
+    // append works, appendId refused until ivfCompact upgrades
+    val legacyIdx = tmpDir("ivf_legacy")
+    SimilaritySearch.ivfBuild(base, "embedding", "vec_id", nlist = 8, legacyIdx)
+    val legacyRows = spark.read.parquet(s"$legacyIdx/corpus").drop("append_attempt")
+    val tmp = tmpDir("ivf_legacy_rw")
+    legacyRows.write.mode("overwrite").partitionBy("cluster").parquet(tmp)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(legacyIdx, "corpus"))
+    new java.io.File(tmp).renameTo(new java.io.File(legacyIdx, "corpus"))
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfAppend(batch, "embedding", "vec_id", legacyIdx,
+        appendId = Some("d1"))
+    }
+    assert(e.getMessage.contains("ivfCompact"), e.getMessage)
+    SimilaritySearch.ivfAppend(batch, "embedding", "vec_id", legacyIdx)
+    SimilaritySearch.ivfCompact(spark, legacyIdx)
+    assert(spark.read.parquet(s"$legacyIdx/corpus").columns
+      .contains("append_attempt"))
+    assert(SimilaritySearch.ivfQuery(spark, legacyIdx, "embedding", "vec_id",
+      query, k = 10, nprobe = 8).collect().map(_.getLong(0)).toSeq == exact)
   }
 
   test("bucketed-index registration is cached: repeated queries reuse one catalog entry; concurrent sessions don't race") {

@@ -110,6 +110,41 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("index-dedup loop with compactEvery: per-batch compaction changes neither the accept set nor retry idempotency") {
+    import graft.operators.Dedup
+    val lake = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark and distributed query engines"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_loop_cp_idx").toString
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    val novelX = "entirely new material discussing streaming ingestion loops and persisted indexes"
+    val in = java.nio.file.Files.createTempDirectory("graft_loop_cp_in").toString
+    Seq((10L, novelX),
+      (12L, "completely different content about spark and distributed query engines"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((11L, novelX),
+      (13L, "yet another unrelated document about benchmark artifacts and pass medians"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    // same fixture and expectations as the plain loop spec — compaction
+    // after every micro-batch must not change the accepted set
+    val out = DocsStream.runIndexDedupLoopAsStream(spark, in, idx,
+        "loop_cp_mem", maxFilesPerTrigger = Some(1), compactEvery = Some(1))
+      .collect().head
+    assert(out.getAs[Long]("n_kept") == 2L, out.toString)
+    assert(out.getAs[Long]("n_index_docs") == 4L, out.toString)
+    // appends folded into the base layout; markers survive as empty
+    // idempotency tombstones, so a post-compact replay of a committed
+    // micro-batch is still a no-op
+    val markers = Option(new java.io.File(idx, "_commits").listFiles())
+      .getOrElse(Array.empty).filterNot(_.getName.startsWith("."))
+    assert(markers.nonEmpty && markers.forall(_.length == 0L),
+      markers.map(m => s"${m.getName}:${m.length}").mkString(","))
+    Dedup.lshAppend(Seq((20L, novelX)).toDF("doc_id", "text"),
+      "text", "doc_id", idx, appendId = Some("loop_cp_mem-b0"))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 4L, "folded batch replayed")
+  }
+
   test("index-dedup loop is restart- and retry-safe: a checkpointed re-run over the same input is a no-op") {
     import graft.operators.Dedup
     val lake = Seq(
