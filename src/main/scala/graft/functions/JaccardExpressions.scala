@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native merge-intersection Jaccard over two SORTED DISTINCT
+  * `array<bigint>` columns — the exact-verify kernel of every MinHash
+  * path ([[graft.operators.Dedup]] q47/q48/q96/q97 and the streaming
+  * loop): per candidate pair, intersection and union are computed in
+  * ONE generated loop over the arrays' primitive longs.
+  *
+  * The Scala-UDF spelling this replaces paid, per candidate pair, two
+  * `WrappedArray` wrappers plus a boxed `java.lang.Long` per element
+  * on the deserialization path — on dup-heavy corpora the verify stage
+  * evaluates millions of pairs whose arrays average hundreds of
+  * elements, so the boxing dominated the actual merge loop. This
+  * expression participates in whole-stage codegen and reads
+  * `ArrayData.getLong` directly (zero allocation per pair).
+  *
+  * Semantics are pinned to the UDF it replaces, spec-asserted
+  * value-identical: result is `round(|a∩b| / |a∪b| × 10⁴) / 10⁴`, and
+  * a NULL or EMPTY array on either side yields **0.0, never null**
+  * (a doc with no shingles near-duplicates nothing — callers filter
+  * `jaccard >= threshold`, so 0.0 and null would behave identically
+  * at the filter but not in emitted pair rows). PRECONDITIONS (both
+  * guaranteed by the shingle-hash producer, `shingleHashes64`): arrays
+  * are sorted ascending with distinct, non-null elements.
+  */
+case class SortedJaccardExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = false // null input → 0.0 by contract
+  override def prettyName: String = "sorted_jaccard64"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"sorted_jaccard64 requires two array<bigint> arguments, got ${l.simpleString}, ${r.simpleString}")
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val a = left.eval(input).asInstanceOf[ArrayData]
+    val b = right.eval(input).asInstanceOf[ArrayData]
+    if (a == null || b == null) return 0.0
+    val an = a.numElements(); val bn = b.numElements()
+    if (an == 0 || bn == 0) return 0.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < an && j < bn) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    val union = an + bn - inter
+    math.round(inter.toDouble / union * 10000.0) / 10000.0
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    val a = leftGen.value; val b = rightGen.value
+    val an = ctx.freshName("an"); val bn = ctx.freshName("bn")
+    val i = ctx.freshName("i"); val j = ctx.freshName("j")
+    val inter = ctx.freshName("inter")
+    val x = ctx.freshName("x"); val y = ctx.freshName("y")
+    val u = ctx.freshName("u")
+    val merge =
+      code"""
+            |double ${ev.value} = 0.0;
+            |if (!${leftGen.isNull} && !${rightGen.isNull}) {
+            |  int $an = $a.numElements();
+            |  int $bn = $b.numElements();
+            |  if ($an > 0 && $bn > 0) {
+            |    int $i = 0; int $j = 0; int $inter = 0;
+            |    while ($i < $an && $j < $bn) {
+            |      long $x = $a.getLong($i);
+            |      long $y = $b.getLong($j);
+            |      if ($x == $y) { $inter++; $i++; $j++; }
+            |      else if ($x < $y) { $i++; } else { $j++; }
+            |    }
+            |    int $u = $an + $bn - $inter;
+            |    ${ev.value} = java.lang.Math.round((double) $inter / $u * 10000.0) / 10000.0;
+            |  }
+            |}
+          """.stripMargin
+    ev.copy(code = leftGen.code + rightGen.code + merge, isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaccardExpressions {
+  /** Exact Jaccard of two sorted distinct `array<bigint>` columns. */
+  def sortedJaccard(a: Column, b: Column): Column =
+    GraftColumnShim.column(SortedJaccardExpr(
+      GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+}

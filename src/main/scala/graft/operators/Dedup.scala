@@ -284,7 +284,10 @@ object Dedup {
   /** Jaccard of two sorted distinct Long arrays by merge-intersection —
     * O(|a|+|b|), no per-pair set allocation.
     */
-  private val sortedJaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => {
+  // retained as the parity REFERENCE for the codegen kernel's spec —
+  // the hot paths use [[graft.functions.JaccardExpressions.sortedJaccard]]
+  // (same semantics, zero per-pair boxing, whole-stage codegen)
+  private[graft] val sortedJaccardUdf = udf((a: Seq[Long], b: Seq[Long]) => {
     if (a == null || b == null || a.isEmpty || b.isEmpty) 0.0
     else {
       var i = 0; var j = 0; var inter = 0
@@ -386,7 +389,8 @@ object Dedup {
     val tb = hashed.select(col("id").as("id_b"), col("__sh").as("__sh_b"))
     candidates.join(ta, "id_a").join(tb, "id_b")
       .select(col("id_a"), col("id_b"),
-        sortedJaccardUdf(col("__sh_a"), col("__sh_b")).as("jaccard"))
+        graft.functions.JaccardExpressions.sortedJaccard(
+          col("__sh_a"), col("__sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -437,7 +441,8 @@ object Dedup {
       shingleHashes64Udf(shingleK)(col("__text")).as("__sh_b"))
     candidates.join(ha, "id").join(hb, "ref_id")
       .select(col("id"), col("ref_id"),
-        sortedJaccardUdf(col("__sh_a"), col("__sh_b")).as("jaccard"))
+        graft.functions.JaccardExpressions.sortedJaccard(
+          col("__sh_a"), col("__sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -912,7 +917,8 @@ object Dedup {
       .select(col("ref_id"), col("sh").as("__sh_b"))
     candidates.join(ha, "id").join(hb, "ref_id")
       .select(col("id"), col("ref_id"),
-        sortedJaccardUdf(col("__sh_a"), col("__sh_b")).as("jaccard"))
+        graft.functions.JaccardExpressions.sortedJaccard(
+          col("__sh_a"), col("__sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -152,6 +152,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(kept.contains(6L) && !kept.contains(7L), kept.toString)
   }
 
+  test("sorted_jaccard64 kernel ≡ the UDF reference on random sorted-distinct arrays, incl. null/empty/identical/disjoint") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def arr(): Array[Long] =
+      Array.fill(rnd.nextInt(40))(rnd.nextInt(200).toLong * 7919L)
+        .distinct.sorted
+    val rows: Seq[(Long, Array[Long], Array[Long])] =
+      (1L to 60L).map { k =>
+        val a = arr()
+        val b = if (k % 5 == 0) a else arr() // every 5th pair identical
+        (k, a, b)
+      } ++ Seq(
+        (100L, Array.empty[Long], arr()),       // empty side
+        (101L, null, arr()),                    // null side
+        (102L, Array(1L, 2L), Array(5L, 9L)))   // disjoint
+    val df = rows.toDF("id", "a", "b")
+    val got = df.select(col("id"),
+      graft.functions.JaccardExpressions.sortedJaccard(col("a"), col("b")).as("j"))
+    // contract: never null — null/empty input folds to 0.0
+    assert(!got.schema("j").nullable)
+    val kernel = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ref = df.select(col("id"),
+        Dedup.sortedJaccardUdf(col("a"), col("b")).as("j"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(kernel == ref, (kernel.toSet diff ref.toSet).toString)
+    assert(kernel(100L) == 0.0 && kernel(101L) == 0.0 && kernel(102L) == 0.0)
+    assert((1L to 60L).filter(_ % 5 == 0).forall(kernel(_) == 1.0))
+  }
+
   test("exactGroupsFingerprint = exactGroups' (keeper, n_copies); the scan never reads text") {
     import spark.implicits._
     def groupsOf(df: org.apache.spark.sql.DataFrame) =
