@@ -545,20 +545,40 @@ object Dedup {
     } else {
       bandData.write.mode("overwrite").parquet(bandsPath.toString)
     }
-    base.select(col("id").as("ref_id"),
+    val hashesPath = new HPath(root, "hashes")
+    val hashData = base.select(col("id").as("ref_id"),
         shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
       .withColumn(AttemptCol, lit(null).cast("string"))
-      .write.mode("overwrite").parquet(new HPath(root, "hashes").toString)
+    if (bandBuckets > 0) {
+      // bucket the VERIFY hashes on ref_id too (same count): the verify
+      // join's lake side — the index's WIDEST data, the shingle-hash
+      // arrays — then satisfies its join distribution straight off the
+      // scan, so in the huge-batch regime no lake bytes move in EITHER
+      // stage of the query (band join pinned since round 15; this
+      // closes the hashes join, plan-pinned in OperatorsSpec)
+      val tmp = hashesTableName(spark, path) + "_build"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      fs.delete(hashesPath, true): Unit
+      hashData.repartition(bandBuckets, col("ref_id"))
+        .write.mode("overwrite")
+        .option("path", hashesPath.toString)
+        .bucketBy(bandBuckets, "ref_id").sortBy("ref_id")
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tmp")
+    } else {
+      hashData.write.mode("overwrite").parquet(hashesPath.toString)
+    }
     // a rebuild may change the bucket count or schema under a standing
     // catalog registration — drop it; the next bucketed read re-registers
     registerLock.synchronized {
-      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}"): Unit
+      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}"): Unit
     }
     // footer-only count of what was actually written — the doc tally a
     // reuse guard can check without re-reading data pages
-    val nDocs = spark.read.parquet(new HPath(root, "hashes").toString).count()
+    val nDocs = spark.read.parquet(hashesPath.toString).count()
     writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
-      bandBuckets)
+      bandBuckets, hb = bandBuckets)
   }
 
   /** APPEND a batch to a persisted LSH index ([[lshBuild]]) — the day-2
@@ -616,6 +636,7 @@ object Dedup {
     val bands = meta.getAs[Int]("bands")
     val shingleK = meta.getAs[Int]("shingle_k")
     val nb = bandBucketsOf(meta)
+    val hb = hashBucketsOf(meta)
     val bandsPath = new HPath(root, "bands")
     val hashesPath = new HPath(root, "hashes")
     val legacy = !spark.read.parquet(bandsPath.toString)
@@ -639,7 +660,8 @@ object Dedup {
           shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
         .write.mode("append").parquet(hashesPath.toString)
       val nDocs = spark.read.parquet(hashesPath.toString).count()
-      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs, nb)
+      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
+        nb, hb)
       return
     }
     val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
@@ -664,24 +686,33 @@ object Dedup {
     } else {
       newBands.write.mode("append").parquet(bandsPath.toString)
     }
-    base.select(col("id").as("ref_id"),
+    val newHashes = base.select(col("id").as("ref_id"),
         shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
       .withColumn(AttemptCol, lit(attempt))
-      .write.mode("append").parquet(hashesPath.toString)
+    if (hb > 0) {
+      val t = registerHashesTable(spark, path, hb)
+      newHashes.repartition(hb, col("ref_id"))
+        .write.mode("append").insertInto(t)
+    } else {
+      newHashes.write.mode("append").parquet(hashesPath.toString)
+    }
     // COMMIT: atomic marker publish (data first, marker last) — see
     // [[IndexLifecycle.commitMarker]]
     IndexLifecycle.commitMarker(fs, root, id, attempt)
     val nDocs = visibleIndexRows(spark.read.parquet(hashesPath.toString),
       committedAttempts(fs, root)).count()
-    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs, nb)
+    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
+      nb, hb)
   }
 
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
                              path: String, numPerm: Int, bands: Int,
-                             shingleK: Int, nDocs: Long, nb: Int): Unit = {
+                             shingleK: Int, nDocs: Long, nb: Int,
+                             hb: Int): Unit = {
     import spark.implicits._
-    Seq((numPerm, bands, shingleK, nDocs, nb))
-      .toDF("num_perm", "bands", "shingle_k", "n_docs", "band_buckets")
+    Seq((numPerm, bands, shingleK, nDocs, nb, hb))
+      .toDF("num_perm", "bands", "shingle_k", "n_docs", "band_buckets",
+        "hash_buckets")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
@@ -689,6 +720,14 @@ object Dedup {
   private def bandBucketsOf(meta: org.apache.spark.sql.Row): Int =
     if (meta.schema.fieldNames.contains("band_buckets"))
       meta.getAs[Int]("band_buckets")
+    else 0
+
+  /** Pre-round-16 indexes (no `hash_buckets`) have plain-parquet verify
+    * hashes — including round-15 band-bucketed ones.
+    */
+  private def hashBucketsOf(meta: org.apache.spark.sql.Row): Int =
+    if (meta.schema.fieldNames.contains("hash_buckets"))
+      meta.getAs[Int]("hash_buckets")
     else 0
 
   /** Rows of an appendable index data file carry the attempt id that
@@ -748,6 +787,11 @@ object Dedup {
     val bands = meta.getAs[Int]("bands")
     val shingleK = meta.getAs[Int]("shingle_k")
     val nb = bandBucketsOf(meta)
+    // compact also UPGRADES a band-bucketed index whose verify hashes
+    // predate the bucketed-hashes layout (round ≤ 15): the rewrite is
+    // happening anyway, so it lands bucketed on ref_id like a fresh
+    // build's would
+    val hb = if (nb > 0) nb else hashBucketsOf(meta)
     val committed = committedAttempts(fs, root)
     def visible(sub: String): DataFrame = visibleIndexRows(
       spark.read.parquet(new HPath(root, sub).toString), committed)
@@ -774,8 +818,19 @@ object Dedup {
       // lands as few right-sized files without an extra shuffle
       bandData.write.parquet(bandsNew.toString)
     }
-    visible("hashes").select("ref_id", "sh", AttemptCol)
-      .write.parquet(hashesNew.toString)
+    val hashData = visible("hashes").select("ref_id", "sh", AttemptCol)
+    if (hb > 0) {
+      val tmp = hashesTableName(spark, path) + "_compact"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      hashData.repartition(hb, col("ref_id"))
+        .write.mode("overwrite")
+        .option("path", hashesNew.toString)
+        .bucketBy(hb, "ref_id").sortBy("ref_id")
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tmp")
+    } else {
+      hashData.write.parquet(hashesNew.toString)
+    }
     IndexLifecycle.swapDir(fs, bandsLive, bandsNew)
     IndexLifecycle.swapDir(fs, hashesLive, hashesNew)
     // FOLD the commit markers to empty tombstones instead of deleting
@@ -789,35 +844,42 @@ object Dedup {
     // attempt id. A year of daily ingest retains 365 empty files —
     // the append log, negligible next to the data it describes.
     IndexLifecycle.foldMarkers(fs, root)
-    // the standing catalog registration's cached file listing is stale
-    // after the swap — drop it; the next bucketed read re-registers
+    // the standing catalog registrations' cached file listings are stale
+    // after the swap — drop them; the next bucketed read re-registers
     registerLock.synchronized {
-      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}"): Unit
+      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}")
+      spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}"): Unit
     }
     val nDocs = spark.read.parquet(hashesLive.toString).count()
-    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs, nb)
+    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
+      nb, hb)
   }
 
-  /** Deterministic catalog name for an index's bucketed band table —
+  /** Deterministic catalog name for an index's bucketed data table —
     * derived from the fully-qualified URI so re-registration is
     * idempotent per index, two indexes never collide in one session's
     * catalog, and the same index addressed through different spellings
     * of one URI resolves to one name.
     */
-  private def bandsTableName(spark: SparkSession, path: String): String = {
+  private def indexTableName(spark: SparkSession, path: String,
+                             sub: String): String = {
     val q = indexFs(spark, path)._2.toString
     val h = java.lang.Integer.toHexString(
       scala.util.hashing.MurmurHash3.stringHash(q))
-    s"graft_lsh_bands_$h"
+    s"graft_lsh_${sub}_$h"
   }
+  private def bandsTableName(spark: SparkSession, path: String): String =
+    indexTableName(spark, path, "bands")
+  private def hashesTableName(spark: SparkSession, path: String): String =
+    indexTableName(spark, path, "hashes")
 
   private val registerLock = new Object
 
-  /** Ensure the session catalog carries the external bucketed band table
-    * for `path`, REUSING a live registration when its location and
-    * bucket spec already match — the common case: a streaming loop
-    * queries the same index every micro-batch, and the old
-    * DROP+CREATE-per-call both churned the catalog and let two
+  /** Ensure the session catalog carries the external bucketed table for
+    * one of an index's data dirs, REUSING a live registration when its
+    * location and bucket spec already match — the common case: a
+    * streaming loop queries the same index every micro-batch, and the
+    * old DROP+CREATE-per-call both churned the catalog and let two
     * concurrent readers race (one's DROP between the other's
     * registration and its scan planning). Re-creates the entry only on
     * absence or mismatch (a rebuilt index with a different bucket count
@@ -825,28 +887,36 @@ object Dedup {
     * and the check-then-create is synchronized JVM-wide, which covers
     * every session of this driver (the table catalog is shared state).
     */
-  private def registerBandsTable(spark: SparkSession,
-                                 path: String, nb: Int): String = {
-    val name = bandsTableName(spark, path)
-    val loc = new HPath(indexFs(spark, path)._2, "bands")
+  private def registerIndexTable(spark: SparkSession, path: String,
+                                 sub: String, nb: Int,
+                                 bucketCols: Seq[String]): String = {
+    val name = indexTableName(spark, path, sub)
+    val loc = new HPath(indexFs(spark, path)._2, sub)
     registerLock.synchronized {
       val live = spark.catalog.tableExists(name) && {
         val t = spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(name))
         t.storage.locationUri.exists(u => new HPath(u).toString == loc.toString) &&
           t.bucketSpec.exists(b => b.numBuckets == nb &&
-            b.bucketColumnNames == Seq("band", "bucket"))
+            b.bucketColumnNames == bucketCols)
       }
       if (!live) {
         val schema = spark.read.parquet(loc.toString).schema.toDDL
+        val cols = bucketCols.mkString(", ")
         spark.sql(s"DROP TABLE IF EXISTS $name")
         spark.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
-          s"CLUSTERED BY (band, bucket) SORTED BY (band, bucket) " +
+          s"CLUSTERED BY ($cols) SORTED BY ($cols) " +
           s"INTO $nb BUCKETS LOCATION '${loc.toString}'")
       }
       name
     }
   }
+  private def registerBandsTable(spark: SparkSession, path: String,
+                                 nb: Int): String =
+    registerIndexTable(spark, path, "bands", nb, Seq("band", "bucket"))
+  private def registerHashesTable(spark: SparkSession, path: String,
+                                  hb: Int): String =
+    registerIndexTable(spark, path, "hashes", hb, Seq("ref_id"))
 
   /** Cross-corpus near-dup pairs of a fresh batch against a PERSISTED
     * index ([[lshBuild]]) — same output contract as
@@ -912,8 +982,15 @@ object Dedup {
       .dropDuplicates("id", "ref_id")
     val ha = base.select(col("id"),
       shingleHashes64Udf(shingleK)(col("__text")).as("__sh_a"))
+    // a bucketed-hashes index reads the verify side through its catalog
+    // table too: the ref_id join's lake side — the shingle-hash arrays,
+    // the index's widest data — then satisfies the join distribution
+    // straight off the scan; in the huge-batch regime NO lake bytes
+    // move in either stage of this query (plan-pinned)
+    val hbuckets = hashBucketsOf(meta)
     val hb = visibleIndexRows(
-        spark.read.parquet(new HPath(root, "hashes").toString), committed)
+        if (hbuckets > 0) spark.table(registerHashesTable(spark, indexPath, hbuckets))
+        else spark.read.parquet(new HPath(root, "hashes").toString), committed)
       .select(col("ref_id"), col("sh").as("__sh_b"))
     candidates.join(ha, "id").join(hb, "ref_id")
       .select(col("id"), col("ref_id"),

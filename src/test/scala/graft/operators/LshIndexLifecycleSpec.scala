@@ -184,6 +184,58 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
     assert(pairs(dir).toSet == pairs(idx).toSet)
   }
 
+  test("bucketed-hashes layout: the verify join's lake side reads bucketed and shuffles nothing (huge-batch regime)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val dir = java.nio.file.Files.createTempDirectory("lsh_hbkt")
+    val idx = dir.toString
+    Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 4)
+    // pin the structural claim, not AQE's small-data shortcut: with
+    // runtime broadcast conversion off, the verify join must plan
+    // sort-merge with NO exchange under the lake-hashes side — its
+    // bucketed scan already satisfies the ref_id distribution
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    restore.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      val q = Dedup.minhashLshIndexPairs(probe, idx, "text", "doc_id",
+        threshold = 0.7, broadcastMaxBandRows = 0L)
+      val got = q.select(col("id"), col("ref_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 0L), (3L, 2L)), got.toString)
+      val plan = q.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val verifyJoins = plan.collect {
+        case j: SortMergeJoinExec
+          if j.leftKeys.map(_.toString).exists(_.contains("ref_id")) &&
+            Seq(j.left, j.right).exists(_.toString.contains("hashes")) => j
+      }
+      assert(verifyJoins.nonEmpty, plan.toString.take(1500))
+      verifyJoins.foreach { j =>
+        // the candidates side ALSO scans the index dir (its band table),
+        // so identify the lake-hashes side by the hashes table itself
+        val lakeSide = Seq(j.left, j.right)
+          .find(s => s.toString.contains("graft_lsh_hashes_") ||
+            s.toString.contains(s"${dir.getFileName}/hashes"))
+        assert(lakeSide.isDefined, "hashes scan not under the verify join:\n" +
+          plan.toString.take(1500))
+        assert(lakeSide.get.toString.contains("Bucketed: true"),
+          "hashes scan lost the bucket spec:\n" + lakeSide.get.toString.take(800))
+        val exchanges = lakeSide.get.collect { case e: ShuffleExchangeExec => e }
+        assert(exchanges.isEmpty, "lake hashes shuffled despite bucketed " +
+          "layout:\n" + lakeSide.get.toString.take(1500))
+      }
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("IVF index lifecycle: crash-safe idempotent append, compaction, legacy upgrade — same protocol as the LSH index") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val query = emb.filter(col("vec_id") === 0)
