@@ -280,6 +280,44 @@ object Pipeline {
              |FROM e, t WHERE vec_id <> 0
              |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
 
+    QueryDef("qs08_stream_ivf_ingest",
+      (s, d) => {
+        // STREAMING ANN INGEST gate: the IVF index's day-2 lifecycle
+        // driven by Structured Streaming — build the persisted index on
+        // half the embeddings, stream the other half through
+        // runIvfIngestAsStream (per-micro-batch ivfAppend keyed on the
+        // batch id, checkpointed), then probe ALL cells: the lossless
+        // cells + frozen quantizer make the full probe equal the exact
+        // brute-force top-k over the WHOLE corpus — the same oracle as
+        // q65/q82, now gating the streaming file-commit path.
+        val emb = load(s, d, "embeddings")
+        val query = emb.filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head().getSeq[Double](0).toArray
+        val corpus = emb.filter(col("vec_id") =!= 0)
+        def tmp(prefix: String): String = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory(prefix).toString)
+        val idx = tmp("qs08idx")
+        SimilaritySearch.ivfBuild(
+          corpus.filter(col("vec_id") % 2 === 1), "embedding", "vec_id",
+          nlist = 16, idx)
+        val in = tmp("qs08in")
+        corpus.filter(col("vec_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(in)
+        graft.streaming.DocsStream.runIvfIngestAsStream(
+          s, in, idx, "qs08_ivf_mem",
+          checkpointLocation = Some(tmp("qs08ckpt")))
+        SimilaritySearch.ivfQuery(s, idx, "embedding", "vec_id", query,
+          k = 10, nprobe = 16, scale = 4)
+      },
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+             |t AS (SELECT v AS tv FROM e WHERE vec_id = 0)
+             |SELECT vec_id AS id,
+             |round(list_dot_product(v, tv) /
+             |  (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(tv, tv))), 4) AS cos_sim
+             |FROM e, t WHERE vec_id <> 0
+             |ORDER BY cos_sim DESC, id LIMIT 10""".stripMargin)),
+
     QueryDef("q67_image_meta",
       (s, d) => {
         // REAL codec gate: deterministic PNG (RGB + grayscale) and JPEG

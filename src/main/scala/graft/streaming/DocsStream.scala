@@ -136,6 +136,44 @@ object DocsStream {
     Seq((n1 - n0, n1)).toDF("n_kept", "n_index_docs")
   }
 
+  /** STREAMING ANN INGEST: each micro-batch of embeddings is appended to
+    * a persisted IVF index ([[graft.operators.SimilaritySearch.ivfAppend]])
+    * — the ANN counterpart of [[runIndexDedupLoopAsStream]], riding the
+    * same commit-marker protocol: appends are keyed on the micro-batch
+    * id, so an at-least-once `foreachBatch` redelivery no-ops instead of
+    * duplicating index vectors, and a crash mid-append leaves the
+    * uncommitted attempt invisible. The coarse quantizer is frozen at
+    * build time (the ivfAppend contract), so every micro-batch is
+    * assigned consistently and queries keep pruning identically; cost
+    * per micro-batch is batch-proportional (assign + partitioned
+    * append) — the indexed lake's vectors never move. Pass
+    * `checkpointLocation` so a restarted stream resumes instead of
+    * re-reading; a drained, checkpointed re-run leaves the index
+    * untouched (spec-pinned).
+    */
+  def runIvfIngestAsStream(spark: SparkSession, inputDir: String,
+                           indexPath: String, queryName: String,
+                           maxFilesPerTrigger: Option[Int] = None,
+                           checkpointLocation: Option[String] = None): Unit = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
+    val writer0 = stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        graft.operators.SimilaritySearch.ivfAppend(batch.toDF(), "embedding",
+          "vec_id", indexPath, appendId = Some(s"$queryName-b$batchId"))
+        ()
+      }
+    val q = checkpointLocation
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+  }
+
   /** The curated stream landing as TRAINING SHARDS: same plant → redact
     * → sample pipeline as [[runCurationAsStream]], but the sink is
     * `foreachBatch` appending language-partitioned parquet — the

@@ -110,6 +110,47 @@ class StreamingSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("IVF streaming ingest: multi-batch append equals brute force; checkpointed re-run and batchId retries are no-ops") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head().getSeq[Double](0).toArray
+    val corpus = emb.filter(col("vec_id") =!= 0).limit(40).cache()
+    val n = corpus.count()
+    val base = corpus.filter(col("vec_id") % 2 === 1)
+    val idx = java.nio.file.Files.createTempDirectory("ivf_stream_idx").toString
+    SimilaritySearch.ivfBuild(base, "embedding", "vec_id", nlist = 4, idx)
+    // two input files → two micro-batches
+    val in = java.nio.file.Files.createTempDirectory("ivf_stream_in").toString
+    corpus.filter(col("vec_id") % 2 === 0 && col("vec_id") % 4 === 0)
+      .coalesce(1).write.mode("append").parquet(in)
+    corpus.filter(col("vec_id") % 2 === 0 && col("vec_id") % 4 =!= 0)
+      .coalesce(1).write.mode("append").parquet(in)
+    val ck = java.nio.file.Files.createTempDirectory("ivf_stream_ck").toString
+    DocsStream.runIvfIngestAsStream(spark, in, idx, "ivf_ing_mem",
+      maxFilesPerTrigger = Some(1), checkpointLocation = Some(ck))
+    // full probe with k > corpus: every vector exactly once, equal to
+    // brute force over the union — a duplicated append would surface as
+    // duplicate id rows here
+    def allRows: Seq[Long] = SimilaritySearch.ivfQuery(spark, idx,
+      "embedding", "vec_id", query, k = 1000, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = SimilaritySearch.bruteForceTopK(
+      corpus, "embedding", "vec_id", query, 1000)
+      .collect().map(_.getLong(0)).toSeq
+    assert(allRows.length == n && allRows == exact,
+      s"${allRows.length}/$n: $allRows vs $exact")
+    // restart over the same input + checkpoint: nothing replays
+    DocsStream.runIvfIngestAsStream(spark, in, idx, "ivf_ing_mem",
+      maxFilesPerTrigger = Some(1), checkpointLocation = Some(ck))
+    assert(allRows == exact, "checkpointed re-run mutated the IVF index")
+    // at-least-once retry of a committed micro-batch id: no-op
+    SimilaritySearch.ivfAppend(corpus.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", idx, appendId = Some("ivf_ing_mem-b0"))
+    assert(allRows == exact, "retried micro-batch re-appended")
+    corpus.unpersist(): Unit
+  }
+
   test("index-dedup loop with compactEvery: per-batch compaction changes neither the accept set nor retry idempotency") {
     import graft.operators.Dedup
     val lake = Seq(
