@@ -184,6 +184,52 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
     assert(pairs(dir).toSet == pairs(idx).toSet)
   }
 
+  test("round-15 bucketed index (5-col meta, plain hashes) still reads and appends; lshCompact upgrades its hashes to bucketed") {
+    import spark.implicits._
+    val idx = tmpDir("lsh_r15fmt")
+    Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 4)
+    // reconstruct the round-15 on-disk state: plain-parquet hashes and a
+    // meta without hash_buckets
+    val plainHashes = spark.read.parquet(s"$idx/hashes")
+      .select("ref_id", "sh", "append_attempt").collect()
+    val hSchema = org.apache.spark.sql.types.StructType(
+      spark.read.parquet(s"$idx/hashes").schema
+        .filter(f => Seq("ref_id", "sh", "append_attempt").contains(f.name)))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(): Unit
+    }
+    rm(new java.io.File(idx, "hashes"))
+    spark.createDataFrame(java.util.Arrays.asList(plainHashes: _*), hSchema)
+      .write.parquet(s"$idx/hashes")
+    val m = spark.read.parquet(s"$idx/meta")
+      .select("num_perm", "bands", "shingle_k", "n_docs", "band_buckets")
+      .collect().head
+    Seq((m.getInt(0), m.getInt(1), m.getInt(2), m.getLong(3), m.getInt(4)))
+      .toDF("num_perm", "bands", "shingle_k", "n_docs", "band_buckets")
+      .write.mode("overwrite").parquet(s"$idx/meta")
+    // reads: bands through the bucketed table, hashes as plain parquet
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)))
+    // marker-format appends still work (the r15 data files carry the
+    // attempt column) and must keep writing PLAIN hashes (hb = 0)
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("d1"))
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)))
+    // compact upgrades: hashes land bucketed, meta gains hash_buckets=4,
+    // results unchanged
+    Dedup.lshCompact(spark, idx)
+    val meta = spark.read.parquet(s"$idx/meta").head()
+    assert(meta.getAs[Int]("hash_buckets") == 4 &&
+      meta.getAs[Int]("band_buckets") == 4 &&
+      meta.getAs[Long]("n_docs") == 3L, meta.toString)
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)))
+    // post-upgrade appends go through the bucketed hashes table
+    Dedup.lshAppend(
+      Seq((6L, "yet another unrelated document about benchmark artifacts and pass medians"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("d2"))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 4L)
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)))
+  }
+
   test("bucketed-hashes layout: the verify join's lake side reads bucketed and shuffles nothing (huge-batch regime)") {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.joins.SortMergeJoinExec
