@@ -648,6 +648,14 @@ object Probe {
     * pathology where the path-independent verify stage dominates every
     * shape (round-15 numbers + analysis in SCALE.md).
     */
+  /** The expected provenance stamp's docs count, memoized per dataset
+    * dir for the JVM lifetime — within one JVM the corpus at a path is
+    * immutable, and without the memo every warm q96index invocation
+    * paid a count() job the old _SUCCESS-exists check did not.
+    */
+  private val probeStampCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** Build-or-reuse the probe's persisted LSH index for `d`'s reference
     * half, PROVENANCE-GUARDED (the registerExisting pattern): the cache
     * key is (dataset dir name, split modulus, bucket count), but a
@@ -659,14 +667,6 @@ object Probe {
     * layout (separate cache entry). Returns (indexPath, buildSeconds —
     * 0 when reused).
     */
-  /** The expected provenance stamp's docs count, memoized per dataset
-    * dir for the JVM lifetime — within one JVM the corpus at a path is
-    * immutable, and without the memo every warm q96index invocation
-    * paid a count() job the old _SUCCESS-exists check did not.
-    */
-  private val probeStampCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def ensureProbeIndex(s: SparkSession, d: String): (String, Double) = {
     val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2")
     val nb = sys.env.getOrElse("SPARK_GRAFT_PROBE_IDX_BUCKETS", "0").toInt

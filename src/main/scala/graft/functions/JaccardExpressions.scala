@@ -31,6 +31,21 @@ import org.apache.spark.sql.types._
   * at the filter but not in emitted pair rows). PRECONDITIONS (both
   * guaranteed by the shingle-hash producer, `shingleHashes64`): arrays
   * are sorted ascending with distinct, non-null elements.
+  *
+  * The non-null-elements precondition is MACHINE-CHECKED, statically
+  * where possible: when an input's schema says `containsNull = true`,
+  * the generated loop gains a per-element null check that throws a
+  * named error instead of silently reading null as 0 the way
+  * `ArrayData.getLong` would (a wrong jaccard with no signal). When
+  * both schemas carry `containsNull = false`, the check compiles away
+  * and the merge loop stays branch-free. The split lands exactly right:
+  * in-plan producers (`shingleHashes64` feeding the verify join —
+  * q47/q48/q96 and every self-join path) prove non-null in their schema
+  * and pay nothing, while arrays READ FROM STORAGE (the persisted
+  * index's `hashes`) arrive `containsNull = true` because Spark's file
+  * sources force `asNullable` on every scan schema — and a stored file
+  * is precisely where an out-of-band producer could have written a
+  * null, so the one-branch-per-element check is load-bearing there.
   */
 case class SortedJaccardExpr(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -44,12 +59,28 @@ case class SortedJaccardExpr(left: Expression, right: Expression) extends Binary
       s"sorted_jaccard64 requires two array<bigint> arguments, got ${l.simpleString}, ${r.simpleString}")
   }
 
+  /** True when either input's schema admits null ELEMENTS — only then do
+    * the loops pay a per-element check (throwing [[nullElementError]]).
+    */
+  private def mayContainNullElements: Boolean = Seq(left, right).exists {
+    e => e.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    }
+  }
+
   override def eval(input: InternalRow): Any = {
     val a = left.eval(input).asInstanceOf[ArrayData]
     val b = right.eval(input).asInstanceOf[ArrayData]
     if (a == null || b == null) return 0.0
     val an = a.numElements(); val bn = b.numElements()
     if (an == 0 || bn == 0) return 0.0
+    if (mayContainNullElements) {
+      var i = 0
+      while (i < an) { if (a.isNullAt(i)) SortedJaccardExpr.nullElementError(); i += 1 }
+      var j = 0
+      while (j < bn) { if (b.isNullAt(j)) SortedJaccardExpr.nullElementError(); j += 1 }
+    }
     var i = 0; var j = 0; var inter = 0
     while (i < an && j < bn) {
       val x = a.getLong(i); val y = b.getLong(j)
@@ -71,6 +102,20 @@ case class SortedJaccardExpr(left: Expression, right: Expression) extends Binary
     val inter = ctx.freshName("inter")
     val x = ctx.freshName("x"); val y = ctx.freshName("y")
     val u = ctx.freshName("u")
+    // static decision: the null-element guard is emitted only when an
+    // input schema admits null elements, so the internal producers'
+    // merge loop carries zero extra branches
+    val guard =
+      if (!mayContainNullElements) ""
+      else {
+        val g = ctx.freshName("g")
+        s"""for (int $g = 0; $g < $an; $g++) {
+           |  if ($a.isNullAt($g)) graft.functions.SortedJaccardExpr.nullElementError();
+           |}
+           |for (int $g = 0; $g < $bn; $g++) {
+           |  if ($b.isNullAt($g)) graft.functions.SortedJaccardExpr.nullElementError();
+           |}""".stripMargin
+      }
     val merge =
       code"""
             |double ${ev.value} = 0.0;
@@ -78,6 +123,7 @@ case class SortedJaccardExpr(left: Expression, right: Expression) extends Binary
             |  int $an = $a.numElements();
             |  int $bn = $b.numElements();
             |  if ($an > 0 && $bn > 0) {
+            |    $guard
             |    int $i = 0; int $j = 0; int $inter = 0;
             |    while ($i < $an && $j < $bn) {
             |      long $x = $a.getLong($i);
@@ -96,6 +142,15 @@ case class SortedJaccardExpr(left: Expression, right: Expression) extends Binary
   override protected def withNewChildrenInternal(newLeft: Expression,
                                                  newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object SortedJaccardExpr {
+  /** Shared by the interpreted and generated guard paths (the generated
+    * code calls it by name, so it must be a public static).
+    */
+  def nullElementError(): Nothing = throw new IllegalArgumentException(
+    "sorted_jaccard64: input array contains a null element — inputs must " +
+      "be sorted distinct non-null 64-bit shingle hashes (shingleHashes64)")
 }
 
 object JaccardExpressions {

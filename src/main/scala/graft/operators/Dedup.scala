@@ -511,37 +511,31 @@ object Dedup {
     val spark = ref.sparkSession
     val (fs, root) = indexFs(spark, path)
     val bandsPath = new HPath(root, "bands")
-    // a REBUILD over a previously appended index erases the appends'
-    // rows, so their commit markers must not survive either (stale
-    // markers are harmless to correctness — they reference attempts
-    // with no rows — but every later read would carry dead entries)
-    IndexLifecycle.clearCommits(fs, root)
     val base = prepTexts(ref, textCol, idCol)
     val bandData = bandRows(base, numPerm, bands, shingleK)
       .withColumnRenamed("id", "ref_id")
       .withColumn(AttemptCol, lit(null).cast("string"))
       .select("ref_id", "band", "bucket", AttemptCol)
+    // a REBUILD over a previously appended index erases the appends'
+    // rows, so their commit markers must not survive either (stale
+    // markers are harmless to correctness — they reference attempts
+    // with no rows — but every later read would carry dead entries).
+    // Cleared only now, AFTER the inputs have analyzed (prepTexts /
+    // bandRows resolve the columns eagerly): a rebuild invoked with a
+    // wrong textCol/idCol must fail BEFORE any destructive step, leaving
+    // the old index — appends included — fully readable.
+    IndexLifecycle.clearCommits(fs, root)
     if (bandBuckets > 0) {
       // Bucketed write goes through the catalog (Spark's bucketed layout
       // is a table property, not a parquet one): create the external
-      // bucketed table at $path/bands, then drop the catalog entry —
-      // files and bucket hashing survive; queries re-register from meta.
-      // repartition on the bucket columns first: HashPartitioning here is
-      // the same pmod(hash) the bucketed writer assigns files by, so each
-      // task holds exactly one bucket's rows — nb files, not tasks × nb.
-      val tmp = bandsTableName(spark, path) + "_build"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      // CTAS refuses a non-empty location (allowNonEmptyLocationInCTAS
-      // is off), so a REBUILD over an existing index clears the band
-      // dir first — overwrite semantics the plain-parquet branch gets
-      // natively
-      fs.delete(bandsPath, true): Unit
-      bandData.repartition(bandBuckets, col("band"), col("bucket"))
-        .write.mode("overwrite")
-        .option("path", bandsPath.toString)
-        .bucketBy(bandBuckets, "band", "bucket").sortBy("band", "bucket")
-        .saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tmp")
+      // bucketed table at $path/bands, insert, then drop the catalog
+      // entry — files and bucket hashing survive; queries re-register
+      // from meta. repartition on the bucket columns first:
+      // HashPartitioning here is the same pmod(hash) the bucketed writer
+      // assigns files by, so each task holds exactly one bucket's rows —
+      // nb files, not tasks × nb.
+      writeBucketed(bandData, spark, path, "bands", bandsPath, "_build",
+        bandBuckets, Seq("band", "bucket"), fs)
     } else {
       bandData.write.mode("overwrite").parquet(bandsPath.toString)
     }
@@ -556,15 +550,8 @@ object Dedup {
       // scan, so in the huge-batch regime no lake bytes move in EITHER
       // stage of the query (band join pinned since round 15; this
       // closes the hashes join, plan-pinned in OperatorsSpec)
-      val tmp = hashesTableName(spark, path) + "_build"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      fs.delete(hashesPath, true): Unit
-      hashData.repartition(bandBuckets, col("ref_id"))
-        .write.mode("overwrite")
-        .option("path", hashesPath.toString)
-        .bucketBy(bandBuckets, "ref_id").sortBy("ref_id")
-        .saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tmp")
+      writeBucketed(hashData, spark, path, "hashes", hashesPath, "_build",
+        bandBuckets, Seq("ref_id"), fs)
     } else {
       hashData.write.mode("overwrite").parquet(hashesPath.toString)
     }
@@ -618,10 +605,18 @@ object Dedup {
     *    [[lshCompact]] rewrites them away.
     * With `appendId = None` a random id is used: still crash-safe
     * (all-or-nothing), but each completed call is a distinct append —
-    * callers that may retry MUST pass a stable id. A crash between the
-    * marker rename and the meta rewrite leaves `n_docs` stale by one
-    * batch; queries are unaffected and the next append or compact
-    * repairs the tally.
+    * callers that may retry MUST pass a stable id.
+    *
+    * The refreshed meta tally is INCREMENTAL — committed `n_docs` from
+    * meta plus this batch's row count, one job over the BATCH — so the
+    * append never scans the index's own data (spec-pinned by bytes-read
+    * assertion): at a 10⁹-doc lake even a single-column recount would
+    * have been the append's dominant term. A crash between the marker
+    * rename and the meta rewrite leaves `n_docs` stale by one batch;
+    * queries are unaffected (visibility is the markers', not the
+    * tally's), [[lshIndexDocCount]] still answers exactly, and the next
+    * [[lshCompact]] — whose rewrite scans everything anyway — recounts
+    * and repairs it.
     *
     * Pre-round-16 indexes (no `append_attempt` column) take the legacy
     * in-place append, which has neither guarantee; passing `appendId`
@@ -631,6 +626,7 @@ object Dedup {
                 path: String, appendId: Option[String] = None): Unit = {
     val spark = accepted.sparkSession
     val (fs, root) = indexFs(spark, path)
+    recoverIndexDirs(fs, root)
     val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
     val numPerm = meta.getAs[Int]("num_perm")
     val bands = meta.getAs[Int]("bands")
@@ -659,9 +655,8 @@ object Dedup {
       base.select(col("id").as("ref_id"),
           shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
         .write.mode("append").parquet(hashesPath.toString)
-      val nDocs = spark.read.parquet(hashesPath.toString).count()
-      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
-        nb, hb)
+      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK,
+        meta.getAs[Long]("n_docs") + accepted.count(), nb, hb)
       return
     }
     val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
@@ -699,10 +694,11 @@ object Dedup {
     // COMMIT: atomic marker publish (data first, marker last) — see
     // [[IndexLifecycle.commitMarker]]
     IndexLifecycle.commitMarker(fs, root, id, attempt)
-    val nDocs = visibleIndexRows(spark.read.parquet(hashesPath.toString),
-      committedAttempts(fs, root)).count()
-    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
-      nb, hb)
+    // incremental tally: committed n_docs + this batch, counted on the
+    // BATCH (one hashes row per input row, so the counts agree by
+    // construction) — never a scan of the index's own data
+    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK,
+      meta.getAs[Long]("n_docs") + accepted.count(), nb, hb)
   }
 
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
@@ -738,17 +734,41 @@ object Dedup {
   private val AttemptCol = IndexLifecycle.AttemptCol
   private def indexFs(spark: SparkSession, path: String): (FileSystem, HPath) =
     IndexLifecycle.fsFor(spark, path)
+  /** Index-open repair: restore either data dir from a compact that
+    * crashed inside its swap window (see [[IndexLifecycle.recoverSwap]]).
+    */
+  private def recoverIndexDirs(fs: FileSystem, root: HPath): Unit = {
+    IndexLifecycle.recoverSwap(fs, new HPath(root, "bands"))
+    IndexLifecycle.recoverSwap(fs, new HPath(root, "hashes"))
+  }
   private def committedAttempts(fs: FileSystem, root: HPath): Seq[String] =
     IndexLifecycle.committedAttempts(fs, root)
   private def visibleIndexRows(df: DataFrame, committed: Seq[String]): DataFrame =
     IndexLifecycle.visibleRows(df, committed)
 
+  /** The meta tally `n_docs` — maintained INCREMENTALLY by appends and
+    * recounted by build/compact, so reading it costs one one-row parquet
+    * read, never a scan of the index's data. This is the count a
+    * standing loop should bracket its runs with; it can lag the true
+    * committed count by one batch after a crash between an append's
+    * marker commit and its meta rewrite (the next [[lshCompact]]
+    * reconciles — and [[lshIndexDocCount]] recounts exactly on demand).
+    */
+  def lshIndexCommittedDocs(spark: SparkSession, path: String): Long = {
+    val (_, root) = indexFs(spark, path)
+    spark.read.parquet(new HPath(root, "meta").toString)
+      .head().getAs[Long]("n_docs")
+  }
+
   /** Committed (visible) document count of a persisted index — counts
     * the verify-hash rows (one per doc) through the marker filter, so it
-    * is correct even when a crash left `meta`'s tally stale.
+    * is correct even when a crash left `meta`'s tally stale. One
+    * narrow-column scan of the index — the exact RECONCILER, not the
+    * per-run bookkeeping read (that is [[lshIndexCommittedDocs]]).
     */
   def lshIndexDocCount(spark: SparkSession, path: String): Long = {
     val (fs, root) = indexFs(spark, path)
+    recoverIndexDirs(fs, root)
     visibleIndexRows(spark.read.parquet(new HPath(root, "hashes").toString),
       committedAttempts(fs, root)).count()
   }
@@ -782,6 +802,7 @@ object Dedup {
     */
   def lshCompact(spark: SparkSession, path: String): Unit = {
     val (fs, root) = indexFs(spark, path)
+    recoverIndexDirs(fs, root)
     val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
     val numPerm = meta.getAs[Int]("num_perm")
     val bands = meta.getAs[Int]("bands")
@@ -804,14 +825,8 @@ object Dedup {
     fs.delete(hashesNew, true): Unit
     val bandData = visible("bands").select("ref_id", "band", "bucket", AttemptCol)
     if (nb > 0) {
-      val tmp = bandsTableName(spark, path) + "_compact"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      bandData.repartition(nb, col("band"), col("bucket"))
-        .write.mode("overwrite")
-        .option("path", bandsNew.toString)
-        .bucketBy(nb, "band", "bucket").sortBy("band", "bucket")
-        .saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tmp")
+      writeBucketed(bandData, spark, path, "bands", bandsNew, "_compact",
+        nb, Seq("band", "bucket"), fs)
     } else {
       // unbucketed: the rewrite's input partitioning bin-packs the small
       // append files (spark.sql.files.maxPartitionBytes), so the output
@@ -820,14 +835,8 @@ object Dedup {
     }
     val hashData = visible("hashes").select("ref_id", "sh", AttemptCol)
     if (hb > 0) {
-      val tmp = hashesTableName(spark, path) + "_compact"
-      spark.sql(s"DROP TABLE IF EXISTS $tmp")
-      hashData.repartition(hb, col("ref_id"))
-        .write.mode("overwrite")
-        .option("path", hashesNew.toString)
-        .bucketBy(hb, "ref_id").sortBy("ref_id")
-        .saveAsTable(tmp)
-      spark.sql(s"DROP TABLE $tmp")
+      writeBucketed(hashData, spark, path, "hashes", hashesNew, "_compact",
+        hb, Seq("ref_id"), fs)
     } else {
       hashData.write.parquet(hashesNew.toString)
     }
@@ -875,17 +884,70 @@ object Dedup {
 
   private val registerLock = new Object
 
+  /** Create an external bucketed parquet catalog entry with `schema`
+    * VERBATIM, through the [[org.apache.spark.sql.catalyst.catalog.SessionCatalog]]
+    * API (DDL round-trips and CTAS both normalize the schema on the way
+    * through — `asNullable`, type-string re-parse).
+    */
+  private def createCatalogEntry(spark: SparkSession, name: String,
+                                 loc: java.net.URI,
+                                 schema: org.apache.spark.sql.types.StructType,
+                                 nb: Int, bucketCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.catalyst.catalog._
+    spark.sessionState.catalog.createTable(
+      CatalogTable(
+        identifier = org.apache.spark.sql.catalyst.TableIdentifier(name),
+        tableType = CatalogTableType.EXTERNAL,
+        storage = CatalogStorageFormat.empty.copy(locationUri = Some(loc)),
+        schema = schema,
+        provider = Some("parquet"),
+        bucketSpec = Some(BucketSpec(nb, bucketCols, bucketCols))),
+      ignoreIfExists = false)
+  }
+
+  /** Bucketed write of an index data dir at `dest` via create-then-insert
+    * on a throwaway catalog entry (see [[createCatalogEntry]] for why not
+    * CTAS): rows land pre-partitioned on the bucket columns — the same
+    * pmod(hash) the bucketed writer assigns files by, so each task holds
+    * exactly one bucket's rows (nb files, not tasks × nb) — and sorted
+    * within buckets per the table's sort spec.
+    */
+  private def writeBucketed(df: DataFrame, spark: SparkSession, path: String,
+                            sub: String, dest: HPath, suffix: String,
+                            nb: Int, bucketCols: Seq[String],
+                            fs: FileSystem): Unit = {
+    val tmp = indexTableName(spark, path, sub) + suffix
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    fs.delete(dest, true): Unit
+    createCatalogEntry(spark, tmp, dest.toUri, df.schema, nb, bucketCols)
+    // insertInto resolves POSITIONALLY — safe because the entry's schema
+    // is df's own
+    df.repartition(nb, bucketCols.map(col): _*).write.insertInto(tmp)
+    spark.sql(s"DROP TABLE $tmp")
+  }
+
   /** Ensure the session catalog carries the external bucketed table for
     * one of an index's data dirs, REUSING a live registration when its
-    * location and bucket spec already match — the common case: a
-    * streaming loop queries the same index every micro-batch, and the
+    * location, bucket spec, AND schema already match — the common case:
+    * a streaming loop queries the same index every micro-batch, and the
     * old DROP+CREATE-per-call both churned the catalog and let two
     * concurrent readers race (one's DROP between the other's
-    * registration and its scan planning). Re-creates the entry only on
-    * absence or mismatch (a rebuilt index with a different bucket count
-    * or schema — rebuild and compact also drop the entry themselves),
-    * and the check-then-create is synchronized JVM-wide, which covers
-    * every session of this driver (the table catalog is shared state).
+    * registration and its scan planning). The schema is re-derived from
+    * the dir's parquet footers on every call (one driver-side footer
+    * read — the price the old per-call CREATE paid too), so an index
+    * rewritten out-of-band by another process — same bucket count,
+    * different columns, e.g. a legacy 3-col band layout replacing the
+    * 4-col one — invalidates the cached entry instead of being scanned
+    * through a stale schema. Re-creates on absence or any mismatch
+    * (rebuild and compact also drop the entry themselves), and the
+    * check-then-create is synchronized JVM-wide, which covers every
+    * session of this driver (the table catalog is shared state).
+    *
+    * Registration goes through the [[org.apache.spark.sql.catalyst.catalog.SessionCatalog]]
+    * API with the parquet-derived [[org.apache.spark.sql.types.StructType]]
+    * verbatim — a DDL `CREATE TABLE` round-trip would re-parse the
+    * schema through its type-string grammar instead of storing what the
+    * footers actually say.
     */
   private def registerIndexTable(spark: SparkSession, path: String,
                                  sub: String, nb: Int,
@@ -893,20 +955,20 @@ object Dedup {
     val name = indexTableName(spark, path, sub)
     val loc = new HPath(indexFs(spark, path)._2, sub)
     registerLock.synchronized {
+      val onDisk = spark.read.parquet(loc.toString).schema
+      def sig(s: org.apache.spark.sql.types.StructType) =
+        s.fields.map(f => (f.name, f.dataType)).toSeq
       val live = spark.catalog.tableExists(name) && {
         val t = spark.sessionState.catalog.getTableMetadata(
           org.apache.spark.sql.catalyst.TableIdentifier(name))
         t.storage.locationUri.exists(u => new HPath(u).toString == loc.toString) &&
           t.bucketSpec.exists(b => b.numBuckets == nb &&
-            b.bucketColumnNames == bucketCols)
+            b.bucketColumnNames == bucketCols) &&
+          sig(t.schema) == sig(onDisk)
       }
       if (!live) {
-        val schema = spark.read.parquet(loc.toString).schema.toDDL
-        val cols = bucketCols.mkString(", ")
         spark.sql(s"DROP TABLE IF EXISTS $name")
-        spark.sql(s"CREATE TABLE $name ($schema) USING PARQUET " +
-          s"CLUSTERED BY ($cols) SORTED BY ($cols) " +
-          s"INTO $nb BUCKETS LOCATION '${loc.toString}'")
+        createCatalogEntry(spark, name, loc.toUri, onDisk, nb, bucketCols)
       }
       name
     }
@@ -952,6 +1014,7 @@ object Dedup {
                            broadcastMaxBandRows: Long = 1000000L): DataFrame = {
     val spark = df.sparkSession
     val (fs, root) = indexFs(spark, indexPath)
+    recoverIndexDirs(fs, root)
     val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
     val numPerm = meta.getAs[Int]("num_perm")
     val bands = meta.getAs[Int]("bands")

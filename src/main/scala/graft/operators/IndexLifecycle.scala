@@ -124,11 +124,15 @@ private[operators] object IndexLifecycle {
     fs.delete(new HPath(root, "_commits"), true): Unit
 
   /** Swap a compacted side dir into place: live → `.old`, fresh →
-    * live, delete `.old`. A crash inside the window is recoverable
-    * from the `.old` dir; callers order marker folding AFTER all swaps
-    * so every intermediate state reads consistently.
+    * live, delete `.old`. A crash inside the two-rename window leaves
+    * live missing with `.old` holding the pre-compact data —
+    * [[recoverSwap]] (run here and at every index-open point) restores
+    * it automatically, so the window costs a re-run of the compact, not
+    * manual recovery. Callers order marker folding AFTER all swaps so
+    * every intermediate state reads consistently.
     */
   def swapDir(fs: FileSystem, live: HPath, fresh: HPath): Unit = {
+    recoverSwap(fs, live)
     val old = new HPath(live.getParent, live.getName + ".old")
     fs.delete(old, true): Unit
     if (fs.exists(live) && !fs.rename(live, old))
@@ -136,5 +140,22 @@ private[operators] object IndexLifecycle {
     if (!fs.rename(fresh, live))
       throw new java.io.IOException(s"compact: cannot publish $fresh")
     fs.delete(old, true): Unit
+  }
+
+  /** Repair the [[swapDir]] crash window: a missing live dir alongside a
+    * leftover `.old` means a compact died between its two renames — the
+    * `.old` dir IS the pre-compact data, so restore it. A stray `.old`
+    * NEXT TO a live dir is the other crash point (after publish, before
+    * cleanup): the compact succeeded, the leftover is a dead copy, and
+    * the next [[swapDir]]'s leading delete removes it. Two driver-side
+    * existence probes per call — run it at every index-open point
+    * (query, append, compact) so readers never see the torn state.
+    */
+  def recoverSwap(fs: FileSystem, live: HPath): Unit = {
+    val old = new HPath(live.getParent, live.getName + ".old")
+    if (!fs.exists(live) && fs.exists(old) && !fs.rename(old, live))
+      throw new java.io.IOException(
+        s"index recovery: found interrupted compact ($old exists, $live " +
+          s"missing) but could not restore it — move $old back to $live manually")
   }
 }

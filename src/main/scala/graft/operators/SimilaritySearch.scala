@@ -182,27 +182,48 @@ object SimilaritySearch {
     * like the query vector, not data.
     */
   private def sampleCentroids(df: DataFrame, embCol: String, idCol: String,
-                              nlist: Int): Array[Array[Double]] =
-    df.select(col(embCol).cast("array<double>").as("v"),
+                              nlist: Int): Array[Array[Double]] = {
+    val cents = df.select(col(embCol).cast("array<double>").as("v"),
         hash(col(idCol)).as("h"))
       .orderBy(col("h"), col("v")(0))
       .limit(nlist)
       .collect()
       .map(_.getSeq[Double](0).toArray)
+    // a mixed-dimension corpus must fail the BUILD, not assign rows to
+    // arbitrary cells later
+    require(cents.nonEmpty && cents.forall(_.length == cents(0).length),
+      s"IVF dimension mismatch: sampled quantizer vectors have lengths " +
+        s"${cents.map(_.length).distinct.mkString(",")} — the corpus must " +
+        "carry one embedding dimension")
+    cents
+  }
 
-  private def nearestCentroidUdf(cents: Array[Array[Double]]) =
+  /** Error text shared by the assign UDF and the driver-side probe guard
+    * — the named signal the dimension contract throws on violation.
+    */
+  private def dimError(got: Int, want: Int): String =
+    s"IVF dimension mismatch: vector has $got dims, the quantizer has " +
+      s"$want — batches and queries must match the build's embedding " +
+      "dimension (rebuild the index to change it)"
+
+  private def nearestCentroidUdf(cents: Array[Array[Double]]) = {
+    val dim = cents(0).length
     udf((v: Seq[Double]) => {
-      // null embedding → null cluster (dropped by any probe filter)
+      // null embedding → null cluster (dropped by any probe filter); a
+      // PRESENT vector of the wrong dimension is rejected loudly — a
+      // truncated dot product would assign it to an essentially
+      // arbitrary cell, where queries could never find it
       if (v == null) None
       else {
+        if (v.length != dim)
+          throw new IllegalArgumentException(dimError(v.length, dim))
         var best = 0; var bestSim = Double.MinValue
         var c = 0
         while (c < cents.length) {
           val p = cents(c)
           var s = 0.0; var pn = 0.0; var vn = 0.0
-          val n = math.min(p.length, v.length)
           var j = 0
-          while (j < n) { s += p(j) * v(j); pn += p(j) * p(j); vn += v(j) * v(j); j += 1 }
+          while (j < dim) { s += p(j) * v(j); pn += p(j) * p(j); vn += v(j) * v(j); j += 1 }
           val sim = s / (math.sqrt(pn) * math.sqrt(vn))
           if (sim > bestSim) { bestSim = sim; best = c }
           c += 1
@@ -210,6 +231,7 @@ object SimilaritySearch {
         Some(best)
       }
     })
+  }
 
   private def assignWith(df: DataFrame, embCol: String,
                          cents: Array[Array[Double]]): DataFrame =
@@ -235,11 +257,12 @@ object SimilaritySearch {
               query: Array[Double], k: Int, nlist: Int = 16,
               nprobe: Int = 4, scale: Int = 6): DataFrame = {
     val cents = sampleCentroids(df, embCol, idCol, nlist)
+    require(query.length == cents(0).length,
+      dimError(query.length, cents(0).length))
     def cos(p: Array[Double]): Double = {
       var s = 0.0; var pn = 0.0; var qn = 0.0
-      val n = math.min(p.length, query.length)
       var j = 0
-      while (j < n) { s += p(j) * query(j); pn += p(j) * p(j); qn += query(j) * query(j); j += 1 }
+      while (j < p.length) { s += p(j) * query(j); pn += p(j) * p(j); qn += query(j) * query(j); j += 1 }
       s / (math.sqrt(pn) * math.sqrt(qn))
     }
     val probed = cents.zipWithIndex.sortBy { case (p, i) => (-cos(p), i) }
@@ -265,6 +288,9 @@ object SimilaritySearch {
     */
   def ivfBuild(df: DataFrame, embCol: String, idCol: String, nlist: Int,
                path: String): Unit = {
+    // the quantizer sample runs (and fails) BEFORE anything destructive:
+    // a rebuild invoked with wrong columns or an unreadable corpus must
+    // leave the old index — commit markers included — fully readable
     val cents = sampleCentroids(df, embCol, idCol, nlist)
     val spark = df.sparkSession
     import spark.implicits._
@@ -302,7 +328,13 @@ object SimilaritySearch {
     * re-training the quantizer is a rebuild. Cost is
     * batch-proportional — assign the batch, append its rows into the
     * cluster-partitioned layout; the lake's vectors never move.
-    * `df` must carry the build table's columns. Pre-round-16 indexes
+    * `df` must carry the build table's columns, and its embeddings the
+    * quantizer's DIMENSION: a mismatched vector is rejected with a
+    * named error (a truncated dot product would file it in an arbitrary
+    * cell — present in counts, unfindable by any probe), and because
+    * the rejection aborts the write before its commit marker, the
+    * failed batch is invisible — fix the batch and retry the same
+    * `appendId`. Pre-round-16 indexes
     * (no attempt column) take the plain in-place append; passing
     * `appendId` on one throws — run [[ivfCompact]] once to upgrade.
     */
@@ -311,6 +343,7 @@ object SimilaritySearch {
     val spark = df.sparkSession
     val (fs, root) = IndexLifecycle.fsFor(spark, path)
     val corpus = new org.apache.hadoop.fs.Path(root, "corpus")
+    IndexLifecycle.recoverSwap(fs, corpus)
     val cents = storedCentroids(spark, root)
     val legacy = !spark.read.parquet(corpus.toString)
       .columns.contains(IndexLifecycle.AttemptCol)
@@ -344,6 +377,7 @@ object SimilaritySearch {
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val (fs, root) = IndexLifecycle.fsFor(spark, path)
     val live = new org.apache.hadoop.fs.Path(root, "corpus")
+    IndexLifecycle.recoverSwap(fs, live)
     val fresh = new org.apache.hadoop.fs.Path(root, "corpus.compact")
     fs.delete(fresh, true): Unit
     val committed = IndexLifecycle.committedAttempts(fs, root)
@@ -362,15 +396,17 @@ object SimilaritySearch {
                embCol: String, idCol: String, query: Array[Double], k: Int,
                nprobe: Int, scale: Int = 6): DataFrame = {
     val (fs, root) = IndexLifecycle.fsFor(spark, path)
+    IndexLifecycle.recoverSwap(fs, new org.apache.hadoop.fs.Path(root, "corpus"))
     val cents = spark.read.parquet(
         new org.apache.hadoop.fs.Path(root, "centroids").toString)
       .select(col("cluster"), col("centroid")).collect()
       .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+    require(cents.nonEmpty && query.length == cents(0)._2.length,
+      dimError(query.length, cents.headOption.map(_._2.length).getOrElse(0)))
     def cos(p: Array[Double]): Double = {
       var s = 0.0; var pn = 0.0; var qn = 0.0
-      val n = math.min(p.length, query.length)
       var j = 0
-      while (j < n) { s += p(j) * query(j); pn += p(j) * p(j); qn += query(j) * query(j); j += 1 }
+      while (j < p.length) { s += p(j) * query(j); pn += p(j) * p(j); qn += query(j) * query(j); j += 1 }
       s / (math.sqrt(pn) * math.sqrt(qn))
     }
     val probed = cents.sortBy { case (i, p) => (-cos(p), i) }

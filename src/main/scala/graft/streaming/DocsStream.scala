@@ -79,7 +79,9 @@ object DocsStream {
     * checkpointed loop over the same input processes nothing and leaves
     * the index untouched (spec-pinned). The returned `n_kept` is derived
     * from the index itself (committed docs after minus before), so
-    * retries can never double-count it.
+    * retries can never double-count it; the brackets read the meta
+    * tally — two one-row reads — NOT a count over the index's data,
+    * which at a 10⁹-doc lake would have dominated every run.
     *
     * `compactEvery = Some(n)` runs [[graft.operators.Dedup.lshCompact]]
     * after every n-th micro-batch's append — the standing loop's answer
@@ -107,7 +109,7 @@ object DocsStream {
     val stream = maxFilesPerTrigger
       .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(inputDir)
-    val n0 = graft.operators.Dedup.lshIndexDocCount(spark, indexPath)
+    val n0 = graft.operators.Dedup.lshIndexCommittedDocs(spark, indexPath)
     val writer0 = stream.writeStream.queryName(queryName)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
@@ -132,7 +134,7 @@ object DocsStream {
     q.processAllAvailable()
     q.stop()
     import spark.implicits._
-    val n1 = graft.operators.Dedup.lshIndexDocCount(spark, indexPath)
+    val n1 = graft.operators.Dedup.lshIndexCommittedDocs(spark, indexPath)
     Seq((n1 - n0, n1)).toDF("n_kept", "n_index_docs")
   }
 

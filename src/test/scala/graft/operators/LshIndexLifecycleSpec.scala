@@ -345,6 +345,262 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
       query, k = 10, nprobe = 8).collect().map(_.getLong(0)).toSeq == exact)
   }
 
+  test("lshAppend never scans the index's data: bytes read stay batch-sized, the meta tally increments") {
+    import spark.implicits._
+    // a lake big enough that any recount regression is unmissable in the
+    // task metrics: ~4k docs of 40 random words → >1 MB of band/hash data
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.tabulate(500)(i => s"word$i")
+    def text(): String =
+      Array.fill(40)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val lakeDf = (0L until 4000L).map(i => (i, text())).toDF("doc_id", "text")
+    val idx = tmpDir("lsh_zeroscan")
+    Dedup.lshBuild(lakeDf, "text", "doc_id", idx)
+    def dirBytes(sub: String): Long = {
+      def walk(f: java.io.File): Long =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(walk).sum
+        else f.length()
+      walk(new java.io.File(idx, sub))
+    }
+    val dataBytes = dirBytes("bands") + dirBytes("hashes")
+    assert(dataBytes > (1L << 20), s"fixture too small to prove the claim: $dataBytes")
+    val read = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.bytesRead): Unit
+    }
+    // the listener bus is async — wait until the counter stops moving
+    def awaitStable(): Long = {
+      var prev = -1L
+      var stable = 0
+      val t0 = System.nanoTime()
+      while (stable < 2 && (System.nanoTime() - t0) < 10000000000L) {
+        Thread.sleep(200)
+        val now = read.get()
+        if (now == prev) stable += 1 else { stable = 0; prev = now }
+      }
+      read.get()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      awaitStable() // drain any stragglers from the build's jobs
+      read.set(0)
+      Dedup.lshAppend(Seq((9001L, text()), (9002L, text())).toDF("doc_id", "text"),
+        "text", "doc_id", idx, appendId = Some("day1"))
+      val got = awaitStable()
+      // allowed reads: the one-row meta and a schema footer — KBs. A
+      // recount of the hashes table (the round-16 shape) reads the whole
+      // narrow column and fails this bound immediately.
+      assert(got < 256 * 1024,
+        s"lshAppend read $got bytes with $dataBytes bytes of index data — " +
+          "an index-scan crept back into the append path")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the incremental tally is exact in the crash-free run — and agrees
+    // with the full reconciling recount
+    assert(Dedup.lshIndexCommittedDocs(spark, idx) == 4002L)
+    assert(Dedup.lshIndexDocCount(spark, idx) == 4002L)
+  }
+
+  test("interrupted compact (crash inside the swap window) auto-restores at index open") {
+    val idx = tmpDir("lsh_swapcrash")
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("d1"))
+    val before = pairs(idx)
+    assert(before.toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)), before.toString)
+    // simulate a compact dying between its two renames: live moved aside
+    // to .old, fresh (.compact) not yet published — the index has no
+    // live bands dir at all
+    val bands = new java.io.File(idx, "bands")
+    assert(bands.renameTo(new java.io.File(idx, "bands.old")))
+    assert(new java.io.File(idx, "bands.compact").mkdirs())
+    // a query auto-restores the .old dir instead of failing on the
+    // missing path, and answers exactly as before the crash
+    assert(pairs(idx).toSet == before.toSet)
+    assert(bands.exists() && !new java.io.File(idx, "bands.old").exists())
+    // the re-run compact completes and clears the stray .compact dir
+    Dedup.lshCompact(spark, idx)
+    assert(pairs(idx).toSet == before.toSet)
+    assert(!new java.io.File(idx, "bands.compact").exists() &&
+      !new java.io.File(idx, "bands.old").exists())
+    // same recovery on the IVF corpus dir
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20)
+    val ivfIdx = tmpDir("ivf_swapcrash")
+    SimilaritySearch.ivfBuild(emb, "embedding", "vec_id", nlist = 4, ivfIdx)
+    val q0 = emb.select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    def ivfIds: Seq[Long] = SimilaritySearch.ivfQuery(spark, ivfIdx,
+      "embedding", "vec_id", q0, k = 5, nprobe = 4).collect()
+      .map(_.getLong(0)).toSeq
+    val ivfBefore = ivfIds
+    assert(new java.io.File(ivfIdx, "corpus")
+      .renameTo(new java.io.File(ivfIdx, "corpus.old")))
+    assert(ivfIds == ivfBefore, "IVF query did not auto-restore the swap")
+    assert(!new java.io.File(ivfIdx, "corpus.old").exists())
+  }
+
+  test("a rebuild with a wrong column fails BEFORE touching the old index: markers and appended rows survive") {
+    val idx = tmpDir("lsh_badrebuild")
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("d1"))
+    val before = pairs(idx)
+    assert(before.toSet.contains((7L, 4L)), before.toString)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Dedup.lshBuild(lake, "no_such_column", "doc_id", idx)
+    }
+    // the failed rebuild deleted NOTHING: marker intact, appended doc
+    // still answers (the old ordering cleared _commits first, silently
+    // dropping the append from every later read)
+    assert(commitMarkers(idx).map(_.getName).toSeq == Seq("d1"))
+    assert(pairs(idx).toSet == before.toSet)
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+    // IVF side: the quantizer sample fails before clearCommits too
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20)
+    val ivfIdx = tmpDir("ivf_badrebuild")
+    SimilaritySearch.ivfBuild(emb.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", nlist = 4, ivfIdx)
+    SimilaritySearch.ivfAppend(emb.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", ivfIdx, appendId = Some("d1"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      SimilaritySearch.ivfBuild(emb, "no_such_column", "vec_id", 4, ivfIdx)
+    }
+    assert(commitMarkers(ivfIdx).map(_.getName).toSeq == Seq("d1"))
+  }
+
+  test("catalog registration invalidates on out-of-band schema change — a stale schema cannot drop the attempt column") {
+    import spark.implicits._
+    val idx = tmpDir("lsh_oob")
+    Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 2)
+    // plant a CRASHED append in the r16 4-col layout: garbage rows on
+    // disk, no marker — invisible through the attempt filter
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("d1"))
+    commitMarkers(idx).foreach(f => assert(f.delete()))
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)))
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs(): Unit
+      Option(src.listFiles()).getOrElse(Array.empty).foreach { f =>
+        if (f.isDirectory) copyDir(f, new java.io.File(dst, f.getName))
+        else java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING): Unit
+      }
+    }
+    def rmDir(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmDir)
+      f.delete(): Unit
+    }
+    // save the 4-col dirs aside, then rewrite both data dirs as the
+    // LEGACY 3-col/2-col bucketed layout (what another JVM running old
+    // code would leave) — visible rows only, so results are unchanged
+    val saved = new java.io.File(tmpDir("lsh_oob_saved"))
+    for (sub <- Seq("bands", "hashes")) {
+      copyDir(new java.io.File(idx, sub), new java.io.File(saved, sub))
+      val cols = if (sub == "bands") Seq("ref_id", "band", "bucket")
+                 else Seq("ref_id", "sh")
+      val bcols = if (sub == "bands") Seq("band", "bucket") else Seq("ref_id")
+      val legacyRows = spark.read.parquet(s"$idx/$sub")
+        .filter(col("append_attempt").isNull)
+        .select(cols.map(col): _*).collect()
+      val schema = org.apache.spark.sql.types.StructType(
+        spark.read.parquet(s"$idx/$sub").schema.filter(f => cols.contains(f.name)))
+      rmDir(new java.io.File(idx, sub))
+      val tmp = s"lsh_oob_rewrite_$sub"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      spark.createDataFrame(java.util.Arrays.asList(legacyRows: _*), schema)
+        .repartition(2, bcols.map(col): _*)
+        .write.option("path", s"$idx/$sub")
+        .bucketBy(2, bcols.head, bcols.tail: _*).sortBy(bcols.head, bcols.tail: _*)
+        .saveAsTable(tmp)
+      spark.sql(s"DROP TABLE $tmp")
+    }
+    // this query registers the 3-col schema in the catalog cache
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)))
+    // out-of-band: the 4-col layout (with its invisible garbage attempt)
+    // comes back under the SAME location and bucket count — only the
+    // schema differs from the cached registration
+    for (sub <- Seq("bands", "hashes")) {
+      rmDir(new java.io.File(idx, sub))
+      copyDir(new java.io.File(saved, sub), new java.io.File(idx, sub))
+    }
+    // the schema-aware liveness check re-registers and the attempt
+    // filter applies: the garbage row stays invisible. A stale 3-col
+    // schema would DROP the attempt column from the scan and surface
+    // (7,4) — the exact silent corruption the check exists to stop.
+    assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)),
+      "stale catalog schema leaked an uncommitted append")
+  }
+
+  test("a stored null shingle hash fails the index query loudly (sorted_jaccard64 guard on the storage boundary)") {
+    import spark.implicits._
+    val idx = tmpDir("lsh_nullguard")
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    // corrupt the stored verify hashes out-of-band: one array gains a
+    // null element (Spark's file sources read every scan asNullable, so
+    // this is exactly the boundary where a null CAN appear — the kernel
+    // must throw its named error, never fold the null into a wrong
+    // jaccard and silently mis-dedup)
+    val rows = spark.read.parquet(s"$idx/hashes").collect()
+    val schema = spark.read.parquet(s"$idx/hashes").schema
+    val corrupted = rows.zipWithIndex.map { case (r, i) =>
+      if (i == 0) org.apache.spark.sql.Row(r.get(0),
+        null +: r.getSeq[Any](1).tail, r.get(2))
+      else r
+    }
+    spark.createDataFrame(java.util.Arrays.asList(corrupted: _*), schema)
+      .write.mode("overwrite").parquet(s"$idx/hashes")
+    val e = intercept[Throwable] { pairs(idx) }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("sorted_jaccard64") && msgs.contains("null element"),
+      msgs.take(2000))
+  }
+
+  test("IVF append rejects a wrong-dimension batch with a named error; the failed batch stays invisible") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(20).cache()
+    val idx = tmpDir("ivf_dim")
+    SimilaritySearch.ivfBuild(emb.filter(col("vec_id") % 2 === 1),
+      "embedding", "vec_id", nlist = 4, idx)
+    val query = emb.select(col("embedding").cast("array<double>")).head()
+      .getSeq[Double](0).toArray
+    def top5: Seq[Long] = SimilaritySearch.ivfQuery(spark, idx, "embedding",
+      "vec_id", query, k = 5, nprobe = 4).collect().map(_.getLong(0)).toSeq
+    val base = top5
+    // a batch whose embeddings carry a different dimension: the old
+    // truncated dot product filed it in an arbitrary cell (present in
+    // counts, unfindable by probes); now it throws the named error
+    val wrongDim = emb.filter(col("vec_id") % 2 === 0)
+      .withColumn("embedding", expr("slice(embedding, 1, 7)"))
+    val e = intercept[Throwable] {
+      SimilaritySearch.ivfAppend(wrongDim, "embedding", "vec_id", idx,
+        appendId = Some("d1"))
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("IVF dimension mismatch"), msgs.take(2000))
+    // the aborted append never published a marker: the index answers as
+    // before, and the SAME appendId retries cleanly with the fixed batch
+    assert(commitMarkers(idx).isEmpty)
+    assert(top5 == base, "aborted wrong-dim append leaked rows")
+    SimilaritySearch.ivfAppend(emb.filter(col("vec_id") % 2 === 0),
+      "embedding", "vec_id", idx, appendId = Some("d1"))
+    val exact = SimilaritySearch.bruteForceTopK(emb, "embedding", "vec_id",
+      query, 5).collect().map(_.getLong(0)).toSeq
+    assert(top5 == exact, s"$top5 vs $exact")
+    // a wrong-dimension QUERY vector is rejected driver-side by the same
+    // named contract (the old math.min cosine silently prefix-matched)
+    val e2 = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfQuery(spark, idx, "embedding", "vec_id",
+        query.take(7), k = 5, nprobe = 4)
+    }
+    assert(e2.getMessage.contains("IVF dimension mismatch"), e2.getMessage)
+    emb.unpersist(): Unit
+  }
+
   test("bucketed-index registration is cached: repeated queries reuse one catalog entry; concurrent sessions don't race") {
     val idx = tmpDir("lsh_reg")
     Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 2)

@@ -181,6 +181,36 @@ class OperatorsSpec extends AnyFunSuite {
     assert((1L to 60L).filter(_ % 5 == 0).forall(kernel(_) == 1.0))
   }
 
+  test("sorted_jaccard64 machine-checks the non-null-elements precondition; internal producers compile the guard away") {
+    import spark.implicits._
+    // a hand-built producer whose schema ADMITS null elements and
+    // delivers one: the kernel must fail with its named error, never
+    // read the null as 0 (a silently wrong jaccard)
+    val bad = Seq((Seq[java.lang.Long](1L, null, 3L), Seq[java.lang.Long](1L, 3L)))
+      .toDF("a", "b")
+    assert(bad.schema("a").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].containsNull)
+    val e = intercept[Throwable] {
+      bad.select(graft.functions.JaccardExpressions
+        .sortedJaccard(col("a"), col("b"))).collect()
+    }
+    val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("sorted_jaccard64") && msgs.contains("null element"), msgs)
+    // null-FREE rows under the same permissive schema still evaluate
+    val ok = Seq((Seq[java.lang.Long](1L, 3L), Seq[java.lang.Long](1L, 3L)))
+      .toDF("a", "b")
+      .select(graft.functions.JaccardExpressions
+        .sortedJaccard(col("a"), col("b")).as("j"))
+      .head().getDouble(0)
+    assert(ok == 1.0)
+    // the shingle producer PROVES elements non-null in its schema, so the
+    // hot paths carry no guard at all
+    val sch = docs.select(Dedup.shingleHashesForProfile(3)(col("text")).as("sh"))
+      .schema("sh").dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+    assert(!sch.containsNull, sch.toString)
+  }
+
   test("exactGroupsFingerprint = exactGroups' (keeper, n_copies); the scan never reads text") {
     import spark.implicits._
     def groupsOf(df: org.apache.spark.sql.DataFrame) =
