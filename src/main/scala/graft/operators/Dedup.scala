@@ -523,49 +523,53 @@ object Dedup {
     // Cleared only now, AFTER the inputs have analyzed (prepTexts /
     // bandRows resolve the columns eagerly): a rebuild invoked with a
     // wrong textCol/idCol must fail BEFORE any destructive step, leaving
-    // the old index — appends included — fully readable.
-    IndexLifecycle.clearCommits(fs, root)
-    if (bandBuckets > 0) {
-      // Bucketed write goes through the catalog (Spark's bucketed layout
-      // is a table property, not a parquet one): create the external
-      // bucketed table at $path/bands, insert, then drop the catalog
-      // entry — files and bucket hashing survive; queries re-register
-      // from meta. repartition on the bucket columns first:
-      // HashPartitioning here is the same pmod(hash) the bucketed writer
-      // assigns files by, so each task holds exactly one bucket's rows —
-      // nb files, not tasks × nb.
-      writeBucketed(bandData, spark, path, "bands", bandsPath, "_build",
-        bandBuckets, Seq("band", "bucket"), fs)
-    } else {
-      bandData.write.mode("overwrite").parquet(bandsPath.toString)
+    // the old index — appends included — fully readable. Everything
+    // destructive runs under the single-writer lease.
+    IndexLifecycle.withWriterLock(fs, root, "lshBuild",
+        IndexLifecycle.lockTtlMs(spark)) {
+      IndexLifecycle.clearCommits(fs, root)
+      if (bandBuckets > 0) {
+        // Bucketed write goes through the catalog (Spark's bucketed layout
+        // is a table property, not a parquet one): create the external
+        // bucketed table at $path/bands, insert, then drop the catalog
+        // entry — files and bucket hashing survive; queries re-register
+        // from meta. repartition on the bucket columns first:
+        // HashPartitioning here is the same pmod(hash) the bucketed writer
+        // assigns files by, so each task holds exactly one bucket's rows —
+        // nb files, not tasks × nb.
+        writeBucketed(bandData, spark, path, "bands", bandsPath, "_build",
+          bandBuckets, Seq("band", "bucket"), fs)
+      } else {
+        bandData.write.mode("overwrite").parquet(bandsPath.toString)
+      }
+      val hashesPath = new HPath(root, "hashes")
+      val hashData = base.select(col("id").as("ref_id"),
+          shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
+        .withColumn(AttemptCol, lit(null).cast("string"))
+      if (bandBuckets > 0) {
+        // bucket the VERIFY hashes on ref_id too (same count): the verify
+        // join's lake side — the index's WIDEST data, the shingle-hash
+        // arrays — then satisfies its join distribution straight off the
+        // scan, so in the huge-batch regime no lake bytes move in EITHER
+        // stage of the query (band join pinned since round 15; this
+        // closes the hashes join, plan-pinned in OperatorsSpec)
+        writeBucketed(hashData, spark, path, "hashes", hashesPath, "_build",
+          bandBuckets, Seq("ref_id"), fs)
+      } else {
+        hashData.write.mode("overwrite").parquet(hashesPath.toString)
+      }
+      // a rebuild may change the bucket count or schema under a standing
+      // catalog registration — drop it; the next bucketed read re-registers
+      registerLock.synchronized {
+        spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}"): Unit
+      }
+      // footer-only count of what was actually written — the doc tally a
+      // reuse guard can check without re-reading data pages
+      val nDocs = spark.read.parquet(hashesPath.toString).count()
+      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
+        bandBuckets, hb = bandBuckets)
     }
-    val hashesPath = new HPath(root, "hashes")
-    val hashData = base.select(col("id").as("ref_id"),
-        shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
-      .withColumn(AttemptCol, lit(null).cast("string"))
-    if (bandBuckets > 0) {
-      // bucket the VERIFY hashes on ref_id too (same count): the verify
-      // join's lake side — the index's WIDEST data, the shingle-hash
-      // arrays — then satisfies its join distribution straight off the
-      // scan, so in the huge-batch regime no lake bytes move in EITHER
-      // stage of the query (band join pinned since round 15; this
-      // closes the hashes join, plan-pinned in OperatorsSpec)
-      writeBucketed(hashData, spark, path, "hashes", hashesPath, "_build",
-        bandBuckets, Seq("ref_id"), fs)
-    } else {
-      hashData.write.mode("overwrite").parquet(hashesPath.toString)
-    }
-    // a rebuild may change the bucket count or schema under a standing
-    // catalog registration — drop it; the next bucketed read re-registers
-    registerLock.synchronized {
-      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}"): Unit
-    }
-    // footer-only count of what was actually written — the doc tally a
-    // reuse guard can check without re-reading data pages
-    val nDocs = spark.read.parquet(hashesPath.toString).count()
-    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
-      bandBuckets, hb = bandBuckets)
   }
 
   /** APPEND a batch to a persisted LSH index ([[lshBuild]]) — the day-2
@@ -586,7 +590,12 @@ object Dedup {
     * difference. Appending a doc id already in the index duplicates its
     * band rows (candidates dedup, but the verify join would emit two
     * rows) — the contract is append ACCEPTED (novel) docs, one logical
-    * writer at a time (retries of that writer are fine, below).
+    * writer at a time (retries of that writer are fine, below). The
+    * one-writer half is ENFORCED, not narrated: every writer op takes a
+    * best-effort lease ([[IndexLifecycle.withWriterLock]]), so a second
+    * concurrent append/compact/rebuild fails loudly instead of
+    * interleaving — two loops racing one index could otherwise each
+    * accept the same near-dup with no error anywhere.
     *
     * CRASH SAFETY AND RETRIES. Every append writes its rows tagged with
     * a fresh attempt id, then publishes them with ONE atomic marker
@@ -641,64 +650,72 @@ object Dedup {
       require(appendId.isEmpty, "idempotent appendId requires the " +
         "commit-marker index format (round 16+); run lshCompact(path) " +
         "once to upgrade this index in place")
-      val base = prepTexts(accepted, textCol, idCol)
-      val newBands = bandRows(base, numPerm, bands, shingleK)
-        .withColumnRenamed("id", "ref_id")
-      if (nb > 0) {
-        val t = registerBandsTable(spark, path, nb)
-        newBands.repartition(nb, col("band"), col("bucket"))
-          .select(col("ref_id"), col("band"), col("bucket"))
-          .write.mode("append").insertInto(t)
-      } else {
-        newBands.write.mode("append").parquet(bandsPath.toString)
+      IndexLifecycle.withWriterLock(fs, root, "lshAppend",
+          IndexLifecycle.lockTtlMs(spark)) {
+        val base = prepTexts(accepted, textCol, idCol)
+        val newBands = bandRows(base, numPerm, bands, shingleK)
+          .withColumnRenamed("id", "ref_id")
+        if (nb > 0) {
+          val t = registerBandsTable(spark, path, nb)
+          newBands.repartition(nb, col("band"), col("bucket"))
+            .select(col("ref_id"), col("band"), col("bucket"))
+            .write.mode("append").insertInto(t)
+        } else {
+          newBands.write.mode("append").parquet(bandsPath.toString)
+        }
+        base.select(col("id").as("ref_id"),
+            shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
+          .write.mode("append").parquet(hashesPath.toString)
+        writeIndexMeta(spark, root.toString, numPerm, bands, shingleK,
+          meta.getAs[Long]("n_docs") + accepted.count(), nb, hb)
       }
-      base.select(col("id").as("ref_id"),
-          shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
-        .write.mode("append").parquet(hashesPath.toString)
-      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK,
-        meta.getAs[Long]("n_docs") + accepted.count(), nb, hb)
       return
     }
     val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
     IndexLifecycle.validateAppendId(id)
+    // the committed-marker no-op sits BEFORE the writer lock: a restarted
+    // at-least-once driver replaying finished batches is never refused
     if (fs.exists(IndexLifecycle.markerPath(root, id)))
       return // already committed — idempotent no-op
-    val attempt = java.util.UUID.randomUUID().toString
-    val base = prepTexts(accepted, textCol, idCol)
-    val newBands = bandRows(base, numPerm, bands, shingleK)
-      .withColumnRenamed("id", "ref_id")
-      .withColumn(AttemptCol, lit(attempt))
-      .select("ref_id", "band", "bucket", AttemptCol)
-    if (nb > 0) {
-      // insertInto the re-registered bucketed table: the bucketed writer
-      // hashes (band, bucket) with the same family as the build, so
-      // appended files land in the right buckets; a bucket accumulates
-      // one file per append (Spark groups them by bucket id at scan —
-      // [[lshCompact]] folds the accumulation back to one per bucket).
-      val t = registerBandsTable(spark, path, nb)
-      newBands.repartition(nb, col("band"), col("bucket"))
-        .write.mode("append").insertInto(t)
-    } else {
-      newBands.write.mode("append").parquet(bandsPath.toString)
+    IndexLifecycle.withWriterLock(fs, root, "lshAppend",
+        IndexLifecycle.lockTtlMs(spark)) {
+      val attempt = java.util.UUID.randomUUID().toString
+      val base = prepTexts(accepted, textCol, idCol)
+      val newBands = bandRows(base, numPerm, bands, shingleK)
+        .withColumnRenamed("id", "ref_id")
+        .withColumn(AttemptCol, lit(attempt))
+        .select("ref_id", "band", "bucket", AttemptCol)
+      if (nb > 0) {
+        // insertInto the re-registered bucketed table: the bucketed writer
+        // hashes (band, bucket) with the same family as the build, so
+        // appended files land in the right buckets; a bucket accumulates
+        // one file per append (Spark groups them by bucket id at scan —
+        // [[lshCompact]] folds the accumulation back to one per bucket).
+        val t = registerBandsTable(spark, path, nb)
+        newBands.repartition(nb, col("band"), col("bucket"))
+          .write.mode("append").insertInto(t)
+      } else {
+        newBands.write.mode("append").parquet(bandsPath.toString)
+      }
+      val newHashes = base.select(col("id").as("ref_id"),
+          shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
+        .withColumn(AttemptCol, lit(attempt))
+      if (hb > 0) {
+        val t = registerHashesTable(spark, path, hb)
+        newHashes.repartition(hb, col("ref_id"))
+          .write.mode("append").insertInto(t)
+      } else {
+        newHashes.write.mode("append").parquet(hashesPath.toString)
+      }
+      // COMMIT: atomic marker publish (data first, marker last) — see
+      // [[IndexLifecycle.commitMarker]]
+      IndexLifecycle.commitMarker(fs, root, id, attempt)
+      // incremental tally: committed n_docs + this batch, counted on the
+      // BATCH (one hashes row per input row, so the counts agree by
+      // construction) — never a scan of the index's own data
+      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK,
+        meta.getAs[Long]("n_docs") + accepted.count(), nb, hb)
     }
-    val newHashes = base.select(col("id").as("ref_id"),
-        shingleHashes64Udf(shingleK)(col("__text")).as("sh"))
-      .withColumn(AttemptCol, lit(attempt))
-    if (hb > 0) {
-      val t = registerHashesTable(spark, path, hb)
-      newHashes.repartition(hb, col("ref_id"))
-        .write.mode("append").insertInto(t)
-    } else {
-      newHashes.write.mode("append").parquet(hashesPath.toString)
-    }
-    // COMMIT: atomic marker publish (data first, marker last) — see
-    // [[IndexLifecycle.commitMarker]]
-    IndexLifecycle.commitMarker(fs, root, id, attempt)
-    // incremental tally: committed n_docs + this batch, counted on the
-    // BATCH (one hashes row per input row, so the counts agree by
-    // construction) — never a scan of the index's own data
-    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK,
-      meta.getAs[Long]("n_docs") + accepted.count(), nb, hb)
   }
 
   private def writeIndexMeta(spark: org.apache.spark.sql.SparkSession,
@@ -788,7 +805,8 @@ object Dedup {
     *
     * The visible row set is identical before and after (spec-pinned
     * pair-for-pair), so query results cannot change. Offline maintenance
-    * op — one writer, no concurrent readers. Crash ordering: the
+    * op — one writer (lease-enforced, [[IndexLifecycle.withWriterLock]]),
+    * no concurrent readers. Crash ordering: the
     * rewrites land in `.compact` side dirs first (originals untouched);
     * each dir then swaps in via two renames (live → `.old`, compact →
     * live); markers are folded only after BOTH swaps, so a crash
@@ -802,66 +820,69 @@ object Dedup {
     */
   def lshCompact(spark: SparkSession, path: String): Unit = {
     val (fs, root) = indexFs(spark, path)
-    recoverIndexDirs(fs, root)
-    val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
-    val numPerm = meta.getAs[Int]("num_perm")
-    val bands = meta.getAs[Int]("bands")
-    val shingleK = meta.getAs[Int]("shingle_k")
-    val nb = bandBucketsOf(meta)
-    // compact also UPGRADES a band-bucketed index whose verify hashes
-    // predate the bucketed-hashes layout (round ≤ 15): the rewrite is
-    // happening anyway, so it lands bucketed on ref_id like a fresh
-    // build's would
-    val hb = if (nb > 0) nb else hashBucketsOf(meta)
-    val committed = committedAttempts(fs, root)
-    def visible(sub: String): DataFrame = visibleIndexRows(
-      spark.read.parquet(new HPath(root, sub).toString), committed)
-      .withColumn(AttemptCol, lit(null).cast("string"))
-    val bandsLive = new HPath(root, "bands")
-    val bandsNew = new HPath(root, "bands.compact")
-    val hashesLive = new HPath(root, "hashes")
-    val hashesNew = new HPath(root, "hashes.compact")
-    fs.delete(bandsNew, true): Unit
-    fs.delete(hashesNew, true): Unit
-    val bandData = visible("bands").select("ref_id", "band", "bucket", AttemptCol)
-    if (nb > 0) {
-      writeBucketed(bandData, spark, path, "bands", bandsNew, "_compact",
-        nb, Seq("band", "bucket"), fs)
-    } else {
-      // unbucketed: the rewrite's input partitioning bin-packs the small
-      // append files (spark.sql.files.maxPartitionBytes), so the output
-      // lands as few right-sized files without an extra shuffle
-      bandData.write.parquet(bandsNew.toString)
+    IndexLifecycle.withWriterLock(fs, root, "lshCompact",
+        IndexLifecycle.lockTtlMs(spark)) {
+      recoverIndexDirs(fs, root)
+      val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
+      val numPerm = meta.getAs[Int]("num_perm")
+      val bands = meta.getAs[Int]("bands")
+      val shingleK = meta.getAs[Int]("shingle_k")
+      val nb = bandBucketsOf(meta)
+      // compact also UPGRADES a band-bucketed index whose verify hashes
+      // predate the bucketed-hashes layout (round ≤ 15): the rewrite is
+      // happening anyway, so it lands bucketed on ref_id like a fresh
+      // build's would
+      val hb = if (nb > 0) nb else hashBucketsOf(meta)
+      val committed = committedAttempts(fs, root)
+      def visible(sub: String): DataFrame = visibleIndexRows(
+        spark.read.parquet(new HPath(root, sub).toString), committed)
+        .withColumn(AttemptCol, lit(null).cast("string"))
+      val bandsLive = new HPath(root, "bands")
+      val bandsNew = new HPath(root, "bands.compact")
+      val hashesLive = new HPath(root, "hashes")
+      val hashesNew = new HPath(root, "hashes.compact")
+      fs.delete(bandsNew, true): Unit
+      fs.delete(hashesNew, true): Unit
+      val bandData = visible("bands").select("ref_id", "band", "bucket", AttemptCol)
+      if (nb > 0) {
+        writeBucketed(bandData, spark, path, "bands", bandsNew, "_compact",
+          nb, Seq("band", "bucket"), fs)
+      } else {
+        // unbucketed: the rewrite's input partitioning bin-packs the small
+        // append files (spark.sql.files.maxPartitionBytes), so the output
+        // lands as few right-sized files without an extra shuffle
+        bandData.write.parquet(bandsNew.toString)
+      }
+      val hashData = visible("hashes").select("ref_id", "sh", AttemptCol)
+      if (hb > 0) {
+        writeBucketed(hashData, spark, path, "hashes", hashesNew, "_compact",
+          hb, Seq("ref_id"), fs)
+      } else {
+        hashData.write.parquet(hashesNew.toString)
+      }
+      IndexLifecycle.swapDir(fs, bandsLive, bandsNew)
+      IndexLifecycle.swapDir(fs, hashesLive, hashesNew)
+      // FOLD the commit markers to empty tombstones instead of deleting
+      // them: an appendId marker is also the idempotency record, and an
+      // at-least-once driver can replay a batch whose append committed
+      // BEFORE this compact (crash between the compact and the stream's
+      // checkpoint commit) — deleting its marker would let the replay
+      // re-append the already-folded rows. An empty marker means
+      // "committed and folded": [[lshAppend]]'s exists-check still
+      // no-ops on it, while [[committedAttempts]] skips its (gone)
+      // attempt id. A year of daily ingest retains 365 empty files —
+      // the append log, negligible next to the data it describes.
+      IndexLifecycle.foldMarkers(fs, root)
+      // the standing catalog registrations' cached file listings are stale
+      // after the swap — drop them; the next bucketed read re-registers
+      registerLock.synchronized {
+        spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}"): Unit
+      }
+      val nDocs = spark.read.parquet(hashesLive.toString).count()
+      writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
+        nb, hb)
     }
-    val hashData = visible("hashes").select("ref_id", "sh", AttemptCol)
-    if (hb > 0) {
-      writeBucketed(hashData, spark, path, "hashes", hashesNew, "_compact",
-        hb, Seq("ref_id"), fs)
-    } else {
-      hashData.write.parquet(hashesNew.toString)
-    }
-    IndexLifecycle.swapDir(fs, bandsLive, bandsNew)
-    IndexLifecycle.swapDir(fs, hashesLive, hashesNew)
-    // FOLD the commit markers to empty tombstones instead of deleting
-    // them: an appendId marker is also the idempotency record, and an
-    // at-least-once driver can replay a batch whose append committed
-    // BEFORE this compact (crash between the compact and the stream's
-    // checkpoint commit) — deleting its marker would let the replay
-    // re-append the already-folded rows. An empty marker means
-    // "committed and folded": [[lshAppend]]'s exists-check still
-    // no-ops on it, while [[committedAttempts]] skips its (gone)
-    // attempt id. A year of daily ingest retains 365 empty files —
-    // the append log, negligible next to the data it describes.
-    IndexLifecycle.foldMarkers(fs, root)
-    // the standing catalog registrations' cached file listings are stale
-    // after the swap — drop them; the next bucketed read re-registers
-    registerLock.synchronized {
-      spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}")
-      spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}"): Unit
-    }
-    val nDocs = spark.read.parquet(hashesLive.toString).count()
-    writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,
-      nb, hb)
   }
 
   /** Deterministic catalog name for an index's bucketed data table —

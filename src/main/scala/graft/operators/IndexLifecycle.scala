@@ -123,6 +123,72 @@ private[operators] object IndexLifecycle {
   def clearCommits(fs: FileSystem, root: HPath): Unit =
     fs.delete(new HPath(root, "_commits"), true): Unit
 
+  /** Default writer-lease TTL (10 min); per-session override via the
+    * `spark.graft.index.lock.ttl.ms` conf.
+    */
+  val DefaultLockTtlMs: Long = 600000L
+
+  def lockTtlMs(spark: SparkSession): Long =
+    spark.conf.getOption("spark.graft.index.lock.ttl.ms")
+      .map(_.toLong).getOrElse(DefaultLockTtlMs)
+
+  /** Run `body` holding the index's SINGLE-WRITER lease — a best-effort
+    * lock file `_lock` under the index root that turns the documented
+    * "one logical writer at a time" contract into a check: two loops
+    * pointed at one index would otherwise interleave appends that can
+    * each accept the same near-dup (a semantic race with no error), so
+    * the second writer now fails loudly with
+    * [[java.util.ConcurrentModificationException]] instead.
+    *
+    * Mechanics: `create(overwrite = false)` is the acquire (atomic on
+    * HDFS/local; check-then-put on object stores — hence BEST-EFFORT,
+    * like any lock file there); the payload names the owner for the
+    * error message; staleness is judged by the lock file's MODIFICATION
+    * TIME (robust to a crash between create and payload write), and a
+    * lock older than `ttlMs` is broken once — a writer that crashed
+    * mid-operation blocks successors only until the TTL lapses, after
+    * which the commit-marker protocol makes the retry safe anyway.
+    * Retries of a COMMITTED append no-op on their marker BEFORE
+    * reaching the lock, so a restarted at-least-once driver is never
+    * refused for work that already finished.
+    */
+  def withWriterLock[T](fs: FileSystem, root: HPath, op: String,
+                        ttlMs: Long = DefaultLockTtlMs)(body: => T): T = {
+    val lock = new HPath(root, "_lock")
+    val owner = s"${java.lang.management.ManagementFactory.getRuntimeMXBean.getName}/" +
+      java.util.UUID.randomUUID().toString
+    def tryAcquire(): Boolean =
+      try {
+        scala.util.Using.resource(fs.create(lock, false)) { out =>
+          out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+        true
+      } catch {
+        case _: java.io.IOException if fs.exists(lock) => false
+      }
+    if (!tryAcquire()) {
+      val st = try Some(fs.getFileStatus(lock)) catch {
+        case _: java.io.FileNotFoundException => None
+      }
+      val stale = st.forall(s =>
+        System.currentTimeMillis() - s.getModificationTime > ttlMs)
+      if (stale) fs.delete(lock, false): Unit
+      if (!stale || !tryAcquire()) {
+        val holder = try {
+          scala.util.Using.resource(fs.open(lock))(in =>
+            scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        } catch { case _: java.io.IOException => "<unknown>" }
+        throw new java.util.ConcurrentModificationException(
+          s"$op: index at $root is locked by another writer ($holder, " +
+            s"lock age ${st.map(s => System.currentTimeMillis() - s.getModificationTime)
+              .getOrElse(-1L)} ms, ttl $ttlMs ms) — persisted indexes take " +
+            "ONE logical writer at a time; wait for it (or for the TTL) " +
+            s"or remove $lock if you know the writer is gone")
+      }
+    }
+    try body finally fs.delete(lock, false): Unit
+  }
+
   /** Swap a compacted side dir into place: live → `.old`, fresh →
     * live, delete `.old`. A crash inside the two-rename window leaves
     * live missing with `.old` holding the pre-compact data —

@@ -295,16 +295,19 @@ object SimilaritySearch {
     val spark = df.sparkSession
     import spark.implicits._
     val (fs, root) = IndexLifecycle.fsFor(spark, path)
-    // a rebuild erases appended rows — their commit markers go with them
-    IndexLifecycle.clearCommits(fs, root)
-    cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cluster", "centroid")
-      .write.mode("overwrite")
-      .parquet(new org.apache.hadoop.fs.Path(root, "centroids").toString)
-    assignWith(df, embCol, cents)
-      .withColumn(IndexLifecycle.AttemptCol, lit(null).cast("string"))
-      .write.mode("overwrite").partitionBy("cluster")
-      .parquet(new org.apache.hadoop.fs.Path(root, "corpus").toString)
+    IndexLifecycle.withWriterLock(fs, root, "ivfBuild",
+        IndexLifecycle.lockTtlMs(spark)) {
+      // a rebuild erases appended rows — their commit markers go with them
+      IndexLifecycle.clearCommits(fs, root)
+      cents.zipWithIndex.toSeq.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cluster", "centroid")
+        .write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(root, "centroids").toString)
+      assignWith(df, embCol, cents)
+        .withColumn(IndexLifecycle.AttemptCol, lit(null).cast("string"))
+        .write.mode("overwrite").partitionBy("cluster")
+        .parquet(new org.apache.hadoop.fs.Path(root, "corpus").toString)
+    }
   }
 
   /** The STORED coarse quantizer, ordered by cluster id — the frozen
@@ -351,19 +354,26 @@ object SimilaritySearch {
       require(appendId.isEmpty, "idempotent appendId requires the " +
         "commit-marker index format (round 16+); run ivfCompact(path) " +
         "once to upgrade this index in place")
-      assignWith(df, embCol, cents)
-        .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
+      IndexLifecycle.withWriterLock(fs, root, "ivfAppend",
+          IndexLifecycle.lockTtlMs(spark)) {
+        assignWith(df, embCol, cents)
+          .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
+      }
       return
     }
     val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
     IndexLifecycle.validateAppendId(id)
+    // committed-marker no-op BEFORE the writer lock (replays never refused)
     if (fs.exists(IndexLifecycle.markerPath(root, id)))
       return // already committed — idempotent no-op
-    val attempt = java.util.UUID.randomUUID().toString
-    assignWith(df, embCol, cents)
-      .withColumn(IndexLifecycle.AttemptCol, lit(attempt))
-      .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
-    IndexLifecycle.commitMarker(fs, root, id, attempt)
+    IndexLifecycle.withWriterLock(fs, root, "ivfAppend",
+        IndexLifecycle.lockTtlMs(spark)) {
+      val attempt = java.util.UUID.randomUUID().toString
+      assignWith(df, embCol, cents)
+        .withColumn(IndexLifecycle.AttemptCol, lit(attempt))
+        .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
+      IndexLifecycle.commitMarker(fs, root, id, attempt)
+    }
   }
 
   /** Compact a persisted IVF index in place: fold committed appends to
@@ -376,16 +386,19 @@ object SimilaritySearch {
     */
   def ivfCompact(spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
     val (fs, root) = IndexLifecycle.fsFor(spark, path)
-    val live = new org.apache.hadoop.fs.Path(root, "corpus")
-    IndexLifecycle.recoverSwap(fs, live)
-    val fresh = new org.apache.hadoop.fs.Path(root, "corpus.compact")
-    fs.delete(fresh, true): Unit
-    val committed = IndexLifecycle.committedAttempts(fs, root)
-    IndexLifecycle.visibleRows(spark.read.parquet(live.toString), committed)
-      .withColumn(IndexLifecycle.AttemptCol, lit(null).cast("string"))
-      .write.partitionBy("cluster").parquet(fresh.toString)
-    IndexLifecycle.swapDir(fs, live, fresh)
-    IndexLifecycle.foldMarkers(fs, root)
+    IndexLifecycle.withWriterLock(fs, root, "ivfCompact",
+        IndexLifecycle.lockTtlMs(spark)) {
+      val live = new org.apache.hadoop.fs.Path(root, "corpus")
+      IndexLifecycle.recoverSwap(fs, live)
+      val fresh = new org.apache.hadoop.fs.Path(root, "corpus.compact")
+      fs.delete(fresh, true): Unit
+      val committed = IndexLifecycle.committedAttempts(fs, root)
+      IndexLifecycle.visibleRows(spark.read.parquet(live.toString), committed)
+        .withColumn(IndexLifecycle.AttemptCol, lit(null).cast("string"))
+        .write.partitionBy("cluster").parquet(fresh.toString)
+      IndexLifecycle.swapDir(fs, live, fresh)
+      IndexLifecycle.foldMarkers(fs, root)
+    }
   }
 
   /** Query a persisted IVF index: rank exact cosine inside the `nprobe`

@@ -601,6 +601,63 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
     emb.unpersist(): Unit
   }
 
+  test("single-writer lease: a second concurrent writer fails loudly; committed replays pass; a stale lock breaks after TTL") {
+    val idx = tmpDir("lsh_lock")
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("d0"))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+    // simulate a live concurrent writer: a fresh _lock file under root
+    val lockFile = new java.io.File(idx, "_lock")
+    java.nio.file.Files.write(lockFile.toPath,
+      "other-writer-host/42".getBytes("UTF-8")): Unit
+    val e = intercept[java.util.ConcurrentModificationException] {
+      Dedup.lshAppend(
+        Seq((6L, "yet another unrelated document about benchmark artifacts and pass medians"))
+          .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("d1"))
+    }
+    assert(e.getMessage.contains("locked by another writer") &&
+      e.getMessage.contains("other-writer-host/42"), e.getMessage)
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L, "refused append wrote rows")
+    intercept[java.util.ConcurrentModificationException] {
+      Dedup.lshCompact(spark, idx)
+    }
+    // a replay of an ALREADY-COMMITTED appendId no-ops BEFORE the lock —
+    // a restarted at-least-once driver is never refused for finished work
+    Dedup.lshAppend(b1.withColumn("doc_id", lit(99L)), "text", "doc_id", idx,
+      appendId = Some("d0"))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+    // the stale-lock path: a lock older than the TTL is broken once
+    assert(lockFile.setLastModified(
+      System.currentTimeMillis() - graft.operators.IndexLifecycle.DefaultLockTtlMs - 60000))
+    Dedup.lshAppend(
+      Seq((6L, "yet another unrelated document about benchmark artifacts and pass medians"))
+        .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("d1"))
+    assert(Dedup.lshIndexDocCount(spark, idx) == 4L)
+    assert(!lockFile.exists(), "append did not release the lease")
+    // the session-conf TTL override
+    spark.conf.set("spark.graft.index.lock.ttl.ms", "50")
+    try {
+      java.nio.file.Files.write(lockFile.toPath, "gone-writer".getBytes("UTF-8")): Unit
+      Thread.sleep(200)
+      Dedup.lshCompact(spark, idx) // 200ms-old lock > 50ms ttl → broken
+      assert(Dedup.lshIndexDocCount(spark, idx) == 4L)
+    } finally spark.conf.unset("spark.graft.index.lock.ttl.ms")
+    // IVF writers honor the same lease
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .limit(10)
+    val ivfIdx = tmpDir("ivf_lock")
+    SimilaritySearch.ivfBuild(emb, "embedding", "vec_id", nlist = 2, ivfIdx)
+    java.nio.file.Files.write(new java.io.File(ivfIdx, "_lock").toPath,
+      "other".getBytes("UTF-8")): Unit
+    intercept[java.util.ConcurrentModificationException] {
+      SimilaritySearch.ivfAppend(emb, "embedding", "vec_id", ivfIdx,
+        appendId = Some("x1"))
+    }
+    intercept[java.util.ConcurrentModificationException] {
+      SimilaritySearch.ivfCompact(spark, ivfIdx)
+    }
+  }
+
   test("bucketed-index registration is cached: repeated queries reuse one catalog entry; concurrent sessions don't race") {
     val idx = tmpDir("lsh_reg")
     Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 2)
