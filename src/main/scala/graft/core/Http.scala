@@ -53,6 +53,36 @@ object Http {
     Response(resp.statusCode(), resp.body())
   }
 
+  /** Single PUT with a raw body (S3-style object PUT / CopyObject when
+    * paired with an `x-amz-copy-source` header). Used by the r2
+    * filesystem's optional write surface only.
+    */
+  def put(
+      url: String,
+      body: Array[Byte],
+      headers: Map[String, String] = Map.empty,
+      timeoutSeconds: Int = 60): Response = {
+    val b = HttpRequest.newBuilder(URI.create(encodeUrl(url)))
+      .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
+      .PUT(HttpRequest.BodyPublishers.ofByteArray(body))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    Response(resp.statusCode(), resp.body())
+  }
+
+  /** Single DELETE (S3-style object delete). */
+  def delete(
+      url: String,
+      headers: Map[String, String] = Map.empty,
+      timeoutSeconds: Int = 60): Response = {
+    val b = HttpRequest.newBuilder(URI.create(encodeUrl(url)))
+      .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
+      .DELETE()
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    Response(resp.statusCode(), resp.body())
+  }
+
   /** Single POST with a JSON body. */
   def postJson(
       url: String,

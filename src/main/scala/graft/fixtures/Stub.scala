@@ -24,6 +24,11 @@ final class Stub {
     * bytes), served with ListObjectsV2 + byte-range GET semantics.
     */
   val objects = TrieMap.empty[String, Array[Byte]]
+  /** Per-key LastModified millis (PUT/copy time) — served in listings so
+    * the filesystem's FileStatus carries real modification times (the
+    * index writer lease judges staleness by them).
+    */
+  val objectTimes = TrieMap.empty[String, Long]
   /** Server-side ListObjectsV2 page cap (real S3/R2 cap: 1,000 keys per
     * response regardless of max-keys). Tests lower it to force paging.
     */
@@ -33,13 +38,17 @@ final class Stub {
   def start(): Stub = {
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/", (ex: HttpExchange) => {
-      val body = new String(ex.getRequestBody.readAllBytes(), UTF_8)
+      val bodyBytes = ex.getRequestBody.readAllBytes()
+      val body = new String(bodyBytes, UTF_8)
       // record the Range header in-line so pushdown tests can assert
       // byte-ranged (never whole-object) reads
       val pathQ = ex.getRequestURI.toString +
         Option(ex.getRequestHeaders.getFirst("Range")).map("#Range:" + _).getOrElse("")
       requests.add((pathQ, body))
       ex.setAttribute("body", body)
+      // raw bytes for binary payloads (S3-style object PUT): the UTF-8
+      // string round-trip above is lossy for arbitrary binary
+      ex.setAttribute("bodyBytes", bodyBytes)
       val handler = routes.collectFirst {
         case (prefix, h) if ex.getRequestURI.getPath.startsWith(prefix) => h
       }
@@ -265,11 +274,36 @@ object Fixtures {
     }
     stub.route("/api/v1/accounts/") { _ => (200, r2QueryResponse.getBytes(UTF_8)) }
     // S3-compatible surface for the r2:// Hadoop filesystem: bucket
-    // listing (ListObjectsV2) + ranged object GETs over stub.objects
+    // listing (ListObjectsV2) + ranged object GETs over stub.objects,
+    // plus the write verbs the filesystem's opt-in write mode uses —
+    // object PUT (atomic per object, S3 semantics), CopyObject (PUT with
+    // x-amz-copy-source), and DELETE (idempotent)
     stub.route("/r2-lake") { ex =>
       val path = ex.getRequestURI.getPath.stripPrefix("/r2-lake").stripPrefix("/")
       val q = Option(ex.getRequestURI.getQuery).getOrElse("")
-      if (path.isEmpty && q.contains("list-type=2")) {
+      val method = ex.getRequestMethod
+      if (method == "PUT") {
+        Option(ex.getRequestHeaders.getFirst("x-amz-copy-source")) match {
+          case Some(src) =>
+            val srcKey = src.stripPrefix("/r2-lake/")
+            stub.objects.get(srcKey) match {
+              case Some(bytes) =>
+                stub.objects.put(path, bytes)
+                stub.objectTimes.put(path, System.currentTimeMillis())
+                (200, "<CopyObjectResult/>".getBytes(UTF_8))
+              case None => (404, "NoSuchKey".getBytes(UTF_8))
+            }
+          case None =>
+            stub.objects.put(path,
+              ex.getAttribute("bodyBytes").asInstanceOf[Array[Byte]])
+            stub.objectTimes.put(path, System.currentTimeMillis())
+            (200, Array.emptyByteArray)
+        }
+      } else if (method == "DELETE") {
+        stub.objects.remove(path)
+        stub.objectTimes.remove(path)
+        (204, Array.emptyByteArray)
+      } else if (path.isEmpty && q.contains("list-type=2")) {
         def param(name: String): Option[String] = q.split("&")
           .find(_.startsWith(name + "="))
           .map(p => java.net.URLDecoder.decode(p.drop(name.length + 1), "UTF-8"))
@@ -296,7 +330,10 @@ object Fixtures {
         val cap = math.max(1, math.min(maxKeys, stub.listPageCap))
         val page = after.take(cap)
         val body = page.map {
-          case (k, Some(sz)) => s"<Contents><Key>$k</Key><Size>$sz</Size></Contents>"
+          case (k, Some(sz)) =>
+            val lm = java.time.Instant
+              .ofEpochMilli(stub.objectTimes.getOrElse(k, 0L)).toString
+            s"<Contents><Key>$k</Key><LastModified>$lm</LastModified><Size>$sz</Size></Contents>"
           case (p, None)     => s"<CommonPrefixes><Prefix>$p</Prefix></CommonPrefixes>"
         }.mkString
         val tail =

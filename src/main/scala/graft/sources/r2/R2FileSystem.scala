@@ -28,9 +28,14 @@ import graft.core.Http
   * follows `NextContinuationToken` across the server's 1,000-key page
   * cap, so a prefix holding millions of objects lists completely; status
   * calls are two `max-keys=1` probes (the s3a pattern). Object length
-  * comes from the listing, so reads never fetch un-asked-for bytes.
-  * All mutation entry points throw: the reference exposes no R2 write
-  * surface, and a read-only FS can never corrupt a lake.
+  * and LastModified come from the listing, so reads never fetch
+  * un-asked-for bytes.
+  *
+  * READ-ONLY by default — the reference exposes no R2 write surface, and
+  * a read-only FS can never corrupt a lake. `fs.r2.write.enabled=true`
+  * opts into the standard S3-API write mapping (create/delete/rename/
+  * mkdirs — the s3a model; see the write section below) so the persisted
+  * index lifecycle can run directly against R2-hosted layouts.
   */
 class R2FileSystem extends FileSystem {
 
@@ -38,6 +43,7 @@ class R2FileSystem extends FileSystem {
   private var endpoint: String = _
   private var token: String = _
   private var blockSize: Long = _
+  private var writeEnabled: Boolean = false
 
   override def getScheme: String = "r2"
 
@@ -51,6 +57,7 @@ class R2FileSystem extends FileSystem {
         "fs.r2.endpoint must be set (https://<account_id>.r2.cloudflarestorage.com)")
     token = conf.getTrimmed("fs.r2.token", "")
     blockSize = conf.getLong("fs.r2.block.size", 32L * 1024 * 1024)
+    writeEnabled = conf.getBoolean("fs.r2.write.enabled", false)
   }
 
   override def getUri: URI = fsUri
@@ -60,7 +67,7 @@ class R2FileSystem extends FileSystem {
   private def auth: Map[String, String] =
     if (token.isEmpty) Map.empty else Map("Authorization" -> s"Bearer $token")
 
-  private case class Obj(key: String, size: Long)
+  private case class Obj(key: String, size: Long, mtime: Long)
   private case class ListPage(objs: Seq[Obj], prefixes: Seq[String],
                               truncated: Boolean, next: Option[String])
 
@@ -82,7 +89,11 @@ class R2FileSystem extends FileSystem {
       for {
         k <- "<Key>(.*?)</Key>".r.findFirstMatchIn(c).map(_.group(1))
         s <- "<Size>(\\d+)</Size>".r.findFirstMatchIn(c).map(_.group(1).toLong)
-      } yield Obj(k, s)
+      } yield Obj(k, s,
+        "<LastModified>(.*?)</LastModified>".r.findFirstMatchIn(c)
+          .flatMap(m => scala.util.Try(
+            java.time.Instant.parse(m.group(1)).toEpochMilli).toOption)
+          .getOrElse(0L))
     }
     val prefixes = "<CommonPrefixes><Prefix>(.*?)</Prefix>".r.findAllMatchIn(xml)
       .map(_.group(1)).toSeq.filter(_ != prefix)
@@ -127,7 +138,7 @@ class R2FileSystem extends FileSystem {
     val exact = listPage(key, delimited = false, maxKeys = 1, token = None)
     exact.objs.headOption match {
       case Some(o) if o.key == key =>
-        new FileStatus(o.size, false, 1, blockSize, 0L, f)
+        new FileStatus(o.size, false, 1, blockSize, o.mtime, f)
       case _ =>
         val sub = listPage(key + "/", delimited = false, maxKeys = 1, token = None)
         if (sub.objs.nonEmpty || sub.prefixes.nonEmpty) dirStatus(f)
@@ -151,7 +162,7 @@ class R2FileSystem extends FileSystem {
     val prefix = if (key.isEmpty) "" else key + "/"
     val (objs, prefixes) = listObjects(prefix, delimited = true)
     val files = objs.filter(_.key != prefix).map(o =>
-      new FileStatus(o.size, false, 1, blockSize, 0L,
+      new FileStatus(o.size, false, 1, blockSize, o.mtime,
         new Path(s"r2://$bucket/${o.key}")))
     val dirs = prefixes.map(p => dirStatus(new Path(s"r2://$bucket/${p.stripSuffix("/")}")))
     (files ++ dirs).toArray
@@ -167,15 +178,124 @@ class R2FileSystem extends FileSystem {
   override def exists(f: Path): Boolean =
     try { getFileStatus(f); true } catch { case _: java.io.FileNotFoundException => false }
 
-  // ---- read-only: the reference exposes no R2 write surface ----------
-  private def ro = new UnsupportedOperationException("R2 filesystem is read-only")
+  // ---- writes: READ-ONLY by default (the reference exposes no R2 write
+  // surface, and a read-only FS can never corrupt a lake). The persisted
+  // index lifecycle — a beyond-reference component — needs a writable
+  // object store, so `fs.r2.write.enabled=true` opts into the standard
+  // S3-API write mapping (the s3a model):
+  //  - create(): buffer locally, ONE object PUT on close — S3 PUT is
+  //    atomic per object, so files appear whole or not at all;
+  //  - rename(): CopyObject + DELETE per object — NOT atomic for
+  //    directories (the documented object-store caveat every
+  //    rename-based layout op carries; the index lifecycle's commit
+  //    MARKER stays safe here because a single-object copy is atomic,
+  //    while compaction's directory swap remains an offline op);
+  //  - directories are virtual: mkdirs writes a zero-byte "key/" marker
+  //    so empty dirs (committer scratch) remain visible to getFileStatus.
+  private def ro = new UnsupportedOperationException(
+    "R2 filesystem is read-only (set fs.r2.write.enabled=true to opt in " +
+      "to the S3-API write mapping for index-lifecycle use)")
+
+  private def putObject(key: String, body: Array[Byte]): Unit = {
+    val resp = Http.put(s"$endpoint/$bucket/$key", body, auth)
+    if (resp.status >= 400)
+      throw new java.io.IOException(s"R2 PUT $key failed: HTTP ${resp.status}")
+  }
+  private def copyObject(src: String, dst: String): Unit = {
+    val resp = Http.put(s"$endpoint/$bucket/$dst", Array.emptyByteArray,
+      auth + ("x-amz-copy-source" -> s"/$bucket/$src"))
+    if (resp.status >= 400)
+      throw new java.io.IOException(
+        s"R2 CopyObject $src -> $dst failed: HTTP ${resp.status}")
+  }
+  private def deleteObject(key: String): Unit = {
+    val resp = Http.delete(s"$endpoint/$bucket/$key", auth)
+    if (resp.status >= 400 && resp.status != 404)
+      throw new java.io.IOException(s"R2 DELETE $key failed: HTTP ${resp.status}")
+  }
+
   override def create(f: Path, permission: FsPermission, overwrite: Boolean,
                       bufferSize: Int, replication: Short, blockSz: Long,
-                      progress: Progressable): FSDataOutputStream = throw ro
-  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream = throw ro
-  override def rename(src: Path, dst: Path): Boolean = throw ro
-  override def delete(f: Path, recursive: Boolean): Boolean = throw ro
-  override def mkdirs(f: Path, permission: FsPermission): Boolean = throw ro
+                      progress: Progressable): FSDataOutputStream = {
+    if (!writeEnabled) throw ro
+    if (!overwrite && exists(f))
+      throw new FileAlreadyExistsException(f.toString)
+    val key = keyOf(f)
+    val buf = new java.io.ByteArrayOutputStream()
+    val out = new java.io.OutputStream {
+      private var closed = false
+      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Array[Byte], off: Int, len: Int): Unit =
+        buf.write(b, off, len)
+      override def close(): Unit = if (!closed) {
+        closed = true
+        putObject(key, buf.toByteArray) // the atomic publish point
+      }
+    }
+    new FSDataOutputStream(out, statistics)
+  }
+
+  override def append(f: Path, bufferSize: Int, progress: Progressable): FSDataOutputStream =
+    throw new UnsupportedOperationException(
+      "append is not expressible over the S3 object API")
+
+  override def rename(src: Path, dst: Path): Boolean = {
+    if (!writeEnabled) throw ro
+    val ss = try getFileStatus(src) catch {
+      case _: java.io.FileNotFoundException => return false
+    }
+    val target = (try Some(getFileStatus(dst)) catch {
+      case _: java.io.FileNotFoundException => None
+    }) match {
+      case Some(d) if d.isDirectory => new Path(dst, src.getName)
+      case Some(_) => return false // dst exists as a file
+      case None => dst
+    }
+    if (keyOf(target) == keyOf(src)) return true
+    if (!ss.isDirectory) {
+      copyObject(keyOf(src), keyOf(target))
+      deleteObject(keyOf(src))
+    } else {
+      val sk = keyOf(src) + "/"
+      val dk = keyOf(target) + "/"
+      if (dk.startsWith(sk)) return false // cannot move a dir into itself
+      val (objs, _) = listObjects(sk, delimited = false)
+      if (objs.isEmpty) putObject(dk, Array.emptyByteArray) // marker-only dir
+      objs.foreach { o =>
+        copyObject(o.key, dk + o.key.stripPrefix(sk))
+        deleteObject(o.key)
+      }
+    }
+    true
+  }
+
+  override def delete(f: Path, recursive: Boolean): Boolean = {
+    if (!writeEnabled) throw ro
+    val st = try getFileStatus(f) catch {
+      case _: java.io.FileNotFoundException => return false
+    }
+    val key = keyOf(f)
+    if (!st.isDirectory) { deleteObject(key); true }
+    else {
+      val prefix = if (key.isEmpty) "" else key + "/"
+      val (objs, _) = listObjects(prefix, delimited = false)
+      val children = objs.filter(_.key != prefix)
+      if (!recursive && children.nonEmpty)
+        throw new java.io.IOException(s"$f is non-empty and recursive=false")
+      children.foreach(o => deleteObject(o.key))
+      if (key.nonEmpty) deleteObject(prefix) // the dir marker, if any
+      true
+    }
+  }
+
+  override def mkdirs(f: Path, permission: FsPermission): Boolean = {
+    if (!writeEnabled) throw ro
+    val key = keyOf(f)
+    // virtual dirs: one zero-byte marker at the deepest level implies
+    // every ancestor for getFileStatus's prefix probe
+    if (key.nonEmpty && !exists(f)) putObject(key + "/", Array.emptyByteArray)
+    true
+  }
 
   private var wd = new Path("/")
   override def setWorkingDirectory(dir: Path): Unit = { wd = dir }

@@ -658,6 +658,86 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
     }
   }
 
+  test("full lifecycle on the r2:// object store: build, query, crash-invisible append, retry, compact — copy-backed rename measured, not assumed") {
+    // The repo's own S3-style Hadoop filesystem, write mode opted in:
+    // rename here is CopyObject+DELETE per object (NON-atomic for
+    // directories) — running the whole cycle against it measures the
+    // protocol's object-store caveat instead of narrating it. The
+    // commit MARKER stays safe because its publish is one single-object
+    // copy (atomic under S3 PUT semantics).
+    val stub = graft.queries.Connectors.stub
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.r2.impl", "graft.sources.r2.R2FileSystem")
+    hc.set("fs.r2.impl.disable.cache", "true")
+    hc.set("fs.r2.endpoint", stub.base)
+    hc.set("fs.r2.write.enabled", "true")
+    val idx = "r2://r2-lake/idx/lsh1"
+    val hfs = new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    try {
+      Dedup.lshBuild(lake, "text", "doc_id", idx)
+      assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)))
+      assert(Dedup.lshIndexDocCount(spark, idx) == 2L)
+      // crash simulation: committed append, marker then removed via the
+      // object API — the batch must read as never-appended
+      Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day1"))
+      val marker = new org.apache.hadoop.fs.Path(idx, "_commits/day1")
+      assert(hfs.exists(marker))
+      assert(hfs.delete(marker, false))
+      assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L)),
+        "uncommitted append leaked on the object store")
+      // the retry completes it exactly once; a re-retry no-ops
+      Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day1"))
+      Dedup.lshAppend(b1, "text", "doc_id", idx, appendId = Some("day1"))
+      val after = pairs(idx)
+      assert(after.toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)) &&
+        after.count(_ == (7L, 4L)) == 1, after.toString)
+      // the exact recount sees 3 committed docs; the incremental meta
+      // tally reads 4 because THIS crash simulation deleted the marker
+      // AFTER a completed append (meta included) — a real crash dies
+      // before the meta write, but the stale-tally repair path is the
+      // same either way: compact recounts
+      assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+      assert(Dedup.lshIndexCommittedDocs(spark, idx) == 4L)
+      // compact: the directory swap is copy-backed here — results must
+      // be identical, markers folded to tombstones, swap dirs gone,
+      // and the meta tally RECONCILED back to the committed truth
+      Dedup.lshCompact(spark, idx)
+      assert(pairs(idx).toSet == Set((1L, 0L), (3L, 2L), (7L, 4L)))
+      assert(Dedup.lshIndexDocCount(spark, idx) == 3L)
+      assert(Dedup.lshIndexCommittedDocs(spark, idx) == 3L,
+        "compact did not reconcile the meta tally")
+      assert(!hfs.exists(new org.apache.hadoop.fs.Path(idx, "bands.compact")) &&
+        !hfs.exists(new org.apache.hadoop.fs.Path(idx, "bands.old")))
+      val folded = hfs.listStatus(
+          new org.apache.hadoop.fs.Path(idx, "_commits")).toSeq
+        .filterNot(_.getPath.getName.startsWith("."))
+      assert(folded.map(_.getPath.getName) == Seq("day1") &&
+        folded.forall(_.getLen == 0L))
+      // folded id still no-ops; the lifecycle continues post-compact
+      Dedup.lshAppend(b1.withColumn("doc_id", lit(777L)), "text", "doc_id",
+        idx, appendId = Some("day1"))
+      assert(Dedup.lshIndexCommittedDocs(spark, idx) == 3L)
+      Dedup.lshAppend(
+        Seq((6L, "yet another unrelated document about benchmark artifacts and pass medians"))
+          .toDF("doc_id", "text"), "text", "doc_id", idx, appendId = Some("day2"))
+      assert(Dedup.lshIndexDocCount(spark, idx) == 4L)
+      // the writer lease works over the object API too (modification
+      // times come from the listing): a fresh foreign lock refuses
+      scala.util.Using.resource(hfs.create(
+        new org.apache.hadoop.fs.Path(idx, "_lock"), true))(
+        _.write("other".getBytes("UTF-8")))
+      intercept[java.util.ConcurrentModificationException] {
+        Dedup.lshCompact(spark, idx)
+      }
+      assert(hfs.delete(new org.apache.hadoop.fs.Path(idx, "_lock"), false))
+    } finally {
+      hc.set("fs.r2.write.enabled", "false")
+      stub.objects.keys.filter(_.startsWith("idx/"))
+        .foreach { k => stub.objects.remove(k); stub.objectTimes.remove(k) }
+    }
+  }
+
   test("bucketed-index registration is cached: repeated queries reuse one catalog entry; concurrent sessions don't race") {
     val idx = tmpDir("lsh_reg")
     Dedup.lshBuild(lake, "text", "doc_id", idx, bandBuckets = 2)
