@@ -558,11 +558,16 @@ object Dedup {
       } else {
         hashData.write.mode("overwrite").parquet(hashesPath.toString)
       }
+      // a REBUILD derives from a fresh lake: the old fingerprint sidecar
+      // (if any) describes rows that no longer exist — drop it; the
+      // builder re-creates it with [[lshWriteFingerprints]]
+      fs.delete(new HPath(root, "fps"), true): Unit
       // a rebuild may change the bucket count or schema under a standing
       // catalog registration — drop it; the next bucketed read re-registers
       registerLock.synchronized {
         spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}")
-        spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}"): Unit
+        spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(spark, path, "fps")}"): Unit
       }
       // footer-only count of what was actually written — the doc tally a
       // reuse guard can check without re-reading data pages
@@ -707,6 +712,21 @@ object Dedup {
       } else {
         newHashes.write.mode("append").parquet(hashesPath.toString)
       }
+      // an index with a fingerprint sidecar ([[lshWriteFingerprints]])
+      // extends it with the batch's fps UNDER THE SAME MARKER — the
+      // sidecar can never drift from the band/hash rows (all-or-nothing
+      // per append, retries no-op together)
+      val fpsPath = new HPath(root, "fps")
+      if (fs.exists(fpsPath)) {
+        val newFps = accepted.select(xxhash64(col(textCol)).as("fp"))
+          .withColumn(AttemptCol, lit(attempt))
+        if (hb > 0) {
+          newFps.repartition(hb, col("fp")).write.mode("append")
+            .insertInto(registerIndexTable(spark, path, "fps", hb, Seq("fp")))
+        } else {
+          newFps.write.mode("append").parquet(fpsPath.toString)
+        }
+      }
       // COMMIT: atomic marker publish (data first, marker last) — see
       // [[IndexLifecycle.commitMarker]]
       IndexLifecycle.commitMarker(fs, root, id, attempt)
@@ -757,11 +777,76 @@ object Dedup {
   private def recoverIndexDirs(fs: FileSystem, root: HPath): Unit = {
     IndexLifecycle.recoverSwap(fs, new HPath(root, "bands"))
     IndexLifecycle.recoverSwap(fs, new HPath(root, "hashes"))
+    IndexLifecycle.recoverSwap(fs, new HPath(root, "fps"))
   }
   private def committedAttempts(fs: FileSystem, root: HPath): Seq[String] =
     IndexLifecycle.committedAttempts(fs, root)
   private def visibleIndexRows(df: DataFrame, committed: Seq[String]): DataFrame =
     IndexLifecycle.visibleRows(df, committed)
+
+  // ---- fingerprint sidecar (hash-at-ingest exact stage) ---------------
+
+  /** Write the hash-at-ingest FINGERPRINT SIDECAR of a persisted LSH
+    * index: one `xxhash64(text)` per lake doc under `$path/fps` — the
+    * [[exactGroupsFingerprint]] layout answer applied to the daily
+    * loop. With it, the ingest pipeline's EXACT stage
+    * ([[graft.streaming.DocsStream.runFingerprintIngestLoopAsStream]])
+    * drops byte-identical arrivals by anti-joining 8-byte columns —
+    * before any signature work runs — and only the survivors pay the
+    * LSH machinery. Bucketed on `fp` when the index's hashes are
+    * bucketed (same count), so the sidecar side of the anti join needs
+    * NO exchange at query time; the micro-batch side shuffles its own
+    * 8-byte keys only.
+    *
+    * The sidecar is a first-class index dir: [[lshAppend]] extends it
+    * (rows tagged with the append's attempt id, gated by the SAME
+    * commit marker as the band/hash rows — all-or-nothing with the
+    * rest of the batch), [[lshCompact]] folds it, and a crashed append
+    * leaves it exactly as before. Overwrite-only here (build-time).
+    */
+  def lshWriteFingerprints(ref: DataFrame, textCol: String,
+                           path: String): Unit = {
+    val spark = ref.sparkSession
+    val (fs, root) = indexFs(spark, path)
+    val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
+    val hb = hashBucketsOf(meta)
+    val fpsPath = new HPath(root, "fps")
+    val data = ref.select(xxhash64(col(textCol)).as("fp"))
+      .withColumn(AttemptCol, lit(null).cast("string"))
+    IndexLifecycle.withWriterLock(fs, root, "lshWriteFingerprints",
+        IndexLifecycle.lockTtlMs(spark)) {
+      if (hb > 0) {
+        writeBucketed(data, spark, path, "fps", fpsPath, "_build", hb,
+          Seq("fp"), fs)
+      } else {
+        data.write.mode("overwrite").parquet(fpsPath.toString)
+      }
+      registerLock.synchronized {
+        spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(spark, path, "fps")}"): Unit
+      }
+    }
+  }
+
+  /** The committed fingerprints of an index's sidecar (one `fp` column)
+    * — resolves visibility through the same commit markers as every
+    * other index dir, reads bucketed when the sidecar is. Throws a
+    * named error when the index has no sidecar (build one with
+    * [[lshWriteFingerprints]]).
+    */
+  def lshFingerprints(spark: SparkSession, path: String): DataFrame = {
+    val (fs, root) = indexFs(spark, path)
+    val fpsPath = new HPath(root, "fps")
+    IndexLifecycle.recoverSwap(fs, fpsPath)
+    require(fs.exists(fpsPath),
+      s"index at $path has no fingerprint sidecar — run " +
+        "lshWriteFingerprints(lake, textCol, path) once after the build")
+    val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
+    val hb = hashBucketsOf(meta)
+    visibleIndexRows(
+      if (hb > 0) spark.table(registerIndexTable(spark, path, "fps", hb, Seq("fp")))
+      else spark.read.parquet(fpsPath.toString),
+      committedAttempts(fs, root))
+  }
 
   /** The meta tally `n_docs` — maintained INCREMENTALLY by appends and
     * recounted by build/compact, so reading it costs one one-row parquet
@@ -860,8 +945,24 @@ object Dedup {
       } else {
         hashData.write.parquet(hashesNew.toString)
       }
+      // the fingerprint sidecar, when present, folds with the rest —
+      // same visibility filter, same swap ordering
+      val fpsLive = new HPath(root, "fps")
+      val fpsNew = new HPath(root, "fps.compact")
+      val hasFps = fs.exists(fpsLive)
+      if (hasFps) {
+        fs.delete(fpsNew, true): Unit
+        val fpData = visible("fps").select("fp", AttemptCol)
+        if (hb > 0) {
+          writeBucketed(fpData, spark, path, "fps", fpsNew, "_compact",
+            hb, Seq("fp"), fs)
+        } else {
+          fpData.write.parquet(fpsNew.toString)
+        }
+      }
       IndexLifecycle.swapDir(fs, bandsLive, bandsNew)
       IndexLifecycle.swapDir(fs, hashesLive, hashesNew)
+      if (hasFps) IndexLifecycle.swapDir(fs, fpsLive, fpsNew)
       // FOLD the commit markers to empty tombstones instead of deleting
       // them: an appendId marker is also the idempotency record, and an
       // at-least-once driver can replay a batch whose append committed
@@ -877,7 +978,8 @@ object Dedup {
       // after the swap — drop them; the next bucketed read re-registers
       registerLock.synchronized {
         spark.sql(s"DROP TABLE IF EXISTS ${bandsTableName(spark, path)}")
-        spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}"): Unit
+        spark.sql(s"DROP TABLE IF EXISTS ${hashesTableName(spark, path)}")
+        spark.sql(s"DROP TABLE IF EXISTS ${indexTableName(spark, path, "fps")}"): Unit
       }
       val nDocs = spark.read.parquet(hashesLive.toString).count()
       writeIndexMeta(spark, root.toString, numPerm, bands, shingleK, nDocs,

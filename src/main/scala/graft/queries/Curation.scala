@@ -398,6 +398,68 @@ object Curation {
              |  (SELECT count(*) FROM documents WHERE doc_id >= 250) -
              |  (SELECT count(*) FROM dropped) AS n_index_docs""".stripMargin)),
 
+    QueryDef("qs09_stream_fingerprint_ingest_loop",
+      (s, d) => {
+        // THE daily-ingest loop on the HASH-AT-INGEST layout: the batch
+        // half streams in CARRYING its stored fingerprint
+        // (fp = xxhash64(text), stamped at write), and each micro-batch
+        // exact-dedups on the 8-byte column — within itself
+        // (exactGroupsFingerprint, min-id keeper) and against the
+        // index's fingerprint sidecar — BEFORE the LSH stage; accepted
+        // docs and their fps append under one commit marker. The
+        // fixture has no natural exact dups across the halves, so the
+        // gate PLANTS them, mirrored verbatim in the oracle: clones of
+        // three lake docs (ids +10000 — dropped by the sidecar stage)
+        // and of three batch docs (ids +20000 — dropped by the
+        // within-batch keeper stage). Near-dup semantics equal qs07's.
+        val docs = load(s, d, "documents")
+        def tmp(prefix: String): String = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory(prefix).toString)
+        val lake = docs.filter(col("doc_id") < 250)
+        val idx = tmp("qs09idx")
+        graft.operators.Dedup.lshBuild(lake, "text", "doc_id", idx)
+        graft.operators.Dedup.lshWriteFingerprints(lake, "text", idx)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") < 3)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(250, 252))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .withColumn("fp", xxhash64(col("text"))) // the at-ingest stamp
+        val in = tmp("qs09in")
+        batch.coalesce(1).write.mode("append").parquet(in)
+        graft.streaming.DocsStream.runFingerprintIngestLoopAsStream(
+          s, in, idx, "qs09_loop_mem",
+          checkpointLocation = Some(tmp("qs09ckpt")))
+      },
+      Some("""WITH lake AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 3
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents
+             |    WHERE doc_id BETWEEN 250 AND 252),
+             |within AS (
+             |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+             |                 FROM batch) WHERE doc_id = keeper),
+             |ex AS (SELECT * FROM within WHERE text NOT IN (SELECT text FROM lake)),
+             |tl AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM lake)),
+             |tb AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM ex)),
+             |dropped AS (
+             |  SELECT DISTINCT n.doc_id FROM tb n JOIN tl r
+             |    ON CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
+             |       len(list_distinct(list_concat(n.sh, r.sh))) >= 0.8)
+             |SELECT
+             |  (SELECT count(*) FROM ex) - (SELECT count(*) FROM dropped) AS n_kept,
+             |  (SELECT count(*) FROM documents WHERE doc_id < 250) +
+             |  (SELECT count(*) FROM ex) -
+             |  (SELECT count(*) FROM dropped) AS n_index_docs""".stripMargin)),
+
     QueryDef("qs06_stream_to_shards",
       (s, d) => {
         // STREAMING SINK gate: the curated stream lands as

@@ -138,6 +138,97 @@ object DocsStream {
     Seq((n1 - n0, n1)).toDF("n_kept", "n_index_docs")
   }
 
+  /** The daily-ingest loop on the HASH-AT-INGEST layout — the
+    * [[runIndexDedupLoopAsStream]] pipeline with an EXACT stage in front
+    * of the LSH stage, completing the `exactGroupsFingerprint`
+    * deployment story end to end: the input stream carries a STORED
+    * fingerprint column (`fpCol = xxhash64(text)`, stamped when the row
+    * was written), and each micro-batch
+    *
+    *  1. exact-dedups WITHIN itself on the stored fingerprint —
+    *     [[graft.operators.Dedup.exactGroupsFingerprint]] finds the dup
+    *     groups, the min-id keeper survives; no text is hashed or
+    *     decoded, the 8-byte column decides;
+    *  2. anti-joins the survivors' fingerprints against the index's
+    *     fingerprint SIDECAR ([[graft.operators.Dedup.lshWriteFingerprints]])
+    *     — byte-identical re-arrivals of lake docs drop here for the
+    *     price of an 8-byte-key join (bucketed sidecar: no lake-side
+    *     exchange), never reaching the signature UDF;
+    *  3. runs the LSH stage ([[graft.operators.Dedup.dedupAgainstIndex]])
+    *     on what remains and appends the accepted docs AND their
+    *     fingerprints back — both under ONE commit marker
+    *     ([[graft.operators.Dedup.lshAppend]] extends the sidecar
+    *     whenever it exists), so the sidecar can never drift from the
+    *     index and the whole batch retries as a unit.
+    *
+    * Same retry/restart contract as [[runIndexDedupLoopAsStream]]
+    * (batchId-keyed appendId, checkpointing, optional compaction — the
+    * compact folds the sidecar too). At 100 TB the win is the common
+    * case: recrawls are dominated by byte-identical fetches, and this
+    * loop prices them at one narrow-key anti join instead of a
+    * MinHash signature pass.
+    */
+  def runFingerprintIngestLoopAsStream(spark: SparkSession, inputDir: String,
+                                       indexPath: String, queryName: String,
+                                       fpCol: String = "fp",
+                                       maxFilesPerTrigger: Option[Int] = None,
+                                       checkpointLocation: Option[String] = None,
+                                       compactEvery: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = spark.read.parquet(inputDir).schema
+    require(schema.fieldNames.contains(fpCol),
+      s"input at $inputDir carries no stored fingerprint column '$fpCol' — " +
+        "this loop is for the hash-at-ingest layout; stamp " +
+        s"xxhash64(text) as '$fpCol' at write time (or run " +
+        "runIndexDedupLoopAsStream, which needs no layout)")
+    // fail fast if the index has no sidecar (lshFingerprints throws the
+    // actionable error) rather than on the first micro-batch
+    graft.operators.Dedup.lshFingerprints(spark, indexPath)
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
+    val n0 = graft.operators.Dedup.lshIndexCommittedDocs(spark, indexPath)
+    val writer0 = stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val df = batch.toDF()
+        // 1. within-batch exact stage on the STORED fingerprint
+        val groups = graft.operators.Dedup
+          .exactGroupsFingerprint(df, "doc_id", fpCol)
+          .select(col("fingerprint").as(fpCol), col("keeper"))
+        val within = df.join(groups, Seq(fpCol), "left")
+          .filter(col("keeper").isNull || col("keeper") === col("doc_id"))
+          .drop("keeper")
+        // 2. exact stage vs the lake: stored-fp anti join on the sidecar
+        val fresh = within.join(
+          graft.operators.Dedup.lshFingerprints(spark, indexPath)
+            .withColumnRenamed("fp", fpCol),
+          Seq(fpCol), "left_anti")
+        // 3. LSH stage on the survivors; accepted docs + their fps append
+        //    under one marker
+        val accepted = graft.operators.Dedup
+          .dedupAgainstIndex(fresh, indexPath, "text", "doc_id")
+          .persist()
+        graft.operators.Dedup.lshAppend(accepted, "text", "doc_id", indexPath,
+          appendId = Some(s"$queryName-b$batchId"))
+        accepted.unpersist()
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            graft.operators.Dedup.lshCompact(spark, indexPath)
+        }
+        ()
+      }
+    val q = checkpointLocation
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    import spark.implicits._
+    val n1 = graft.operators.Dedup.lshIndexCommittedDocs(spark, indexPath)
+    Seq((n1 - n0, n1)).toDF("n_kept", "n_index_docs")
+  }
+
   /** STREAMING ANN INGEST: each micro-batch of embeddings is appended to
     * a persisted IVF index ([[graft.operators.SimilaritySearch.ivfAppend]])
     * — the ANN counterpart of [[runIndexDedupLoopAsStream]], riding the

@@ -151,6 +151,60 @@ class StreamingSpec extends AnyFunSuite {
     corpus.unpersist(): Unit
   }
 
+  test("fingerprint ingest loop: stored-fp exact stage drops within-batch, vs-lake, and cross-batch dups — including docs the LSH stage cannot see") {
+    import graft.operators.Dedup
+    val lake = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "completely different content about spark and distributed query engines"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("graft_fp_idx").toString
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    Dedup.lshWriteFingerprints(lake, "text", idx)
+    val novelX = "entirely new material discussing streaming ingestion loops and persisted indexes"
+    val in = java.nio.file.Files.createTempDirectory("graft_fp_in").toString
+    def stamp(rows: Seq[(Long, String)]): Unit =
+      rows.toDF("doc_id", "text").withColumn("fp", xxhash64(col("text")))
+        .coalesce(1).write.mode("append").parquet(in)
+    // batch A: 10 novel (kept), 12 byte-identical to lake doc 2 (dropped
+    // by the SIDECAR stage), 15 a sub-shingle-length doc (kept — it has
+    // no shingles, so the LSH stage can never see it)
+    stamp(Seq((10L, novelX),
+      (12L, "completely different content about spark and distributed query engines"),
+      (15L, "tiny doc")))
+    // batch B: 11 copies batch A's accepted novelX (dropped by the
+    // CROSS-BATCH sidecar — its fp was appended with batch A), 13 novel
+    // (kept), 14 copies 13 within the batch (dropped by the KEEPER
+    // stage), 16 copies the sub-shingle doc 15 — the LSH stage is BLIND
+    // to it (empty shingles, jaccard 0), only the fp stage can drop it
+    stamp(Seq((11L, novelX),
+      (13L, "yet another unrelated document about benchmark artifacts and pass medians"),
+      (14L, "yet another unrelated document about benchmark artifacts and pass medians"),
+      (16L, "tiny doc")))
+    val out = DocsStream.runFingerprintIngestLoopAsStream(spark, in, idx,
+        "fp_loop_mem", maxFilesPerTrigger = Some(1))
+      .collect().head
+    assert(out.getAs[Long]("n_kept") == 3L, out.toString)       // 10, 15, 13
+    assert(out.getAs[Long]("n_index_docs") == 5L, out.toString) // 2 lake + 3
+    // the sidecar tracked every accepted doc (lake 2 + accepted 3)
+    assert(Dedup.lshFingerprints(spark, idx).count() == 5L)
+    // compaction folds the sidecar with the rest; exactness survives it
+    Dedup.lshCompact(spark, idx)
+    assert(Dedup.lshFingerprints(spark, idx).count() == 5L)
+    val replay = java.nio.file.Files.createTempDirectory("graft_fp_in2").toString
+    Seq((20L, "tiny doc"), (21L, "a genuinely fresh document that nothing resembles"))
+      .toDF("doc_id", "text").withColumn("fp", xxhash64(col("text")))
+      .coalesce(1).write.mode("append").parquet(replay)
+    val out2 = DocsStream.runFingerprintIngestLoopAsStream(spark, replay, idx,
+        "fp_loop_mem2").collect().head
+    assert(out2.getAs[Long]("n_kept") == 1L, out2.toString) // 20 dropped by fp
+    // a stream WITHOUT the stored column is refused with the layout hint
+    val e = intercept[IllegalArgumentException] {
+      DocsStream.runFingerprintIngestLoopAsStream(spark, replay.toString,
+        idx, "fp_loop_mem3", fpCol = "nope")
+    }
+    assert(e.getMessage.contains("hash-at-ingest"), e.getMessage)
+  }
+
   test("index-dedup loop with compactEvery: per-batch compaction changes neither the accept set nor retry idempotency") {
     import graft.operators.Dedup
     val lake = Seq(
