@@ -273,6 +273,36 @@ object Bench {
         .orderBy(col("c_nationkey"))
     }))
 
+  /** THIN-SESSION heuristic (round 17): when the ENTIRE input is a few
+    * scan partitions (< 64 MB of parquet — sf0.1 is ~24 MB; sf1, at
+    * ~240 MB, is not thin), the session machinery IS the runtime, so the
+    * session is configured like the small job it is: AQE off (its
+    * stage-by-stage materialization adds a barrier per shuffle that
+    * pure-planning cannot win back when map outputs are KBs) and 8
+    * shuffle partitions (32-way task launch overhead dwarfs the
+    * per-partition work). Measured on the 41-query sf0.1 set, single
+    * passes on one box-day: aqe/32 10.18–10.58 s, aqe/8 10.02,
+    * noaqe/32 10.77, noaqe/16 9.07, noaqe/4 8.49, **noaqe/8 8.93/8.08**
+    * (two passes) — the aqe-off × low-partitions COMBINATION wins 12–20%
+    * where each knob alone loses (rounds 6/10 measured them separately);
+    * comparable-set ratio vs DuckDB 2.90 → 2.37–2.65. Compression and
+    * serializer knobs on top land inside pass noise (8.40–8.53 s).
+    * The same settings are wrong the moment data dominates: at sf1+ the
+    * CPU-heavy repartitioned stages (q47/q49-class) want the full core
+    * count and AQE's coalescing pays for itself (round-10 whole-set A/B)
+    * — hence data-proportional, not static. Production lakes never hit
+    * the branch (any real table exceeds it); explicit SPARK_GRAFT_AQE /
+    * SPARK_GRAFT_SHUFFLE still override both directions.
+    */
+  def thinInput(sfDir: String): Boolean = {
+    val total = scala.util.Try {
+      new java.io.File(sfDir).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+        .map(_.length).sum
+    }.getOrElse(Long.MaxValue)
+    total < (64L << 20)
+  }
+
   /** Split size targeting ~4 task waves over the biggest table's bytes:
     * `clamp(maxTableBytes / (4*cpus), 16 MB, 128 MB)`. At sf0.1 (10 MB
     * lineitem) this floors to 16 MB (identical to the round-5..9 fixed
@@ -311,8 +341,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
+    val thin = thinInput(sfDir)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      if (thin) "8" else cpus)
+    val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE",
+      if (thin) "false" else "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
