@@ -292,7 +292,10 @@ object Bench {
     * count and AQE's coalescing pays for itself (round-10 whole-set A/B)
     * — hence data-proportional, not static. Production lakes never hit
     * the branch (any real table exceeds it); explicit SPARK_GRAFT_AQE /
-    * SPARK_GRAFT_SHUFFLE still override both directions.
+    * SPARK_GRAFT_SHUFFLE still override both directions. The
+    * library-surface form of the same decision is
+    * [[Graft.tuneForTinyInput]] (runtime-settable confs, usable on an
+    * already-built session).
     */
   def thinInput(sfDir: String): Boolean = {
     val total = scala.util.Try {

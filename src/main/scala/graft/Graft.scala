@@ -74,6 +74,33 @@ object Graft {
   def dropSecret(name: String, secretType: String): Unit =
     Secrets.drop(secretType.toLowerCase, name)
 
+  /** Tune the session for a TINY total input — the engine-side form of
+    * the round-17 floor finding: when the whole input is a few scan
+    * partitions, Spark's session machinery IS the runtime, and the
+    * AQE-off × 8-shuffle-partitions COMBINATION wins 12–20% where each
+    * knob alone loses (measured grid in SCALE.md round 17; each knob
+    * separately was measured and rejected in rounds 6/10). Both confs
+    * are runtime-settable, so this applies to an already-built session;
+    * call it again with a larger byte count (or set the confs back) when
+    * the workload grows — the thresholds only make sense while
+    * `totalInputBytes` stays tiny (default cutoff 64 MB: a 0.1-SF
+    * TPC-H-ish directory is ~24 MB, a 1-SF one is ~250 MB and must keep
+    * runtime re-planning and full shuffle parallelism).
+    *
+    * Returns true when the thin profile was applied.
+    */
+  def tuneForTinyInput(spark: SparkSession, totalInputBytes: Long,
+                       cutoffBytes: Long = 64L << 20,
+                       thinShufflePartitions: Int = 8): Boolean = {
+    val thin = totalInputBytes >= 0 && totalInputBytes < cutoffBytes
+    if (thin) {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.shuffle.partitions",
+        thinShufflePartitions.toString)
+    }
+    thin
+  }
+
   private def registerSecretUdfs(spark: SparkSession): Unit = {
     spark.udf.register("graft_create_secret",
       (name: String, tpe: String, opts: Map[String, String]) => {

@@ -707,6 +707,52 @@ object Probe {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** RECRAWL-shaped ingest batch: ~5/6 byte-identical refetches of lake
+    * docs (re-ided — the daily-crawl reality, where most fetches return
+    * what the lake already holds) + a novel tail (every 5th original
+    * batch doc). The q96recrawl A/B prices the same batch through the
+    * LSH-only loop (signs ALL of it) vs the fingerprint loop's exact
+    * stages + LSH on survivors (signs the novel tail only).
+    */
+  private def recrawlBatch(s: SparkSession, d: String): DataFrame = {
+    val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2").toInt
+    val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
+    val novel = docs.filter(col("doc_id") % (5 * m) === 1)
+    val refetch = docs.filter(col("doc_id") % m =!= 1 && col("doc_id") % 9 === 2)
+      .withColumn("doc_id", col("doc_id") + lit(2000000000L))
+    novel.unionByName(refetch)
+  }
+
+  /** Ensure the probe index carries the fingerprint sidecar (built once
+    * from the same reference half; reused passes skip it like the index
+    * build itself).
+    */
+  private def ensureProbeFps(s: SparkSession, d: String): String = {
+    val (idx, _) = ensureProbeIndex(s, d)
+    if (!new java.io.File(idx, "fps").exists()) {
+      val (_, ref) = q96split(s, d)
+      val t0 = System.nanoTime()
+      graft.operators.Dedup.lshWriteFingerprints(ref, "text", idx)
+      println(f"PROBE q96recrawl_sidecar_build ${(System.nanoTime() - t0) / 1e9}%6.2fs")
+    }
+    idx
+  }
+
+  def q96recrawlLsh(s: SparkSession, d: String): DataFrame = {
+    val (idx, _) = ensureProbeIndex(s, d)
+    graft.operators.Dedup.dedupAgainstIndex(
+        recrawlBatch(s, d), idx, "text", "doc_id")
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  def q96recrawlFp(s: SparkSession, d: String): DataFrame = {
+    val idx = ensureProbeFps(s, d)
+    graft.operators.Dedup.dedupAgainstIndexFingerprinted(
+        recrawlBatch(s, d).withColumn("fp", xxhash64(col("text"))),
+        idx, "text", "doc_id", "fp")
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
   /** SemDeDup shadow-leg A/B (VERDICT r13 What's-wrong #2): the anti-join
     * derives both legs from `assigned`, so the cosine-argmax assignment
     * runs once per leg unless persisted. `SPARK_GRAFT_PROBE_Q95=persist`
@@ -1166,6 +1212,8 @@ object Probe {
       "q06b_smj" -> (q06bSmj _), "q06b_joinfirst" -> (q06bJoinFirst _),
       "q96scale" -> (q96scale _),
       "q96index" -> (q96index _),
+      "q96recrawl_lsh" -> (q96recrawlLsh _),
+      "q96recrawl_fp" -> (q96recrawlFp _),
       "q95persist" -> (q95persist _),
       "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
         graft.Bench.extras("q05_join_agg_bucketed")(s, d)),

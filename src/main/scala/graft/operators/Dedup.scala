@@ -848,6 +848,38 @@ object Dedup {
       committedAttempts(fs, root))
   }
 
+  /** [[dedupAgainstIndex]] for a batch CARRYING its stored fingerprint
+    * (`fpCol = xxhash64(textCol)`, stamped at write) against an index
+    * with a fingerprint sidecar — the per-batch ACCEPT computation of
+    * the fingerprint ingest loop, reusable read-only (probes, dry runs):
+    *  1. within-batch exact stage on the stored fingerprint
+    *     ([[exactGroupsFingerprint]], min-id keeper survives);
+    *  2. sidecar anti join ([[lshFingerprints]]) — byte-identical
+    *     re-arrivals of lake docs drop on 8-byte keys;
+    *  3. the LSH stage on what remains.
+    * No text is hashed or decoded before stage 3, and stage 3 signs only
+    * the genuinely novel tail — on recrawl-shaped ingest (dominated by
+    * byte-identical refetches) that is the whole win; see the Probe
+    * q96recrawl A/B in SCALE.md round 17.
+    */
+  def dedupAgainstIndexFingerprinted(df: DataFrame, indexPath: String,
+                                     textCol: String, idCol: String,
+                                     fpCol: String,
+                                     threshold: Double = 0.8,
+                                     broadcastMaxBandRows: Long = 1000000L): DataFrame = {
+    val spark = df.sparkSession
+    val groups = exactGroupsFingerprint(df, idCol, fpCol)
+      .select(col("fingerprint").as(fpCol), col("keeper"))
+    val within = df.join(groups, Seq(fpCol), "left")
+      .filter(col("keeper").isNull || col("keeper") === col(idCol))
+      .drop("keeper")
+    val fresh = within.join(
+      lshFingerprints(spark, indexPath).withColumnRenamed("fp", fpCol),
+      Seq(fpCol), "left_anti")
+    dedupAgainstIndex(fresh, indexPath, textCol, idCol, threshold,
+      broadcastMaxBandRows)
+  }
+
   /** The meta tally `n_docs` — maintained INCREMENTALLY by appends and
     * recounted by build/compact, so reading it costs one one-row parquet
     * read, never a scan of the index's data. This is the count a

@@ -174,7 +174,6 @@ object DocsStream {
                                        maxFilesPerTrigger: Option[Int] = None,
                                        checkpointLocation: Option[String] = None,
                                        compactEvery: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.functions._
     val schema = spark.read.parquet(inputDir).schema
     require(schema.fieldNames.contains(fpCol),
       s"input at $inputDir carries no stored fingerprint column '$fpCol' — " +
@@ -192,23 +191,12 @@ object DocsStream {
     val writer0 = stream.writeStream.queryName(queryName)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
-        val df = batch.toDF()
-        // 1. within-batch exact stage on the STORED fingerprint
-        val groups = graft.operators.Dedup
-          .exactGroupsFingerprint(df, "doc_id", fpCol)
-          .select(col("fingerprint").as(fpCol), col("keeper"))
-        val within = df.join(groups, Seq(fpCol), "left")
-          .filter(col("keeper").isNull || col("keeper") === col("doc_id"))
-          .drop("keeper")
-        // 2. exact stage vs the lake: stored-fp anti join on the sidecar
-        val fresh = within.join(
-          graft.operators.Dedup.lshFingerprints(spark, indexPath)
-            .withColumnRenamed("fp", fpCol),
-          Seq(fpCol), "left_anti")
-        // 3. LSH stage on the survivors; accepted docs + their fps append
-        //    under one marker
+        // exact stages (within-batch keeper + sidecar anti join) then the
+        // LSH stage on the survivors; accepted docs + their fps append
+        // under one marker
         val accepted = graft.operators.Dedup
-          .dedupAgainstIndex(fresh, indexPath, "text", "doc_id")
+          .dedupAgainstIndexFingerprinted(batch.toDF(), indexPath,
+            "text", "doc_id", fpCol)
           .persist()
         graft.operators.Dedup.lshAppend(accepted, "text", "doc_id", indexPath,
           appendId = Some(s"$queryName-b$batchId"))

@@ -20,6 +20,17 @@ class GraftSurfaceSpec extends AnyFunSuite {
     assert(qs.keySet.forall(_.matches("q[cs]?\\d+_[a-z0-9_]+")))
   }
 
+  test("tuneForTinyInput flips the thin-session confs below the cutoff and leaves big sessions alone") {
+    val s = spark.newSession()
+    assert(!Graft.tuneForTinyInput(s, 1L << 30), "1 GB input tuned thin")
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(Graft.tuneForTinyInput(s, 24L << 20))
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "false")
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "8")
+    // Bench's file-size heuristic agrees with the cutoff on real dirs
+    assert(Bench.thinInput("/root/testdata/sf0.1"))
+  }
+
   test("registerAll exposes the reference's table names to SQL") {
     Graft.registerAll(spark)
     val cols = spark.sql("SELECT * FROM common_crawl_index LIMIT 0").schema.fieldNames
