@@ -341,6 +341,41 @@ object TextAnalysis {
              |  CAST(sum(CASE WHEN rn > 1 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_removed
              |FROM r GROUP BY component ORDER BY component""".stripMargin)),
 
+    QueryDef("q87_paragraph_dedup",
+      (s, d) => {
+        // CCNet/Dolma-style unit-level dedup + REWRITE
+        // (graft.operators.ParagraphDedup): keep the globally first
+        // occurrence of every unit, drop the rest, reassemble each doc.
+        // The fixture's documents carry no newlines, so the gate units
+        // are non-overlapping 16-word windows (the operator's
+        // structureless-text mode); deployment web text uses
+        // ParagraphDedup.paragraphs ("\n" units). Unit identity is
+        // xxhash64 (the 100 TB shuffle key); the oracle groups raw unit
+        // strings — identical output short of a 64-bit collision
+        // (p ~ 1e-11 at gate scale; the q80/q99 precedent bound).
+        val docs = load(s, d, "documents")
+        graft.operators.ParagraphDedup.dedup(docs, "doc_id", "text",
+          graft.operators.ParagraphDedup.unitsByWordWindow(_, 16), " ")
+          .orderBy(col("doc_id"))
+      },
+      Some("""WITH parts AS (
+             |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+             |units AS (
+             |  SELECT doc_id, i AS pos,
+             |    array_to_string(w[(i*16+1):(i*16+16)], ' ') AS unit
+             |  FROM parts, unnest(generate_series(0,
+             |    CAST(ceil(len(w)/16.0) AS BIGINT) - 1)) AS t(i)),
+             |marked AS (
+             |  SELECT doc_id, pos, unit, row_number() OVER (
+             |    PARTITION BY unit ORDER BY doc_id, pos) AS rn
+             |  FROM units)
+             |SELECT doc_id, count(*) AS n_units,
+             |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dropped,
+             |  coalesce(string_agg(CASE WHEN rn = 1 THEN unit END, ' '
+             |    ORDER BY pos), '') AS clean_text
+             |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     QueryDef("q88_trigram_entropy",
       (s, d) => {
         // Perplexity-proxy quality scoring (graft.operators.Perplexity):
