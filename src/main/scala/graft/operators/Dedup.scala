@@ -1025,7 +1025,7 @@ object Dedup {
     * catalog, and the same index addressed through different spellings
     * of one URI resolves to one name.
     */
-  private def indexTableName(spark: SparkSession, path: String,
+  private[operators] def indexTableName(spark: SparkSession, path: String,
                              sub: String): String = {
     val q = indexFs(spark, path)._2.toString
     val h = java.lang.Integer.toHexString(
@@ -1037,7 +1037,7 @@ object Dedup {
   private def hashesTableName(spark: SparkSession, path: String): String =
     indexTableName(spark, path, "hashes")
 
-  private val registerLock = new Object
+  private[operators] val registerLock = new Object
 
   /** Create an external bucketed parquet catalog entry with `schema`
     * VERBATIM, through the [[org.apache.spark.sql.catalyst.catalog.SessionCatalog]]
@@ -1067,7 +1067,7 @@ object Dedup {
     * exactly one bucket's rows (nb files, not tasks × nb) — and sorted
     * within buckets per the table's sort spec.
     */
-  private def writeBucketed(df: DataFrame, spark: SparkSession, path: String,
+  private[operators] def writeBucketed(df: DataFrame, spark: SparkSession, path: String,
                             sub: String, dest: HPath, suffix: String,
                             nb: Int, bucketCols: Seq[String],
                             fs: FileSystem): Unit = {
@@ -1104,7 +1104,7 @@ object Dedup {
     * schema through its type-string grammar instead of storing what the
     * footers actually say.
     */
-  private def registerIndexTable(spark: SparkSession, path: String,
+  private[operators] def registerIndexTable(spark: SparkSession, path: String,
                                  sub: String, nb: Int,
                                  bucketCols: Seq[String]): String = {
     val name = indexTableName(spark, path, sub)

@@ -50,31 +50,24 @@ object ParagraphDedup {
       i => array_join(slice(words, (i * n + 1).cast("int"), lit(n)), wordSep))
   }
 
-  /** Keep-first unit dedup + rewrite. Returns one row per input doc:
-    * `(idCol, n_units, n_dropped, clean_text)` where `clean_text` is the
-    * surviving units joined by `joinSep` in original order (`""` when
-    * every unit was seen earlier elsewhere). `unitize` maps the text
-    * column to an array of unit strings ([[unitsBySeparator]] /
-    * [[unitsByWordWindow]] or any custom Column function); `ids` must be
-    * unique and orderable — "first" is the `(id, pos)` minimum.
+  /** `(__id, __pos, __h)` — one row per unit occurrence, unit text
+    * reduced to its 64-bit key BEFORE any exchange.
     */
-  def dedup(df: DataFrame, idCol: String, textCol: String,
-            unitize: Column => Column, joinSep: String): DataFrame = {
-    val units = df
-      .select(col(idCol).as("__id"),
+  private def unitKeys(df: DataFrame, idCol: String, textCol: String,
+                       unitize: Column => Column): DataFrame =
+    df.select(col(idCol).as("__id"),
         posexplode(unitize(col(textCol))).as(Seq("__pos", "__u")))
-    // One hash-keyed exchange, reused by the agg and the join-back
-    // (identical subplans → ReusedExchange); unit text is already gone.
-    val keyed = units
       .select(col("__id"), col("__pos"), xxhash64(col("__u")).as("__h"))
-      .repartition(col("__h"))
-    val firsts = keyed.groupBy(col("__h"))
-      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
-    val drops = keyed
-      .join(firsts.hint("SHUFFLE_HASH"), Seq("__h"))
-      .filter(struct(col("__id"), col("__pos")) =!= col("__first"))
-      .groupBy(col("__id"))
-      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+
+  /** Rebuild each doc from its drop-list: `drops` is `(__id, __drop)`
+    * with the sorted positions to remove (docs absent = keep all). The
+    * rewrite is a narrow, codegen'd pass over the corpus — the text is
+    * re-unitized in place, never shuffled; the drop side is
+    * dup-proportional (AQE broadcasts it when small).
+    */
+  private def rewriteWithDrops(df: DataFrame, idCol: String, textCol: String,
+                               unitize: Column => Column, joinSep: String,
+                               drops: DataFrame): DataFrame = {
     val us = unitize(col(textCol))
     val dropSafe = coalesce(col("__drop"), expr("CAST(array() AS array<int>)"))
     val keptIdx = filter(sequence(lit(0), size(us) - lit(1)),
@@ -87,7 +80,109 @@ object ParagraphDedup {
           .as("clean_text"))
   }
 
+  /** Keep-first unit dedup + rewrite. Returns one row per input doc:
+    * `(idCol, n_units, n_dropped, clean_text)` where `clean_text` is the
+    * surviving units joined by `joinSep` in original order (`""` when
+    * every unit was seen earlier elsewhere). `unitize` maps the text
+    * column to an array of unit strings ([[unitsBySeparator]] /
+    * [[unitsByWordWindow]] or any custom Column function); `ids` must be
+    * unique and orderable — "first" is the `(id, pos)` minimum.
+    */
+  def dedup(df: DataFrame, idCol: String, textCol: String,
+            unitize: Column => Column, joinSep: String): DataFrame = {
+    // One hash-keyed exchange, reused by the agg and the join-back
+    // (identical subplans → ReusedExchange); unit text is already gone.
+    val keyed = unitKeys(df, idCol, textCol, unitize).repartition(col("__h"))
+    val firsts = keyed.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val drops = keyed
+      .join(firsts.hint("SHUFFLE_HASH"), Seq("__h"))
+      .filter(struct(col("__id"), col("__pos")) =!= col("__first"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+    rewriteWithDrops(df, idCol, textCol, unitize, joinSep, drops)
+  }
+
   /** Paragraph-mode convenience: newline-split units, newline rejoin. */
   def paragraphs(df: DataFrame, idCol: String, textCol: String): DataFrame =
     dedup(df, idCol, textCol, unitsBySeparator(_, "\\n"), "\n")
+
+  // ---- the seen-unit store: keep-first across a GROWING corpus --------
+
+  /** Build a persisted SEEN-UNIT STORE ([[UnitStore]]) from a corpus:
+    * the distinct `xxhash64(unit)` set of every document. With it,
+    * [[dedupAgainstStore]] prices "drop what the lake has already said"
+    * at a membership join on 8-byte keys — the CCNet boilerplate pass as
+    * a day-2 INGEST stage instead of a corpus-wide recompute. `buckets`
+    * buckets the store on the key, so the store side of every later
+    * membership join reads with NO exchange (the fingerprint-sidecar
+    * layout answer).
+    */
+  def unitStoreBuild(df: DataFrame, idCol: String, textCol: String,
+                     unitize: Column => Column, path: String,
+                     buckets: Int = 0): Unit =
+    UnitStore.build(unitKeys(df, idCol, textCol, unitize).select(col("__h")),
+      "__h", path, buckets)
+
+  /** The per-batch ACCEPT computation of the paragraph-dedup ingest
+    * loop, one store scan wide: `cleaned` is the batch rewritten with
+    * keep-first against the store AND within itself (a unit occurrence
+    * survives iff its key is not in the store and it is the batch's
+    * `(id, pos)`-first occurrence); `novelKeys` is the distinct key set
+    * the batch introduces (`h` column — exactly what
+    * [[UnitStore.append]] expects). The intermediate occurrence table is
+    * batch-proportional and persisted so the two outputs don't scan the
+    * store twice; call `release()` after BOTH have been consumed.
+    * `excludeAppendIds` passes through to [[UnitStore.read]] — a
+    * replayed micro-batch excluding its own appendId recomputes
+    * identical outputs even after its append committed.
+    */
+  private[graft] final case class StoreAccept(
+      cleaned: DataFrame, novelKeys: DataFrame, release: () => Unit)
+
+  private[graft] def storeAccept(df: DataFrame, idCol: String,
+                                 textCol: String, unitize: Column => Column,
+                                 joinSep: String, path: String,
+                                 excludeAppendIds: Seq[String] = Nil): StoreAccept = {
+    val spark = df.sparkSession
+    val store = UnitStore.read(spark, path, excludeAppendIds)
+      .select(col("h").as("__h")).withColumn("__seen", lit(true))
+    val keyed = unitKeys(df, idCol, textCol, unitize).repartition(col("__h"))
+    val firsts = keyed.groupBy(col("__h"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    // batch (hash-partitioned) ⨝ firsts (colocated) ⨝ store (bucketed
+    // scan: no store-side exchange; the store is a SET, so the left join
+    // cannot multiply rows)
+    val marked = keyed
+      .join(firsts.hint("SHUFFLE_HASH"), Seq("__h"))
+      .join(store, Seq("__h"), "left")
+      .persist()
+    val drops = marked
+      .filter(col("__seen") ||
+        struct(col("__id"), col("__pos")) =!= col("__first"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+    val novel = marked
+      .filter(col("__seen").isNull &&
+        struct(col("__id"), col("__pos")) === col("__first"))
+      .select(col("__h").as("h"))
+    StoreAccept(
+      rewriteWithDrops(df, idCol, textCol, unitize, joinSep, drops),
+      novel, () => { marked.unpersist(); () })
+  }
+
+  /** Keep-first rewrite of a batch AGAINST a seen-unit store
+    * ([[unitStoreBuild]]) — read-only (the store is not extended; the
+    * ingest loop [[graft.streaming.DocsStream.runParagraphDedupLoopAsStream]]
+    * owns that). Output schema matches [[dedup]]. Equivalence contract:
+    * with a store built from `lake` and batch ids sorting after lake
+    * ids, this equals `dedup(lake ∪ batch)` restricted to the batch.
+    */
+  def dedupAgainstStore(df: DataFrame, idCol: String, textCol: String,
+                        unitize: Column => Column, joinSep: String,
+                        path: String): DataFrame = {
+    val a = storeAccept(df, idCol, textCol, unitize, joinSep, path)
+    a.release() // read-only callers take the lazy plan, not the cache
+    a.cleaned
+  }
 }

@@ -460,6 +460,80 @@ object Curation {
              |  (SELECT count(*) FROM ex) -
              |  (SELECT count(*) FROM dropped) AS n_index_docs""".stripMargin)),
 
+    QueryDef("qs10_stream_paragraph_dedup_loop",
+      (s, d) => {
+        // The CCNet boilerplate pass as a DAY-2 INGEST LOOP: a seen-unit
+        // store is built from the lake half (16-word-window units — the
+        // fixture's structureless-text mode, as in q87), the batch half
+        // streams in, and each micro-batch is REWRITTEN keep-first
+        // (units already in the store or earlier in the batch drop; the
+        // cleaned docs land as per-batch parquet) while the batch's
+        // novel unit keys append to the store under a batchId-keyed
+        // commit marker. Planted rows exercise both drop stages
+        // deterministically: clones of lake docs (+10000 — every unit
+        // drops via the STORE) and clones of batch docs (+20000 — every
+        // unit drops via the WITHIN-BATCH keeper, the original's
+        // smaller id wins). Multi-batch/restart/retry properties are
+        // spec-pinned in StreamingSpec; the gate drains one trigger so
+        // the oracle stays relational.
+        val docs = load(s, d, "documents")
+        def tmp(prefix: String): String = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory(prefix).toString)
+        val lake = docs.filter(col("doc_id") < 250)
+        val store = tmp("qs10store")
+        graft.operators.ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+          graft.operators.ParagraphDedup.unitsByWordWindow(_, 16), store)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") < 3)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(250, 252))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+        val in = tmp("qs10in")
+        batch.coalesce(1).write.mode("append").parquet(in)
+        graft.streaming.DocsStream.runParagraphDedupLoopAsStream(
+          s, in, store, tmp("qs10out"), "qs10_loop_mem",
+          graft.operators.ParagraphDedup.unitsByWordWindow(_, 16), " ",
+          checkpointLocation = Some(tmp("qs10ckpt")))
+      },
+      Some("""WITH lakeu AS (
+             |  SELECT DISTINCT array_to_string(w[(i*16+1):(i*16+16)], ' ') AS unit
+             |  FROM (SELECT string_split(text, ' ') AS w FROM documents
+             |        WHERE doc_id < 250),
+             |       unnest(generate_series(0,
+             |         CAST(ceil(len(w)/16.0) AS BIGINT) - 1)) AS t(i)),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |    WHERE doc_id < 3
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents
+             |    WHERE doc_id BETWEEN 250 AND 252),
+             |bu AS (
+             |  SELECT doc_id, i AS pos,
+             |    array_to_string(w[(i*16+1):(i*16+16)], ' ') AS unit
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM batch),
+             |       unnest(generate_series(0,
+             |         CAST(ceil(len(w)/16.0) AS BIGINT) - 1)) AS t(i)),
+             |marked AS (
+             |  SELECT doc_id, pos, unit,
+             |    (unit IN (SELECT unit FROM lakeu)) AS seen,
+             |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+             |  FROM bu),
+             |perdoc AS (
+             |  SELECT doc_id, count(*) AS n_units,
+             |    sum(CASE WHEN seen OR rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+             |    coalesce(string_agg(CASE WHEN NOT (seen OR rn > 1) THEN unit END,
+             |      ' ' ORDER BY pos), '') AS clean_text
+             |  FROM marked GROUP BY doc_id)
+             |SELECT count(*) AS n_docs,
+             |  CAST(sum(n_units) AS BIGINT) AS n_units,
+             |  CAST(sum(n_dropped) AS BIGINT) AS n_dropped,
+             |  CAST(sum(length(clean_text)) AS BIGINT) AS sum_clean_chars,
+             |  (SELECT count(*) FROM lakeu) +
+             |  (SELECT count(DISTINCT unit) FROM bu
+             |   WHERE unit NOT IN (SELECT unit FROM lakeu)) AS n_store_keys
+             |FROM perdoc""".stripMargin)),
+
     QueryDef("qs06_stream_to_shards",
       (s, d) => {
         // STREAMING SINK gate: the curated stream lands as

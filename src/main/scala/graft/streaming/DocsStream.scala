@@ -217,6 +217,86 @@ object DocsStream {
     Seq((n1 - n0, n1)).toDF("n_kept", "n_index_docs")
   }
 
+  /** PARAGRAPH-DEDUP INGEST LOOP: the CCNet/Dolma boilerplate pass
+    * ([[graft.operators.ParagraphDedup]]) as a standing stream against a
+    * GROWING seen-unit store ([[graft.operators.UnitStore]]). Each
+    * micro-batch is rewritten keep-first — a unit occurrence survives
+    * iff its key is not in the store (the lake and every EARLIER
+    * accepted batch) and it is the batch's first occurrence — the
+    * cleaned docs land as parquet under `outDir/batch_id=<id>`, and the
+    * batch's novel unit keys append to the store under a
+    * batchId-keyed commit marker. Per micro-batch the wide work is one
+    * membership join of the batch's 8-byte unit keys against the store
+    * (bucketed store: no store-side exchange) — the lake's text never
+    * enters the stream, and nothing scales with the store but that scan.
+    *
+    * RETRY SAFETY — the REWRITE is the product here, so this loop needs
+    * one guarantee beyond the index loops' marker idempotency: a
+    * replayed micro-batch must recompute the SAME cleaned text even
+    * when its first run's append already committed (otherwise the
+    * replay would see its own keys in the store and drop everything).
+    * The accept stage therefore reads the store EXCLUDING the batch's
+    * own appendId ([[graft.operators.UnitStore.read]]'s
+    * `excludeAppendIds`), making the computation deterministic across
+    * retries; the cleaned output lands with per-batch OVERWRITE (same
+    * batch id → same directory), and the store append no-ops on its
+    * marker. Crash anywhere: the un-committed attempt is invisible, the
+    * retry overwrites the partial output dir. Pass `checkpointLocation`
+    * so a restart resumes instead of re-reading.
+    *
+    * Returns one summary row after the stream drains:
+    * `(n_docs, n_units, n_dropped, sum_clean_chars, n_store_keys)` —
+    * the first four aggregated from the cleaned output read back off
+    * disk (gating the file-commit path), the tally from the store meta.
+    */
+  def runParagraphDedupLoopAsStream(spark: SparkSession, inputDir: String,
+                                    storePath: String, outDir: String,
+                                    queryName: String,
+                                    unitize: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                    joinSep: String,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text",
+                                    maxFilesPerTrigger: Option[Int] = None,
+                                    checkpointLocation: Option[String] = None,
+                                    compactEvery: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
+    val writer0 = stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val appendId = s"$queryName-b$batchId"
+        val a = graft.operators.ParagraphDedup.storeAccept(
+          batch.toDF(), idCol, textCol, unitize, joinSep, storePath,
+          excludeAppendIds = Seq(appendId))
+        try {
+          a.cleaned.write.mode("overwrite")
+            .parquet(s"$outDir/batch_id=$batchId")
+          graft.operators.UnitStore.append(a.novelKeys, "h", storePath,
+            appendId = Some(appendId))
+        } finally a.release()
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0)
+            graft.operators.UnitStore.compact(spark, storePath)
+        }
+        ()
+      }
+    val q = checkpointLocation
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val nKeys = graft.operators.UnitStore.committedKeys(spark, storePath)
+    spark.read.parquet(outDir)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_units")).cast("long").as("n_units"),
+        sum(col("n_dropped")).cast("long").as("n_dropped"),
+        sum(length(col("clean_text"))).cast("long").as("sum_clean_chars"))
+      .withColumn("n_store_keys", lit(nKeys))
+  }
+
   /** STREAMING ANN INGEST: each micro-batch of embeddings is appended to
     * a persisted IVF index ([[graft.operators.SimilaritySearch.ivfAppend]])
     * — the ANN counterpart of [[runIndexDedupLoopAsStream]], riding the

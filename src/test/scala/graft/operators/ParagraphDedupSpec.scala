@@ -83,4 +83,85 @@ class ParagraphDedupSpec extends AnyFunSuite {
         s"unit/doc text crossed an exchange: $cols")
     }
   }
+
+  // ---- seen-unit store (UnitStore) lifecycle + store-dedup ------------
+
+  private def tmpDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def storeKeys(path: String): Set[Long] =
+    UnitStore.read(spark, path).collect().map(_.getLong(0)).toSet
+
+  test("unit store lifecycle: build, bucketed read, idempotent append, crash-invisible, compact reconciles the tally") {
+    val store = tmpDir("ustore")
+    val lake = paraDocs.filter($"doc_id" <= 2)
+    ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store, buckets = 2)
+    val expect = lake
+      .select(explode(split(col("text"), "\\n")).as("u"))
+      .select(xxhash64(col("u"))).distinct().collect().map(_.getLong(0)).toSet
+    assert(storeKeys(store) == expect)
+    assert(UnitStore.committedKeys(spark, store) == expect.size.toLong)
+    assert(UnitStore.keyCount(spark, store) == expect.size.toLong)
+    // append two novel keys; a replay of the same appendId (with
+    // different data — a buggy retry) must be a no-op
+    UnitStore.append(Seq(123L, 456L).toDF("h"), "h", store, Some("d1"))
+    assert(storeKeys(store) == expect + 123L + 456L)
+    assert(UnitStore.committedKeys(spark, store) == expect.size + 2L)
+    UnitStore.append(Seq(789L).toDF("h"), "h", store, Some("d1"))
+    assert(!storeKeys(store).contains(789L), "replayed appendId re-appended")
+    assert(UnitStore.committedKeys(spark, store) == expect.size + 2L)
+    // crash window: data landed, marker gone → invisible; the meta tally
+    // is stale by one batch (documented) until compact recounts
+    UnitStore.append(Seq(999L).toDF("h"), "h", store, Some("d2"))
+    assert(new java.io.File(s"$store/_commits/d2").delete())
+    assert(!storeKeys(store).contains(999L), "uncommitted append leaked")
+    assert(UnitStore.keyCount(spark, store) == expect.size + 2L)
+    UnitStore.compact(spark, store)
+    assert(storeKeys(store) == expect + 123L + 456L)
+    assert(UnitStore.committedKeys(spark, store) == expect.size + 2L,
+      "compact did not reconcile the crashed append's stale tally")
+    // folded markers stay idempotency tombstones
+    UnitStore.append(Seq(111L).toDF("h"), "h", store, Some("d1"))
+    assert(!storeKeys(store).contains(111L),
+      "compact lost d1's idempotency record")
+  }
+
+  test("a build with a wrong column leaves an existing store fully readable") {
+    val store = tmpDir("ustore_guard")
+    val lake = paraDocs.filter($"doc_id" <= 2)
+    ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store)
+    UnitStore.append(Seq(123L).toDF("h"), "h", store, Some("d1"))
+    val before = storeKeys(store)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      ParagraphDedup.unitStoreBuild(lake, "doc_id", "no_such_col",
+        ParagraphDedup.unitsBySeparator(_, "\\n"), store)
+    }
+    assert(storeKeys(store) == before,
+      "failed rebuild destroyed the old store or its appends")
+  }
+
+  test("dedupAgainstStore == dedup(lake ∪ batch) restricted to the batch") {
+    // lake ids < batch ids, so global keep-first in the union gives the
+    // lake priority — exactly the store's semantics
+    val batch = Seq(
+      (10L, "boilerplate banner\nnovel paragraph ten"),   // store drop + keep
+      (11L, "novel paragraph ten\nnovel paragraph eleven"), // within-batch drop
+      (12L, "repeat me\nentirely unique document five"))  // two store drops
+      .toDF("doc_id", "text")
+    val store = tmpDir("ustore_equiv")
+    ParagraphDedup.unitStoreBuild(paraDocs, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store, buckets = 2)
+    val got = rowsOf(ParagraphDedup.dedupAgainstStore(batch, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), "\n", store))
+    val want = rowsOf(ParagraphDedup.dedup(
+      paraDocs.unionByName(batch), "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), "\n")
+      .filter(col("doc_id") >= 10))
+    assert(got == want)
+    assert(got(10L)._3 == "novel paragraph ten")
+    assert(got(11L)._3 == "novel paragraph eleven")
+    assert(got(12L) == ((2L, 2L, "")))
+  }
 }

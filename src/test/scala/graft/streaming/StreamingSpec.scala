@@ -205,6 +205,93 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("hash-at-ingest"), e.getMessage)
   }
 
+  test("paragraph loop: a later micro-batch drops units accepted from an EARLIER batch; output is the rewritten text") {
+    import graft.operators.{ParagraphDedup, UnitStore}
+    val lake = Seq((0L, "boilerplate banner\nlake only paragraph"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("ppl_store").toString
+    ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store, buckets = 2)
+    // two FILES → two micro-batches. Both docs carry "shared middle"
+    // (novel to the lake): whichever batch runs first keeps it and
+    // appends its key; the other batch must then DROP it — the loop
+    // property. Both also carry a lake unit (store stage) and a unique
+    // tail (kept either way).
+    val in = java.nio.file.Files.createTempDirectory("ppl_in").toString
+    Seq((10L, "boilerplate banner\nshared middle\nunique ten"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    Seq((11L, "shared middle\nunique eleven\nboilerplate banner"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("ppl_out").toString
+    val summary = DocsStream.runParagraphDedupLoopAsStream(spark, in, store,
+        out, "ppl_loop_mem", ParagraphDedup.unitsBySeparator(_, "\\n"), "\n",
+        maxFilesPerTrigger = Some(1))
+      .collect().head
+    val cleaned = spark.read.parquet(out)
+      .select(col("doc_id"), col("clean_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // exactly ONE of the two kept "shared middle"; unique tails survive;
+    // the lake unit survives nowhere
+    assert(Seq(cleaned(10L), cleaned(11L))
+      .count(_.contains("shared middle")) == 1, cleaned.toString)
+    assert(cleaned(10L).contains("unique ten"))
+    assert(cleaned(11L).contains("unique eleven"))
+    assert(!cleaned(10L).contains("boilerplate") &&
+      !cleaned(11L).contains("boilerplate"), cleaned.toString)
+    // store grew by exactly the three novel units
+    assert(summary.getAs[Long]("n_store_keys") == 2L + 3L, summary.toString)
+    assert(UnitStore.keyCount(spark, store) == 5L)
+    // 6 units in, 3 dropped (two lake hits + one shared-middle loser)
+    assert(summary.getAs[Long]("n_units") == 6L, summary.toString)
+    assert(summary.getAs[Long]("n_dropped") == 3L, summary.toString)
+  }
+
+  test("paragraph loop restart/retry: checkpointed re-run is a no-op; a replay recomputes IDENTICAL cleaned output after its append committed") {
+    import graft.operators.ParagraphDedup
+    val lake = Seq((0L, "boilerplate banner\nlake only paragraph"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("pplr_store").toString
+    ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store)
+    val in = java.nio.file.Files.createTempDirectory("pplr_in").toString
+    val batch = Seq(
+      (10L, "boilerplate banner\nfresh paragraph\nfresh paragraph"),
+      (11L, "fresh paragraph\nanother tail"))
+      .toDF("doc_id", "text")
+    batch.coalesce(1).write.mode("append").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("pplr_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pplr_ckpt").toString
+    def run() = DocsStream.runParagraphDedupLoopAsStream(spark, in, store,
+      out, "pplr_loop_mem", ParagraphDedup.unitsBySeparator(_, "\\n"), "\n",
+      checkpointLocation = Some(ckpt)).collect().head.toSeq
+    val first = run()
+    // checkpointed re-run processes nothing: summary identical, store
+    // tally unchanged
+    assert(run() == first)
+    // REPLAY DETERMINISM: recompute batch 0's accept stage the way a
+    // foreachBatch retry would — with the batch's own committed appendId
+    // EXCLUDED — and it must equal the committed per-batch output even
+    // though the store now contains the batch's novel keys
+    val a = ParagraphDedup.storeAccept(batch, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), "\n", store,
+      excludeAppendIds = Seq("pplr_loop_mem-b0"))
+    val replay = a.cleaned.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    a.release()
+    val committed = spark.read.parquet(s"$out/batch_id=0")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(replay == committed)
+    // WITHOUT the exclusion the replay would see its own keys and drop
+    // everything — the failure mode the hook exists for
+    val b = ParagraphDedup.storeAccept(batch, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), "\n", store)
+    assert(b.cleaned.collect().forall(_.getAs[String]("clean_text").isEmpty))
+    b.release()
+  }
+
   test("index-dedup loop with compactEvery: per-batch compaction changes neither the accept set nor retry idempotency") {
     import graft.operators.Dedup
     val lake = Seq(
