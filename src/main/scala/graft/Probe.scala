@@ -753,6 +753,63 @@ object Probe {
       .agg(count(lit(1)).as("n_kept"))
   }
 
+  /** Paragraph-dedup A/B (round 17): q87full prices the CCNet
+    * boilerplate pass as the FULL-CORPUS recompute (keep-first over
+    * lake ∪ batch — what a non-incremental pipeline re-runs every
+    * ingest), q87store prices the same batch (the q96split batch half)
+    * as the DAY-2 stage: one membership join of the batch's unit keys
+    * against the prebuilt seen-unit store plus the batch-internal
+    * keeper. Both force the complete rewrite (the aggregate reads
+    * `clean_text`, so the reassembly cannot be pruned). The two differ
+    * in tie-break priority (the store gives the lake's copy priority;
+    * the recompute uses global `(id, pos)`) — a cost A/B, not an output
+    * diff; output equivalence with lake-priority ids is spec-pinned.
+    * 16-word windows — the replicated fixture's structureless mode.
+    */
+  private def paraUnits = graft.operators.ParagraphDedup.unitsByWordWindow(_: org.apache.spark.sql.Column, 16)
+
+  private def ensureProbeUnitStore(s: SparkSession, d: String): String = {
+    val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2")
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probe_unit_store_${new java.io.File(d).getName}_m$m")
+      .getAbsolutePath
+    val dAbs = new java.io.File(d).getAbsolutePath
+    def expected: String = probeStampCache.computeIfAbsent(dAbs,
+      _ => s"sfDir=$dAbs;docs=${load(s, d, "documents").count()}")
+    val stampFile = new java.io.File(store, "_GRAFT_PROVENANCE")
+    val stamp = scala.util.Try(scala.util.Using.resource(
+      scala.io.Source.fromFile(stampFile))(_.mkString.trim)).toOption
+    if (new java.io.File(s"$store/meta/_SUCCESS").exists() &&
+        stamp.isDefined && stamp.contains(expected)) store
+    else {
+      val (_, ref) = q96split(s, d)
+      val t0 = System.nanoTime()
+      graft.operators.ParagraphDedup.unitStoreBuild(ref, "doc_id", "text",
+        paraUnits, store, buckets = 32)
+      println(f"PROBE q87store_build              ${(System.nanoTime() - t0) / 1e9}%6.2fs -> $store")
+      val w = new java.io.PrintWriter(stampFile)
+      try w.print(expected) finally w.close()
+      store
+    }
+  }
+
+  private def paraSummary(df: DataFrame): DataFrame =
+    df.agg(count(lit(1)).as("n_docs"),
+      sum(col("n_units")).as("n_units"),
+      sum(col("n_dropped")).as("n_dropped"),
+      sum(length(col("clean_text"))).as("sum_clean_chars"))
+
+  def q87full(s: SparkSession, d: String): DataFrame =
+    paraSummary(graft.operators.ParagraphDedup.dedup(
+      load(s, d, "documents"), "doc_id", "text", paraUnits, " "))
+
+  def q87store(s: SparkSession, d: String): DataFrame = {
+    val (batch, _) = q96split(s, d)
+    val store = ensureProbeUnitStore(s, d)
+    paraSummary(graft.operators.ParagraphDedup.dedupAgainstStore(
+      batch, "doc_id", "text", paraUnits, " ", store))
+  }
+
   /** SemDeDup shadow-leg A/B (VERDICT r13 What's-wrong #2): the anti-join
     * derives both legs from `assigned`, so the cosine-argmax assignment
     * runs once per leg unless persisted. `SPARK_GRAFT_PROBE_Q95=persist`
@@ -1214,6 +1271,8 @@ object Probe {
       "q96index" -> (q96index _),
       "q96recrawl_lsh" -> (q96recrawlLsh _),
       "q96recrawl_fp" -> (q96recrawlFp _),
+      "q87full" -> (q87full _),
+      "q87store" -> (q87store _),
       "q95persist" -> (q95persist _),
       "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
         graft.Bench.extras("q05_join_agg_bucketed")(s, d)),

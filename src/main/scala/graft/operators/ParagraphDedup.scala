@@ -40,9 +40,22 @@ object ParagraphDedup {
 
   /** Units = non-overlapping `n`-word windows (for text without
     * paragraph structure; the trailing window may be short). Words are
-    * `wordSep`-delimited; units rejoin with the same separator.
+    * `wordSep`-delimited; units rejoin with the same separator. Runs on
+    * the [[graft.functions.WordWindows]] codegen kernel — one boundary
+    * scan + one substring per window; the composite
+    * split→slice→array_join chain it replaces is interpreted per
+    * element and was the operator's dominant constant (2.85 s/pass at
+    * sf1). Kernel ≡ composite is spec-pinned.
     */
-  def unitsByWordWindow(text: Column, n: Int, wordSep: String = " "): Column = {
+  def unitsByWordWindow(text: Column, n: Int, wordSep: String = " "): Column =
+    graft.functions.WordWindows.windows(coalesce(text, lit("")), n, wordSep)
+
+  /** The composite-expression reference `unitsByWordWindow` is pinned
+    * against (ParagraphDedupSpec) — kept only as the spec's executable
+    * specification of the window semantics.
+    */
+  private[graft] def unitsByWordWindowReference(text: Column, n: Int,
+                                                wordSep: String = " "): Column = {
     require(n > 0, s"window must be > 0, got $n")
     val words = split(coalesce(text, lit("")), java.util.regex.Pattern.quote(wordSep))
     val nWin = floor((size(words) + lit(n - 1)).cast("double") / lit(n)).cast("long")
@@ -51,13 +64,17 @@ object ParagraphDedup {
   }
 
   /** `(__id, __pos, __h)` — one row per unit occurrence, unit text
-    * reduced to its 64-bit key BEFORE any exchange.
+    * reduced to its 64-bit key BEFORE the explode even (the generator
+    * emits longs, not strings, and the non-nullable hash keeps the
+    * downstream join from inserting an `isnotnull` filter that would
+    * break exchange reuse between the agg and join-back branches —
+    * without reuse the corpus explodes and shuffles TWICE).
     */
   private def unitKeys(df: DataFrame, idCol: String, textCol: String,
                        unitize: Column => Column): DataFrame =
     df.select(col(idCol).as("__id"),
-        posexplode(unitize(col(textCol))).as(Seq("__pos", "__u")))
-      .select(col("__id"), col("__pos"), xxhash64(col("__u")).as("__h"))
+        posexplode(transform(unitize(col(textCol)), u => xxhash64(u)))
+          .as(Seq("__pos", "__h")))
 
   /** Rebuild each doc from its drop-list: `drops` is `(__id, __drop)`
     * with the sorted positions to remove (docs absent = keep all). The
@@ -68,11 +85,24 @@ object ParagraphDedup {
   private def rewriteWithDrops(df: DataFrame, idCol: String, textCol: String,
                                unitize: Column => Column, joinSep: String,
                                drops: DataFrame): DataFrame = {
-    val us = unitize(col(textCol))
+    // materialize the units array ONCE, in a projection ABOVE the join:
+    // higher-order array functions are CodegenFallback (interpreted, no
+    // subexpression elimination), so an inline `unitize` tree would
+    // re-run the whole window build per ELEMENT inside the transform —
+    // measured 12.6 s → 6.3 s at sf1 for the full-corpus rewrite when
+    // first materialized (the rest was the interpreted window build
+    // itself, now the WordWindows kernel). Above the join, not below:
+    // when the drop side is too big to broadcast, the join shuffles the
+    // doc side, and the exchange must carry the text ONCE — not text
+    // plus a same-sized window array. CollapseProject keeps the
+    // projection separate (a non-cheap expression referenced three
+    // times is never inlined), so the kernel still runs once per row.
+    val us = col("__us")
     val dropSafe = coalesce(col("__drop"), expr("CAST(array() AS array<int>)"))
     val keptIdx = filter(sequence(lit(0), size(us) - lit(1)),
       i => not(array_contains(dropSafe, i)))
     df.join(drops, df(idCol) === drops("__id"), "left")
+      .withColumn("__us", unitize(col(textCol)))
       .select(col(idCol),
         size(us).cast("long").as("n_units"),
         coalesce(size(col("__drop")), lit(0)).cast("long").as("n_dropped"),

@@ -63,6 +63,31 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(one == Seq("hi"))
   }
 
+  test("word-window kernel ≡ composite split→slice→array_join reference — UTF-8, repeated/leading/trailing separators, empty") {
+    val rows = Seq(
+      "a b c d e f g h", "single", "",
+      "a  double  spaces inside", " leading and trailing ", "   ",
+      "héllo wörld ünïcode tëxt with àccents répeated héllo wörld",
+      "日本語 テキスト mixed ascii 内容 混在 文書",
+      "tab\tseparated stays one word").toDF("t")
+    for (n <- Seq(1, 2, 3, 16)) {
+      val got = rows.select(
+        ParagraphDedup.unitsByWordWindow(col("t"), n).as("fast"),
+        ParagraphDedup.unitsByWordWindowReference(col("t"), n).as("ref"))
+        .collect()
+      got.foreach { r =>
+        assert(r.getSeq[String](0) == r.getSeq[String](1),
+          s"n=$n: ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}")
+      }
+    }
+    // multi-byte separator
+    val m = rows.select(
+      ParagraphDedup.unitsByWordWindow(col("t"), 2, "ö").as("fast"),
+      ParagraphDedup.unitsByWordWindowReference(col("t"), 2, "ö").as("ref"))
+      .collect()
+    m.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("unit text never reaches an exchange; doc text is never repartitioned") {
     // The 100 TB contract: the only wide shuffles carry (id, pos, hash) /
     // drop-lists — no string column named for the unit or the doc text
@@ -79,7 +104,8 @@ class ParagraphDedupSpec extends AnyFunSuite {
     assert(exchanges.nonEmpty)
     exchanges.foreach { e =>
       val cols = e.child.output.map(_.name).toSet
-      assert(!cols.contains("__u") && !cols.contains("text"),
+      assert(!cols.contains("__u") && !cols.contains("__us") &&
+        !cols.contains("text"),
         s"unit/doc text crossed an exchange: $cols")
     }
   }
