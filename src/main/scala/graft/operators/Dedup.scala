@@ -779,8 +779,9 @@ object Dedup {
     IndexLifecycle.recoverSwap(fs, new HPath(root, "hashes"))
     IndexLifecycle.recoverSwap(fs, new HPath(root, "fps"))
   }
-  private def committedAttempts(fs: FileSystem, root: HPath): Seq[String] =
-    IndexLifecycle.committedAttempts(fs, root)
+  private def committedAttempts(fs: FileSystem, root: HPath,
+                                excludeAppendIds: Seq[String] = Nil): Seq[String] =
+    IndexLifecycle.committedAttempts(fs, root, excludeAppendIds)
   private def visibleIndexRows(df: DataFrame, committed: Seq[String]): DataFrame =
     IndexLifecycle.visibleRows(df, committed)
 
@@ -833,7 +834,8 @@ object Dedup {
     * named error when the index has no sidecar (build one with
     * [[lshWriteFingerprints]]).
     */
-  def lshFingerprints(spark: SparkSession, path: String): DataFrame = {
+  def lshFingerprints(spark: SparkSession, path: String,
+                      excludeAppendIds: Seq[String] = Nil): DataFrame = {
     val (fs, root) = indexFs(spark, path)
     val fpsPath = new HPath(root, "fps")
     IndexLifecycle.recoverSwap(fs, fpsPath)
@@ -845,7 +847,7 @@ object Dedup {
     visibleIndexRows(
       if (hb > 0) spark.table(registerIndexTable(spark, path, "fps", hb, Seq("fp")))
       else spark.read.parquet(fpsPath.toString),
-      committedAttempts(fs, root))
+      committedAttempts(fs, root, excludeAppendIds))
   }
 
   /** [[dedupAgainstIndex]] for a batch CARRYING its stored fingerprint
@@ -866,7 +868,8 @@ object Dedup {
                                      textCol: String, idCol: String,
                                      fpCol: String,
                                      threshold: Double = 0.8,
-                                     broadcastMaxBandRows: Long = 1000000L): DataFrame = {
+                                     broadcastMaxBandRows: Long = 1000000L,
+                                     excludeAppendIds: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val groups = exactGroupsFingerprint(df, idCol, fpCol)
       .select(col("fingerprint").as(fpCol), col("keeper"))
@@ -874,10 +877,11 @@ object Dedup {
       .filter(col("keeper").isNull || col("keeper") === col(idCol))
       .drop("keeper")
     val fresh = within.join(
-      lshFingerprints(spark, indexPath).withColumnRenamed("fp", fpCol),
+      lshFingerprints(spark, indexPath, excludeAppendIds)
+        .withColumnRenamed("fp", fpCol),
       Seq(fpCol), "left_anti")
     dedupAgainstIndex(fresh, indexPath, textCol, idCol, threshold,
-      broadcastMaxBandRows)
+      broadcastMaxBandRows, excludeAppendIds)
   }
 
   /** The meta tally `n_docs` — maintained INCREMENTALLY by appends and
@@ -1166,7 +1170,8 @@ object Dedup {
     */
   def minhashLshIndexPairs(df: DataFrame, indexPath: String, textCol: String,
                            idCol: String, threshold: Double = 0.8,
-                           broadcastMaxBandRows: Long = 1000000L): DataFrame = {
+                           broadcastMaxBandRows: Long = 1000000L,
+                           excludeAppendIds: Seq[String] = Nil): DataFrame = {
     val spark = df.sparkSession
     val (fs, root) = indexFs(spark, indexPath)
     recoverIndexDirs(fs, root)
@@ -1178,7 +1183,7 @@ object Dedup {
     // appends are visible only through their commit markers (see
     // [[lshAppend]]): resolve the committed set once (driver-side
     // listing) and filter both index scans through it
-    val committed = committedAttempts(fs, root)
+    val committed = committedAttempts(fs, root, excludeAppendIds)
     val base = prepTexts(df, textCol, idCol)
     val batchBands = bandRows(base, numPerm, bands, shingleK)
     // a bucketed index ([[lshBuild]] bandBuckets) reads through its
@@ -1223,9 +1228,11 @@ object Dedup {
     */
   def dedupAgainstIndex(df: DataFrame, indexPath: String, textCol: String,
                         idCol: String, threshold: Double = 0.8,
-                        broadcastMaxBandRows: Long = 1000000L): DataFrame = {
+                        broadcastMaxBandRows: Long = 1000000L,
+                        excludeAppendIds: Seq[String] = Nil): DataFrame = {
     val dupIds = minhashLshIndexPairs(df, indexPath, textCol, idCol,
-      threshold, broadcastMaxBandRows).select(col("id").as("__drop")).distinct()
+      threshold, broadcastMaxBandRows, excludeAppendIds)
+      .select(col("id").as("__drop")).distinct()
     df.join(dupIds, df(idCol) === dupIds("__drop"), "left_anti")
   }
 

@@ -50,12 +50,23 @@ private[operators] object IndexLifecycle {
   /** Attempt ids of COMMITTED appends — one marker per appendId under
     * `_commits/`; empty (tombstone) markers contribute no attempt.
     * Driver-side listing, O(appends since the last compact).
+    *
+    * `excludeAppendIds` hides the named committed appends — the
+    * REPLAY-DETERMINISM hook: a retried micro-batch that reads an index
+    * excluding its OWN appendId sees the index exactly as its first run
+    * did, even when that run's append already committed, so recomputed
+    * accept/rewrite results are identical across retries (the ingest
+    * loops whose PRODUCT is the per-batch computation — not just the
+    * index state — depend on this; see
+    * [[graft.streaming.DocsStream.runParagraphDedupLoopAsStream]]).
     */
-  def committedAttempts(fs: FileSystem, root: HPath): Seq[String] = {
+  def committedAttempts(fs: FileSystem, root: HPath,
+                        excludeAppendIds: Seq[String] = Nil): Seq[String] = {
     val dir = new HPath(root, "_commits")
     if (!fs.exists(dir)) Seq.empty
     else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("."))
+      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
+        !excludeAppendIds.contains(s.getPath.getName))
       .flatMap { st =>
         val s = scala.util.Using.resource(fs.open(st.getPath))(in =>
           scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)

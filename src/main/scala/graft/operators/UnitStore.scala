@@ -51,28 +51,6 @@ object UnitStore {
       .map(_.getPath.getName)
   }
 
-  /** Committed attempt ids, optionally EXCLUDING the appends named by
-    * `excludeAppendIds` — the replay-determinism hook: a retried
-    * micro-batch that reads the store excluding its OWN appendId sees
-    * the store exactly as its first run did, even when that run's
-    * append already committed (see
-    * [[graft.streaming.DocsStream.runParagraphDedupLoopAsStream]]).
-    */
-  private def committedAttemptsExcluding(
-      fs: org.apache.hadoop.fs.FileSystem, root: HPath,
-      excludeAppendIds: Seq[String]): Seq[String] = {
-    val dir = new HPath(root, "_commits")
-    if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq
-      .filter(s => s.isFile && !s.getPath.getName.startsWith(".") &&
-        !excludeAppendIds.contains(s.getPath.getName))
-      .flatMap { st =>
-        val s = scala.util.Using.resource(fs.open(st.getPath))(in =>
-          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        if (s.nonEmpty) Some(s) else None
-      }
-  }
-
   /** Build (or REBUILD) the store from `keys.select(keyCol)` — distinct,
     * cast to LONG. Inputs analyze BEFORE anything destructive runs, so a
     * build invoked with a wrong column name leaves an existing store —
@@ -106,9 +84,9 @@ object UnitStore {
 
   /** The committed key set (one `h` column). Visibility resolves through
     * the commit markers; `excludeAppendIds` hides named committed appends
-    * (replay determinism — see [[committedAttemptsExcluding]]). Bucketed
-    * stores read through their catalog registration, so a membership
-    * join's store side plans with no exchange.
+    * (replay determinism — see [[IndexLifecycle.committedAttempts]]).
+    * Bucketed stores read through their catalog registration, so a
+    * membership join's store side plans with no exchange.
     */
   def read(spark: SparkSession, path: String,
            excludeAppendIds: Seq[String] = Nil): DataFrame = {
@@ -124,7 +102,7 @@ object UnitStore {
         spark.table(Dedup.registerIndexTable(spark, path, "keys", kb, Seq("h")))
       else spark.read.parquet(keysPath.toString)
     IndexLifecycle.visibleRows(df,
-      committedAttemptsExcluding(fs, root, excludeAppendIds))
+      IndexLifecycle.committedAttempts(fs, root, excludeAppendIds))
   }
 
   /** Append a batch of keys (deduped within the batch; the caller passes

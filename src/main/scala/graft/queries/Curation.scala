@@ -534,6 +534,103 @@ object Curation {
              |   WHERE unit NOT IN (SELECT unit FROM lakeu)) AS n_store_keys
              |FROM perdoc""".stripMargin)),
 
+    QueryDef("qs11_stream_ingest_pipeline",
+      (s, d) => {
+        // THE COMPLETE INGEST PIPELINE in one standing stream: exact
+        // stage on the stored fingerprint (within-batch keeper + the
+        // index's fp sidecar), MinHash-LSH near-dup vs the persisted
+        // index, then the paragraph keep-first REWRITE of the accepted
+        // docs vs the seen-unit store — accepted docs + fps append to
+        // the index, novel unit keys to the store, cleaned docs land as
+        // per-batch parquet, all keyed on the micro-batch id and all
+        // reads self-excluding for replay determinism. Planted rows as
+        // in qs09 (+10000 lake clones → exact stage; +20000 batch
+        // clones → within-batch keeper); near-dup semantics equal
+        // qs07/qs09's; the paragraph stage equals qs10's applied to the
+        // ACCEPTED set (units of original text, lake-built store).
+        val docs = load(s, d, "documents")
+        def tmp(prefix: String): String = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory(prefix).toString)
+        val lake = docs.filter(col("doc_id") < 250)
+        val idx = tmp("qs11idx")
+        graft.operators.Dedup.lshBuild(lake, "text", "doc_id", idx)
+        graft.operators.Dedup.lshWriteFingerprints(lake, "text", idx)
+        val store = tmp("qs11store")
+        graft.operators.ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+          graft.operators.ParagraphDedup.unitsByWordWindow(_, 16), store)
+        val batch = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id"), col("text"))
+          .unionByName(docs.filter(col("doc_id") < 3)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+          .unionByName(docs.filter(col("doc_id").between(250, 252))
+            .select((col("doc_id") + 20000).as("doc_id"), col("text")))
+          .withColumn("fp", xxhash64(col("text")))
+        val in = tmp("qs11in")
+        batch.coalesce(1).write.mode("append").parquet(in)
+        graft.streaming.DocsStream.runIngestPipelineAsStream(
+          s, in, idx, store, tmp("qs11out"), "qs11_loop_mem",
+          graft.operators.ParagraphDedup.unitsByWordWindow(_, 16), " ",
+          checkpointLocation = Some(tmp("qs11ckpt")))
+      },
+      Some("""WITH lake AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |    WHERE doc_id < 3
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents
+             |    WHERE doc_id BETWEEN 250 AND 252),
+             |within AS (
+             |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+             |                 FROM batch) WHERE doc_id = keeper),
+             |ex AS (SELECT * FROM within WHERE text NOT IN (SELECT text FROM lake)),
+             |tl AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM lake)),
+             |tb AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM ex)),
+             |nd AS (
+             |  SELECT DISTINCT n.doc_id FROM tb n JOIN tl r
+             |    ON CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
+             |       len(list_distinct(list_concat(n.sh, r.sh))) >= 0.8),
+             |acc AS (SELECT doc_id, text FROM ex
+             |        WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+             |lakeu AS (
+             |  SELECT DISTINCT array_to_string(w[(i*16+1):(i*16+16)], ' ') AS unit
+             |  FROM (SELECT string_split(text, ' ') AS w FROM lake),
+             |       unnest(generate_series(0,
+             |         CAST(ceil(len(w)/16.0) AS BIGINT) - 1)) AS t(i)),
+             |bu AS (
+             |  SELECT doc_id, i AS pos,
+             |    array_to_string(w[(i*16+1):(i*16+16)], ' ') AS unit
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM acc),
+             |       unnest(generate_series(0,
+             |         CAST(ceil(len(w)/16.0) AS BIGINT) - 1)) AS t(i)),
+             |marked AS (
+             |  SELECT doc_id, pos, unit,
+             |    (unit IN (SELECT unit FROM lakeu)) AS seen,
+             |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+             |  FROM bu),
+             |perdoc AS (
+             |  SELECT doc_id, count(*) AS n_units,
+             |    sum(CASE WHEN seen OR rn > 1 THEN 1 ELSE 0 END) AS n_dropped,
+             |    coalesce(string_agg(CASE WHEN NOT (seen OR rn > 1) THEN unit END,
+             |      ' ' ORDER BY pos), '') AS clean_text
+             |  FROM marked GROUP BY doc_id)
+             |SELECT
+             |  (SELECT count(*) FROM acc) AS n_kept,
+             |  (SELECT count(*) FROM lake) +
+             |  (SELECT count(*) FROM acc) AS n_index_docs,
+             |  CAST(sum(n_units) AS BIGINT) AS n_units,
+             |  CAST(sum(n_dropped) AS BIGINT) AS n_dropped_units,
+             |  CAST(sum(length(clean_text)) AS BIGINT) AS sum_clean_chars,
+             |  (SELECT count(*) FROM lakeu) +
+             |  (SELECT count(DISTINCT unit) FROM bu
+             |   WHERE unit NOT IN (SELECT unit FROM lakeu)) AS n_store_keys
+             |FROM perdoc""".stripMargin)),
+
     QueryDef("qs06_stream_to_shards",
       (s, d) => {
         // STREAMING SINK gate: the curated stream lands as

@@ -297,6 +297,116 @@ object DocsStream {
       .withColumn("n_store_keys", lit(nKeys))
   }
 
+  /** THE COMPLETE CRAWL-TO-TRAINING INGEST PIPELINE as one standing
+    * stream — the three dedup stages this library ships, composed in
+    * the order a CCNet-style production pipeline runs them, against
+    * their three persisted stores:
+    *
+    *  1. EXACT (stored fingerprint): within-batch keeper + anti join
+    *     against the LSH index's fingerprint sidecar — byte-identical
+    *     recrawl arrivals drop on 8-byte keys
+    *     ([[graft.operators.Dedup.dedupAgainstIndexFingerprinted]]'s
+    *     first two stages);
+    *  2. NEAR-DUP (MinHash-LSH vs the persisted index) on the survivors;
+    *     accepted docs and their fingerprints append back under one
+    *     batchId-keyed commit marker ([[graft.operators.Dedup.lshAppend]]);
+    *  3. BOILERPLATE (paragraph keep-first vs the seen-unit store) —
+    *     the ACCEPTED docs are rewritten, the cleaned docs land as
+    *     per-batch parquet under `outDir/batch_id=<id>`, and the novel
+    *     unit keys append to the store under the same batchId key.
+    *
+    * Dedup before rewrite, not after: near-dup identity should be judged
+    * on the document as fetched (the index stores original text, so
+    * tomorrow's refetch compares against like form), while the unit
+    * store tracks the CLEANED corpus — a unit becomes "seen" only when
+    * a doc carrying it was actually accepted into the lake.
+    *
+    * REPLAY DETERMINISM, ACROSS ALL THREE STORES: the pipeline's product
+    * is the cleaned per-batch output, so — like
+    * [[runParagraphDedupLoopAsStream]] but now for every stage — a
+    * retried micro-batch must recompute IDENTICAL results even after
+    * its first run's appends committed. Every read therefore excludes
+    * the batch's own appendId (`excludeAppendIds` through the sidecar,
+    * the band/hash scans, and the unit store), both appends no-op on
+    * their markers, and the cleaned output is a per-batch overwrite.
+    * A crash between the two appends retries cleanly: the LSH append
+    * no-ops, the store append completes, the output dir is rewritten
+    * byte-identically. There is deliberately NO cross-store atomic
+    * commit — each store keeps its own marker log, and determinism (not
+    * atomicity) is what makes the interleaving safe.
+    *
+    * Returns one row after the stream drains:
+    * `(n_kept, n_index_docs, n_units, n_dropped_units, sum_clean_chars,
+    * n_store_keys)` — index figures from committed meta deltas, rewrite
+    * figures read back off the cleaned output files.
+    */
+  def runIngestPipelineAsStream(spark: SparkSession, inputDir: String,
+                                indexPath: String, storePath: String,
+                                outDir: String, queryName: String,
+                                unitize: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                joinSep: String,
+                                fpCol: String = "fp",
+                                idCol: String = "doc_id",
+                                textCol: String = "text",
+                                maxFilesPerTrigger: Option[Int] = None,
+                                checkpointLocation: Option[String] = None,
+                                compactEvery: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    require(schema.fieldNames.contains(fpCol),
+      s"input at $inputDir carries no stored fingerprint column '$fpCol' — " +
+        s"stamp xxhash64($textCol) as '$fpCol' at write time")
+    graft.operators.Dedup.lshFingerprints(spark, indexPath) // fail fast
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
+    val writer0 = stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val appendId = s"$queryName-b$batchId"
+        val accepted = graft.operators.Dedup
+          .dedupAgainstIndexFingerprinted(batch.toDF(), indexPath,
+            textCol, idCol, fpCol, excludeAppendIds = Seq(appendId))
+          .persist()
+        try {
+          graft.operators.Dedup.lshAppend(accepted, textCol, idCol,
+            indexPath, appendId = Some(appendId))
+          val a = graft.operators.ParagraphDedup.storeAccept(
+            accepted, idCol, textCol, unitize, joinSep, storePath,
+            excludeAppendIds = Seq(appendId))
+          try {
+            a.cleaned.write.mode("overwrite")
+              .parquet(s"$outDir/batch_id=$batchId")
+            graft.operators.UnitStore.append(a.novelKeys, "h", storePath,
+              appendId = Some(appendId))
+          } finally a.release()
+        } finally accepted.unpersist()
+        compactEvery.foreach { n =>
+          if ((batchId + 1) % n == 0) {
+            graft.operators.Dedup.lshCompact(spark, indexPath)
+            graft.operators.UnitStore.compact(spark, storePath)
+          }
+        }
+        ()
+      }
+    val q = checkpointLocation
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    val n1 = graft.operators.Dedup.lshIndexCommittedDocs(spark, indexPath)
+    val nKeys = graft.operators.UnitStore.committedKeys(spark, storePath)
+    spark.read.parquet(outDir)
+      .agg(count(lit(1)).as("n_kept"),
+        sum(col("n_units")).cast("long").as("n_units"),
+        sum(col("n_dropped")).cast("long").as("n_dropped_units"),
+        sum(length(col("clean_text"))).cast("long").as("sum_clean_chars"))
+      .withColumn("n_index_docs", lit(n1))
+      .withColumn("n_store_keys", lit(nKeys))
+      .select(col("n_kept"), col("n_index_docs"), col("n_units"),
+        col("n_dropped_units"), col("sum_clean_chars"), col("n_store_keys"))
+  }
+
   /** STREAMING ANN INGEST: each micro-batch of embeddings is appended to
     * a persisted IVF index ([[graft.operators.SimilaritySearch.ivfAppend]])
     * — the ANN counterpart of [[runIndexDedupLoopAsStream]], riding the

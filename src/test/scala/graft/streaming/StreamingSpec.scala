@@ -292,6 +292,76 @@ class StreamingSpec extends AnyFunSuite {
     b.release()
   }
 
+  test("ingest pipeline: exact + near-dup + paragraph stages compose across micro-batches; every read self-excludes so a replay recomputes identical output") {
+    import graft.operators.{Dedup, ParagraphDedup, UnitStore}
+    val lake = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog near the river bank today\nboilerplate banner"),
+      (2L, "completely different content about spark and distributed query engines\nboilerplate banner"))
+      .toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("pipe_idx").toString
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    Dedup.lshWriteFingerprints(lake, "text", idx)
+    val store = java.nio.file.Files.createTempDirectory("pipe_store").toString
+    ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store)
+    val novelX = "entirely new material discussing streaming ingestion loops and persisted indexes"
+    val in = java.nio.file.Files.createTempDirectory("pipe_in").toString
+    // file 1: a byte-identical refetch of lake doc 2 (EXACT stage drops
+    // it before any signing) + novel doc 10 carrying the lake's
+    // boilerplate unit and two novel units
+    val b0 = Seq(
+      (10L, s"$novelX\nboilerplate banner\nshared fresh paragraph"),
+      (12L, "completely different content about spark and distributed query engines\nboilerplate banner"))
+      .toDF("doc_id", "text").withColumn("fp", xxhash64(col("text")))
+    b0.coalesce(1).write.mode("append").parquet(in)
+    // file 2: doc 11 near-duplicates doc 10's accepted text (LSH stage,
+    // across batches) + novel doc 13 repeating doc 10's accepted
+    // "shared fresh paragraph" (paragraph stage, across batches)
+    Seq(
+      (11L, s"$novelX\nboilerplate banner\nshared fresh paragraph extra"),
+      (13L, "yet another unrelated document about benchmark artifacts and pass medians\nshared fresh paragraph"))
+      .toDF("doc_id", "text").withColumn("fp", xxhash64(col("text")))
+      .coalesce(1).write.mode("append").parquet(in)
+    val out = java.nio.file.Files.createTempDirectory("pipe_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("pipe_ckpt").toString
+    def run() = DocsStream.runIngestPipelineAsStream(spark, in, idx, store,
+      out, "pipe_mem", ParagraphDedup.unitsBySeparator(_, "\\n"), "\n",
+      maxFilesPerTrigger = Some(1), checkpointLocation = Some(ckpt))
+    val summary = run().collect().head
+    // doc 12 dropped by the exact stage, doc 11 by the near-dup stage
+    // AGAINST THE BATCH-0 APPEND (not the original lake); 10 and 13 kept
+    assert(summary.getAs[Long]("n_kept") == 2L, summary.toString)
+    assert(summary.getAs[Long]("n_index_docs") == 4L, summary.toString)
+    val cleaned = spark.read.parquet(out)
+      .select(col("doc_id"), col("clean_text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(cleaned.keySet == Set(10L, 13L), cleaned.toString)
+    // doc 10: lake boilerplate dropped, novel units kept; doc 13's copy
+    // of "shared fresh paragraph" dropped against batch 0's accept
+    assert(cleaned(10L) == s"$novelX\nshared fresh paragraph", cleaned.toString)
+    assert(cleaned(13L) ==
+      "yet another unrelated document about benchmark artifacts and pass medians",
+      cleaned.toString)
+    // lake store = 3 distinct units; doc 10 adds novelX + "shared fresh
+    // paragraph", doc 13 adds its own body — 6 total
+    assert(summary.getAs[Long]("n_store_keys") == 3L + 3L, summary.toString)
+    // checkpointed re-run: processes nothing, changes nothing
+    assert(run().collect().head.toSeq == summary.toSeq)
+    assert(Dedup.lshIndexDocCount(spark, idx) == 4L)
+    assert(UnitStore.keyCount(spark, store) == 6L)
+    // REPLAY DETERMINISM of the LSH stage: batch 0's accept recomputed
+    // with its own appendId excluded equals the original accept set,
+    // even though the index now holds doc 10 (whose twin-in-the-index
+    // would otherwise drop it); without the exclusion it drops
+    val b0replay = Dedup.dedupAgainstIndexFingerprinted(b0, idx,
+      "text", "doc_id", "fp", excludeAppendIds = Seq("pipe_mem-b0"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(b0replay == Set(10L), b0replay.toString)
+    assert(Dedup.dedupAgainstIndexFingerprinted(b0, idx,
+      "text", "doc_id", "fp").count() == 0L,
+      "without self-exclusion the replayed batch should drop against itself")
+  }
+
   test("index-dedup loop with compactEvery: per-batch compaction changes neither the accept set nor retry idempotency") {
     import graft.operators.Dedup
     val lake = Seq(
