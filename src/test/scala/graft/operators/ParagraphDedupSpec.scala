@@ -168,6 +168,59 @@ class ParagraphDedupSpec extends AnyFunSuite {
       "failed rebuild destroyed the old store or its appends")
   }
 
+  test("bucketed store: the membership join's store side reads bucketed and shuffles nothing (non-broadcast regime)") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{SortMergeJoinExec, ShuffledHashJoinExec}
+    val store = tmpDir("ustore_plan")
+    ParagraphDedup.unitStoreBuild(paraDocs, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store, buckets = 4)
+    // pin the structural claim, not AQE's small-data shortcut: with
+    // runtime broadcast conversion off, the seen-membership join must
+    // read the store straight off its bucketed scan — the one
+    // lake-proportional input of the day-2 rewrite must never shuffle
+    // (and at 10⁹ keys could never broadcast)
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    restore.foreach { case (k, _) => spark.conf.set(k, "-1") }
+    try {
+      val batch = Seq((10L, "boilerplate banner\nnovel paragraph ten"))
+        .toDF("doc_id", "text")
+      def build() = ParagraphDedup.dedupAgainstStore(batch, "doc_id", "text",
+        ParagraphDedup.unitsBySeparator(_, "\\n"), "\n", store)
+      assert(rowsOf(build())(10L) == ((2L, 1L, "novel paragraph ten")))
+      // inspect a FRESH query's initial plan: after execution AQE's
+      // executedPlan shows only the final result stage, with the
+      // membership join hidden inside materialized upstream stages
+      val plan = build().queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      // the membership join is the __h-keyed join whose store side is
+      // the bare scan subtree (no Generate — that's the batch side; the
+      // doc-level rewrite join also CONTAINS the store string, via its
+      // whole drops subtree)
+      val storeSides = plan.collect {
+        case j: SortMergeJoinExec => Seq(j.left, j.right)
+        case j: ShuffledHashJoinExec => Seq(j.left, j.right)
+      }.flatten.filter(s => s.toString.contains("graft_lsh_keys_") &&
+        !s.toString.contains("Generate"))
+      assert(storeSides.nonEmpty, plan.toString.take(1500))
+      storeSides.foreach { s =>
+        assert(s.toString.contains("Bucketed: true"),
+          "store scan lost the bucket spec:\n" + s.toString.take(800))
+        val exchanges = s.collect { case e: ShuffleExchangeExec => e }
+        assert(exchanges.isEmpty,
+          "store shuffled despite bucketed layout:\n" + s.toString.take(1500))
+      }
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dedupAgainstStore == dedup(lake ∪ batch) restricted to the batch") {
     // lake ids < batch ids, so global keep-first in the union gives the
     // lake priority — exactly the store's semantics
