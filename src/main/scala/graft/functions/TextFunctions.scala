@@ -139,6 +139,30 @@ object TextFunctions {
     unary("doc_fingerprint", fingerprint)
     unary("lang_id", langId)
     unary("quality_score", qualityScore)
+    // word_windows(text, n[, sep]) — the ParagraphDedup unitizer's SQL
+    // spelling (WordWindowsExpr codegen kernel; n and sep must be
+    // literals, like any codegen'd config parameter)
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "word_windows", exprs => {
+        if (exprs.length < 2 || exprs.length > 3)
+          throw new IllegalArgumentException(
+            s"word_windows expects (text, n[, sep]), got ${exprs.length} arguments")
+        def lit[T](e: org.apache.spark.sql.catalyst.expressions.Expression,
+                   what: String): Any = e match {
+          case l: org.apache.spark.sql.catalyst.expressions.Literal => l.value
+          case other => throw new IllegalArgumentException(
+            s"word_windows: $what must be a literal, got $other")
+        }
+        val n = lit(exprs(1), "n") match {
+          case i: Int => i
+          case x => throw new IllegalArgumentException(
+            s"word_windows: n must be an integer literal, got $x")
+        }
+        val sep =
+          if (exprs.length == 3) lit(exprs(2), "sep").toString
+          else " "
+        WordWindowsExpr(exprs.head, n, sep)
+      }, "built-in")
   }
 }
 

@@ -173,7 +173,8 @@ object ParagraphDedup {
   private[graft] def storeAccept(df: DataFrame, idCol: String,
                                  textCol: String, unitize: Column => Column,
                                  joinSep: String, path: String,
-                                 excludeAppendIds: Seq[String] = Nil): StoreAccept = {
+                                 excludeAppendIds: Seq[String] = Nil,
+                                 cache: Boolean = true): StoreAccept = {
     val spark = df.sparkSession
     val store = UnitStore.read(spark, path, excludeAppendIds)
       .select(col("h").as("__h")).withColumn("__seen", lit(true))
@@ -183,22 +184,28 @@ object ParagraphDedup {
     // batch (hash-partitioned) ⨝ firsts (colocated) ⨝ store (bucketed
     // scan: no store-side exchange; the store is a SET, so the left join
     // cannot multiply rows)
-    val marked = keyed
+    val marked0 = keyed
       .join(firsts.hint("SHUFFLE_HASH"), Seq("__h"))
       .join(store, Seq("__h"), "left")
-      .persist()
+    val marked = if (cache) marked0.persist() else marked0
+    // array_distinct: a store that violates the SET contract (an append
+    // replayed without its marker, keys re-appended by a buggy caller)
+    // multiplies occurrence rows through the left join — membership
+    // stays right either way, and the distinct keeps the drop COUNTS
+    // right too (pure expression, no extra shuffle); compact restores
+    // the set property itself
     val drops = marked
       .filter(col("__seen") ||
         struct(col("__id"), col("__pos")) =!= col("__first"))
       .groupBy(col("__id"))
-      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+      .agg(array_distinct(sort_array(collect_list(col("__pos")))).as("__drop"))
     val novel = marked
       .filter(col("__seen").isNull &&
         struct(col("__id"), col("__pos")) === col("__first"))
       .select(col("__h").as("h"))
     StoreAccept(
       rewriteWithDrops(df, idCol, textCol, unitize, joinSep, drops),
-      novel, () => { marked.unpersist(); () })
+      novel, () => { if (cache) marked.unpersist(); () })
   }
 
   /** Keep-first rewrite of a batch AGAINST a seen-unit store
@@ -211,8 +218,7 @@ object ParagraphDedup {
   def dedupAgainstStore(df: DataFrame, idCol: String, textCol: String,
                         unitize: Column => Column, joinSep: String,
                         path: String): DataFrame = {
-    val a = storeAccept(df, idCol, textCol, unitize, joinSep, path)
-    a.release() // read-only callers take the lazy plan, not the cache
-    a.cleaned
+    storeAccept(df, idCol, textCol, unitize, joinSep, path,
+      cache = false).cleaned // one output consumed once — nothing to share
   }
 }

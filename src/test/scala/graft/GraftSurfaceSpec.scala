@@ -54,6 +54,10 @@ class GraftSurfaceSpec extends AnyFunSuite {
       .head().getString(0) == "en")
     assert(spark.sql("SELECT quality_score('the quick fox').n_words AS w")
       .head().getInt(0) == 3)
+    assert(spark.sql("SELECT word_windows('a b c d e', 2) AS w")
+      .head().getSeq[String](0) == Seq("a b", "c d", "e"))
+    assert(spark.sql("SELECT word_windows('x|y|z', 2, '|') AS w")
+      .head().getSeq[String](0) == Seq("x|y", "z"))
   }
 
   test("createSecret: CREATE SECRET parity — validation wording, SQL UDF, redaction") {
