@@ -301,13 +301,25 @@ object Bench {
     * [[Graft.tuneForTinyInput]] (runtime-settable confs, usable on an
     * already-built session).
     */
+  /** Parquet bytes under a table path — a single file (the local-bench
+    * layout) OR a Spark-written directory of part files (the standard
+    * lake layout; one nesting level is the norm, two covers partition
+    * dirs). Unknown layouts total 0 — callers must FAIL OPEN on 0.
+    */
+  private def parquetBytes(f: java.io.File, depth: Int = 3): Long =
+    if (f.isFile) { if (f.getName.endsWith(".parquet")) f.length else 0L }
+    else if (depth == 0) 0L
+    else Option(f.listFiles())
+      .map(_.map(parquetBytes(_, depth - 1)).sum).getOrElse(0L)
+
   def thinInput(sfDir: String): Boolean = {
-    val total = scala.util.Try {
-      new java.io.File(sfDir).listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.length).sum
-    }.getOrElse(Long.MaxValue)
-    total < (64L << 20)
+    val total = scala.util.Try(parquetBytes(new java.io.File(sfDir)))
+      .getOrElse(0L)
+    // fail OPEN: an unreadable dir or a layout this walk doesn't
+    // recognize keeps the full config — the thin profile on a large
+    // dataset is a severe regression, the full profile on a tiny one
+    // costs ~2 s
+    total > 0L && total < (64L << 20)
   }
 
   /** Split size targeting ~4 task waves over the biggest table's bytes:
@@ -319,8 +331,7 @@ object Bench {
   def autoMaxPartitionBytes(sfDir: String, cpus: Int): String = {
     val maxBytes = scala.util.Try {
       new java.io.File(sfDir).listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
-        .map(_.length).max
+        .map(parquetBytes(_)).max // table = file or part-file directory
     }.getOrElse(0L)
     val target = maxBytes / (4L * math.max(cpus, 1))
     math.min(math.max(target, 16L << 20), 128L << 20).toString

@@ -81,11 +81,14 @@ object Graft {
     * knob alone loses (measured grid in SCALE.md round 17; each knob
     * separately was measured and rejected in rounds 6/10). Both confs
     * are runtime-settable, so this applies to an already-built session;
-    * call it again with a larger byte count (or set the confs back) when
-    * the workload grows — the thresholds only make sense while
-    * `totalInputBytes` stays tiny (default cutoff 64 MB: a 0.1-SF
-    * TPC-H-ish directory is ~24 MB, a 1-SF one is ~250 MB and must keep
-    * runtime re-planning and full shuffle parallelism).
+    * call it again with the new byte count when the workload grows — a
+    * non-thin call RESTORES the confs this function changed (the
+    * pre-thin values are stashed in the session conf), so a session
+    * never stays on the thin profile after its input outgrows it
+    * (default cutoff 64 MB: a 0.1-SF TPC-H-ish directory is ~24 MB, a
+    * 1-SF one is ~250 MB and must keep runtime re-planning and full
+    * shuffle parallelism). A non-thin call on a never-thinned session
+    * changes nothing.
     *
     * Returns true when the thin profile was applied.
     */
@@ -93,10 +96,26 @@ object Graft {
                        cutoffBytes: Long = 64L << 20,
                        thinShufflePartitions: Int = 8): Boolean = {
     val thin = totalInputBytes >= 0 && totalInputBytes < cutoffBytes
+    val savedAqe = "spark.graft.thin.saved.adaptive"
+    val savedShuffle = "spark.graft.thin.saved.shufflePartitions"
     if (thin) {
+      if (spark.conf.getOption(savedAqe).isEmpty) {
+        spark.conf.set(savedAqe,
+          spark.conf.get("spark.sql.adaptive.enabled", "true"))
+        spark.conf.set(savedShuffle,
+          spark.conf.get("spark.sql.shuffle.partitions", "200"))
+      }
       spark.conf.set("spark.sql.adaptive.enabled", "false")
       spark.conf.set("spark.sql.shuffle.partitions",
         thinShufflePartitions.toString)
+    } else {
+      spark.conf.getOption(savedAqe).foreach { v =>
+        spark.conf.set("spark.sql.adaptive.enabled", v)
+        spark.conf.getOption(savedShuffle)
+          .foreach(spark.conf.set("spark.sql.shuffle.partitions", _))
+        spark.conf.unset(savedAqe)
+        spark.conf.unset(savedShuffle)
+      }
     }
     thin
   }

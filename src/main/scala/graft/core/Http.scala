@@ -70,6 +70,26 @@ object Http {
     Response(resp.statusCode(), resp.body())
   }
 
+  /** Single PUT streaming a local file as the body — the large-object
+    * path of the r2 write surface: the writer spools to local disk and
+    * publishes without ever holding the object on the heap (a
+    * whole-object byte-array PUT caps files at ~2 GB and holds every
+    * in-flight part file in memory — s3a solves the same problem with a
+    * disk spool / multipart).
+    */
+  def putFile(
+      url: String,
+      file: java.nio.file.Path,
+      headers: Map[String, String] = Map.empty,
+      timeoutSeconds: Int = 300): Response = {
+    val b = HttpRequest.newBuilder(URI.create(encodeUrl(url)))
+      .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
+      .PUT(HttpRequest.BodyPublishers.ofFile(file))
+    headers.foreach { case (k, v) => b.header(k, v) }
+    val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())
+    Response(resp.statusCode(), resp.body())
+  }
+
   /** Single DELETE (S3-style object delete). */
   def delete(
       url: String,

@@ -159,7 +159,11 @@ object TextFunctions {
             s"word_windows: n must be an integer literal, got $x")
         }
         val sep =
-          if (exprs.length == 3) lit(exprs(2), "sep").toString
+          if (exprs.length == 3) lit(exprs(2), "sep") match {
+            case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+            case x => throw new IllegalArgumentException(
+              s"word_windows: sep must be a non-null string literal, got $x")
+          }
           else " "
         WordWindowsExpr(exprs.head, n, sep)
       }, "built-in")

@@ -640,23 +640,35 @@ object Dedup {
                 path: String, appendId: Option[String] = None): Unit = {
     val spark = accepted.sparkSession
     val (fs, root) = indexFs(spark, path)
-    recoverIndexDirs(fs, root)
-    val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
-    val numPerm = meta.getAs[Int]("num_perm")
-    val bands = meta.getAs[Int]("bands")
-    val shingleK = meta.getAs[Int]("shingle_k")
-    val nb = bandBucketsOf(meta)
-    val hb = hashBucketsOf(meta)
-    val bandsPath = new HPath(root, "bands")
-    val hashesPath = new HPath(root, "hashes")
-    val legacy = !spark.read.parquet(bandsPath.toString)
-      .columns.contains(AttemptCol)
-    if (legacy) {
-      require(appendId.isEmpty, "idempotent appendId requires the " +
-        "commit-marker index format (round 16+); run lshCompact(path) " +
-        "once to upgrade this index in place")
-      IndexLifecycle.withWriterLock(fs, root, "lshAppend",
-          IndexLifecycle.lockTtlMs(spark)) {
+    val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
+    IndexLifecycle.validateAppendId(id)
+    // the committed-marker no-op sits BEFORE the writer lock: a restarted
+    // at-least-once driver replaying finished batches is never refused
+    if (fs.exists(IndexLifecycle.markerPath(root, id)))
+      return // already committed — idempotent no-op
+    IndexLifecycle.withWriterLock(fs, root, "lshAppend",
+        IndexLifecycle.lockTtlMs(spark)) {
+      // everything below happens UNDER the lease: swap-window recovery
+      // mutates index dirs (it must never race a live compact's
+      // two-rename window), and the meta parameters decide the batch's
+      // hash family — values read before acquisition could be a
+      // concurrent rebuild's stale predecessors, silently signing the
+      // batch with the wrong family
+      recoverIndexDirs(fs, root)
+      val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
+      val numPerm = meta.getAs[Int]("num_perm")
+      val bands = meta.getAs[Int]("bands")
+      val shingleK = meta.getAs[Int]("shingle_k")
+      val nb = bandBucketsOf(meta)
+      val hb = hashBucketsOf(meta)
+      val bandsPath = new HPath(root, "bands")
+      val hashesPath = new HPath(root, "hashes")
+      val legacy = !spark.read.parquet(bandsPath.toString)
+        .columns.contains(AttemptCol)
+      if (legacy) {
+        require(appendId.isEmpty, "idempotent appendId requires the " +
+          "commit-marker index format (round 16+); run lshCompact(path) " +
+          "once to upgrade this index in place")
         val base = prepTexts(accepted, textCol, idCol)
         val newBands = bandRows(base, numPerm, bands, shingleK)
           .withColumnRenamed("id", "ref_id")
@@ -673,17 +685,7 @@ object Dedup {
           .write.mode("append").parquet(hashesPath.toString)
         writeIndexMeta(spark, root.toString, numPerm, bands, shingleK,
           meta.getAs[Long]("n_docs") + accepted.count(), nb, hb)
-      }
-      return
-    }
-    val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
-    IndexLifecycle.validateAppendId(id)
-    // the committed-marker no-op sits BEFORE the writer lock: a restarted
-    // at-least-once driver replaying finished batches is never refused
-    if (fs.exists(IndexLifecycle.markerPath(root, id)))
-      return // already committed — idempotent no-op
-    IndexLifecycle.withWriterLock(fs, root, "lshAppend",
-        IndexLifecycle.lockTtlMs(spark)) {
+      } else {
       val attempt = java.util.UUID.randomUUID().toString
       val base = prepTexts(accepted, textCol, idCol)
       val newBands = bandRows(base, numPerm, bands, shingleK)
@@ -735,6 +737,7 @@ object Dedup {
       // construction) — never a scan of the index's own data
       writeIndexMeta(spark, root.toString, numPerm, bands, shingleK,
         meta.getAs[Long]("n_docs") + accepted.count(), nb, hb)
+      }
     }
   }
 
@@ -1113,8 +1116,13 @@ object Dedup {
                                  bucketCols: Seq[String]): String = {
     val name = indexTableName(spark, path, sub)
     val loc = new HPath(indexFs(spark, path)._2, sub)
+    // the on-disk schema derivation (a directory listing + one footer
+    // read) happens OUTSIDE the lock: it is the slow part on object
+    // stores, and serializing it JVM-wide would make every concurrent
+    // reader queue behind every other's listing; the lock only needs to
+    // cover the check-then-create on the shared catalog
+    val onDisk = spark.read.parquet(loc.toString).schema
     registerLock.synchronized {
-      val onDisk = spark.read.parquet(loc.toString).schema
       def sig(s: org.apache.spark.sql.types.StructType) =
         s.fields.map(f => (f.name, f.dataType)).toSeq
       val live = spark.catalog.tableExists(name) && {

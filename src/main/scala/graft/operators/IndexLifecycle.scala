@@ -177,6 +177,11 @@ private[operators] object IndexLifecycle {
       } catch {
         case _: java.io.IOException if fs.exists(lock) => false
       }
+    def holderOf(): String =
+      try {
+        scala.util.Using.resource(fs.open(lock))(in =>
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      } catch { case _: java.io.IOException => "<unknown>" }
     if (!tryAcquire()) {
       val st = try Some(fs.getFileStatus(lock)) catch {
         case _: java.io.FileNotFoundException => None
@@ -185,19 +190,52 @@ private[operators] object IndexLifecycle {
         System.currentTimeMillis() - s.getModificationTime > ttlMs)
       if (stale) fs.delete(lock, false): Unit
       if (!stale || !tryAcquire()) {
-        val holder = try {
-          scala.util.Using.resource(fs.open(lock))(in =>
-            scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        } catch { case _: java.io.IOException => "<unknown>" }
         throw new java.util.ConcurrentModificationException(
-          s"$op: index at $root is locked by another writer ($holder, " +
+          s"$op: index at $root is locked by another writer (${holderOf()}, " +
             s"lock age ${st.map(s => System.currentTimeMillis() - s.getModificationTime)
               .getOrElse(-1L)} ms, ttl $ttlMs ms) — persisted indexes take " +
             "ONE logical writer at a time; wait for it (or for the TTL) " +
             s"or remove $lock if you know the writer is gone")
       }
     }
-    try body finally fs.delete(lock, false): Unit
+    // HEARTBEAT: an op that outlives the TTL (a compact rewriting a big
+    // index) must not lose a LIVE lease to a successor's staleness
+    // break — refresh the lock's mtime at ttl/3 so staleness only ever
+    // means "holder is gone", not "holder is slow". Rewriting the same
+    // payload keeps ownership readable; stores that reject overwrites
+    // mid-op (or drop the write) degrade to the documented
+    // TTL-must-exceed-the-op contract, never to corruption.
+    val beat = new java.util.concurrent.atomic.AtomicBoolean(true)
+    val heart = new Thread(new Runnable {
+      override def run(): Unit = {
+        while (beat.get()) {
+          try Thread.sleep(math.max(ttlMs / 3, 1000L))
+          catch { case _: InterruptedException => return }
+          if (beat.get()) {
+            try {
+              if (holderOf() == owner) {
+                scala.util.Using.resource(fs.create(lock, true)) { out =>
+                  out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                }
+              }
+            } catch { case _: Throwable => () }
+          }
+        }
+      }
+    }, s"graft-index-lease-$op")
+    heart.setDaemon(true)
+    heart.start()
+    try body finally {
+      beat.set(false)
+      heart.interrupt()
+      // OWNERSHIP-CHECKED release: if the lease was (wrongly or rightly)
+      // broken and re-acquired by someone else, deleting blindly would
+      // admit a THIRD writer under the new holder's feet — only the
+      // current owner's lock is ours to remove.
+      try {
+        if (holderOf() == owner) fs.delete(lock, false): Unit
+      } catch { case _: java.io.IOException => () }
+    }
   }
 
   /** Swap a compacted side dir into place: live → `.old`, fresh →

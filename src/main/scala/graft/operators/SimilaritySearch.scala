@@ -346,21 +346,6 @@ object SimilaritySearch {
     val spark = df.sparkSession
     val (fs, root) = IndexLifecycle.fsFor(spark, path)
     val corpus = new org.apache.hadoop.fs.Path(root, "corpus")
-    IndexLifecycle.recoverSwap(fs, corpus)
-    val cents = storedCentroids(spark, root)
-    val legacy = !spark.read.parquet(corpus.toString)
-      .columns.contains(IndexLifecycle.AttemptCol)
-    if (legacy) {
-      require(appendId.isEmpty, "idempotent appendId requires the " +
-        "commit-marker index format (round 16+); run ivfCompact(path) " +
-        "once to upgrade this index in place")
-      IndexLifecycle.withWriterLock(fs, root, "ivfAppend",
-          IndexLifecycle.lockTtlMs(spark)) {
-        assignWith(df, embCol, cents)
-          .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
-      }
-      return
-    }
     val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
     IndexLifecycle.validateAppendId(id)
     // committed-marker no-op BEFORE the writer lock (replays never refused)
@@ -368,11 +353,26 @@ object SimilaritySearch {
       return // already committed — idempotent no-op
     IndexLifecycle.withWriterLock(fs, root, "ivfAppend",
         IndexLifecycle.lockTtlMs(spark)) {
-      val attempt = java.util.UUID.randomUUID().toString
-      assignWith(df, embCol, cents)
-        .withColumn(IndexLifecycle.AttemptCol, lit(attempt))
-        .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
-      IndexLifecycle.commitMarker(fs, root, id, attempt)
+      // under the lease: swap recovery renames dirs, and the stored
+      // quantizer read here decides the batch's cell assignment — both
+      // must see a settled index, not a concurrent rebuild's midpoint
+      IndexLifecycle.recoverSwap(fs, corpus)
+      val cents = storedCentroids(spark, root)
+      val legacy = !spark.read.parquet(corpus.toString)
+        .columns.contains(IndexLifecycle.AttemptCol)
+      if (legacy) {
+        require(appendId.isEmpty, "idempotent appendId requires the " +
+          "commit-marker index format (round 16+); run ivfCompact(path) " +
+          "once to upgrade this index in place")
+        assignWith(df, embCol, cents)
+          .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
+      } else {
+        val attempt = java.util.UUID.randomUUID().toString
+        assignWith(df, embCol, cents)
+          .withColumn(IndexLifecycle.AttemptCol, lit(attempt))
+          .write.mode("append").partitionBy("cluster").parquet(corpus.toString)
+        IndexLifecycle.commitMarker(fs, root, id, attempt)
+      }
     }
   }
 

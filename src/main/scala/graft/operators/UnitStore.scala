@@ -121,13 +121,15 @@ object UnitStore {
     val data0 = keys.select(col(keyCol).cast("long").as("h")).distinct()
     val (fs, root) = IndexLifecycle.fsFor(spark, path)
     val keysPath = new HPath(root, "keys")
-    IndexLifecycle.recoverSwap(fs, keysPath)
     val id = appendId.getOrElse(java.util.UUID.randomUUID().toString)
     IndexLifecycle.validateAppendId(id)
     if (fs.exists(IndexLifecycle.markerPath(root, id)))
       return // already committed — idempotent no-op
     IndexLifecycle.withWriterLock(fs, root, "UnitStore.append",
         IndexLifecycle.lockTtlMs(spark)) {
+      // under the lease: swap recovery renames dirs and must never race
+      // a live compact's two-rename window
+      IndexLifecycle.recoverSwap(fs, keysPath)
       val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
       val kb = keyBucketsOf(meta)
       val attempt = java.util.UUID.randomUUID().toString

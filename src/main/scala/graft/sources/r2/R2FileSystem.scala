@@ -221,15 +221,29 @@ class R2FileSystem extends FileSystem {
     if (!overwrite && exists(f))
       throw new FileAlreadyExistsException(f.toString)
     val key = keyOf(f)
-    val buf = new java.io.ByteArrayOutputStream()
+    // spool to LOCAL DISK, publish with one streaming PUT on close: an
+    // on-heap whole-object buffer caps files at ~2 GB and holds every
+    // in-flight part file in memory (a compact rewriting a large index
+    // would OOM on its first wide task) — this is s3a's disk-spool
+    // answer, sized by local scratch instead of executor heap. The PUT
+    // stays the single atomic publish point.
+    val spool = java.nio.file.Files.createTempFile("r2spool", ".tmp")
+    val fileOut = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(spool))
     val out = new java.io.OutputStream {
       private var closed = false
-      override def write(b: Int): Unit = buf.write(b)
+      override def write(b: Int): Unit = fileOut.write(b)
       override def write(b: Array[Byte], off: Int, len: Int): Unit =
-        buf.write(b, off, len)
+        fileOut.write(b, off, len)
       override def close(): Unit = if (!closed) {
         closed = true
-        putObject(key, buf.toByteArray) // the atomic publish point
+        fileOut.close()
+        try {
+          val resp = Http.putFile(s"$endpoint/$bucket/$key", spool, auth)
+          if (resp.status >= 400)
+            throw new java.io.IOException(
+              s"R2 PUT $key failed: HTTP ${resp.status}")
+        } finally java.nio.file.Files.deleteIfExists(spool): Unit
       }
     }
     new FSDataOutputStream(out, statistics)

@@ -601,6 +601,25 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
     emb.unpersist(): Unit
   }
 
+  test("writer lease heartbeats: an op outliving the TTL keeps its lease against a staleness break, and release removes only its own lock") {
+    val dir = tmpDir("lease_beat")
+    val (fs, root) = IndexLifecycle.fsFor(spark, dir)
+    val got = IndexLifecycle.withWriterLock(fs, root, "slow-op", ttlMs = 2000L) {
+      // sleep past two TTLs: without the heartbeat the intruder below
+      // would judge the lock stale, break it, and run concurrently —
+      // the exact two-writers window the lease exists to close
+      Thread.sleep(5000L)
+      intercept[java.util.ConcurrentModificationException] {
+        IndexLifecycle.withWriterLock(fs, root, "intruder", ttlMs = 2000L)(())
+      }
+      42
+    }
+    assert(got == 42)
+    // clean release: our lock is gone, the root is free for the next op
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, "_lock")))
+    assert(IndexLifecycle.withWriterLock(fs, root, "next", ttlMs = 2000L)(1) == 1)
+  }
+
   test("single-writer lease: a second concurrent writer fails loudly; committed replays pass; a stale lock breaks after TTL") {
     val idx = tmpDir("lsh_lock")
     Dedup.lshBuild(lake, "text", "doc_id", idx)
