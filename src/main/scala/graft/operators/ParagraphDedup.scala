@@ -72,9 +72,17 @@ object ParagraphDedup {
     */
   private def unitKeys(df: DataFrame, idCol: String, textCol: String,
                        unitize: Column => Column): DataFrame =
-    df.select(col(idCol).as("__id"),
-        posexplode(transform(unitize(col(textCol)), u => xxhash64(u)))
-          .as(Seq("__pos", "__h")))
+    // the explicit isNotNull matches the predicate the rewrite join
+    // infers for its drop side: without it the inference lands on the
+    // JOIN-BACK branch only, the two branches' canonical plans diverge,
+    // and the unit-keys exchange runs twice (measured 2.53 shuffle
+    // records per unit vs 1.53 with reuse). Null-id docs pass through
+    // the rewrite untouched either way (left join; ids are contractually
+    // unique and orderable).
+    df.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        posexplode(unitize(col(textCol))).as(Seq("__pos", "__u")))
+      .select(col("__id"), col("__pos"), xxhash64(col("__u")).as("__h"))
 
   /** Rebuild each doc from its drop-list: `drops` is `(__id, __drop)`
     * with the sorted positions to remove (docs absent = keep all). The

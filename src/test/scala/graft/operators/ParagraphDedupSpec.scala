@@ -108,6 +108,16 @@ class ParagraphDedupSpec extends AnyFunSuite {
         !cols.contains("text"),
         s"unit/doc text crossed an exchange: $cols")
     }
+    // the two consumers of the unit-keys exchange (keep-first agg,
+    // join-back) must canonicalize EQUAL so AQE reuses one shuffle —
+    // the rewrite join's inferred isnotnull(id) once landed on one
+    // branch only and the corpus shuffled twice (SCALE.md round 17)
+    val keyed = exchanges.filter(_.child.output.map(_.name).contains("__h"))
+    assert(keyed.size == 2, plan.toString.take(1200))
+    assert(keyed(0).canonicalized == keyed(1).canonicalized,
+      "unit-keys exchanges no longer reuse:\n" +
+        keyed(0).child.canonicalized.toString.take(600) + "\nvs\n" +
+        keyed(1).child.canonicalized.toString.take(600))
   }
 
   // ---- seen-unit store (UnitStore) lifecycle + store-dedup ------------
