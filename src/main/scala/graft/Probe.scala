@@ -799,6 +799,39 @@ object Probe {
       sum(col("n_dropped")).as("n_dropped"),
       sum(length(col("clean_text"))).as("sum_clean_chars"))
 
+  /** The qs11 pipeline's per-batch accept computation end to end on the
+    * recrawl-shaped batch — exact stages (stored fp) → LSH vs the
+    * persisted index → paragraph rewrite vs the seen-unit store — to
+    * measure the composition claim (SCALE.md: "costs the sum of its
+    * stages") against the stage probes q96recrawl_fp and q87store.
+    */
+  def q87pipe(s: SparkSession, d: String): DataFrame = {
+    val idx = ensureProbeFps(s, d)
+    val store = ensureProbeUnitStore(s, d)
+    val batch = recrawlBatch(s, d).withColumn("fp", xxhash64(col("text")))
+    // run ONE full per-batch cycle eagerly, exactly as the loop does —
+    // accepted PERSISTED across the paragraph stage's consumers then
+    // released (a lazy composition would recompute the accept per
+    // consumer and measure a shape the loop never runs)
+    val accepted = graft.operators.Dedup.dedupAgainstIndexFingerprinted(
+      batch, idx, "text", "doc_id", "fp").persist()
+    try {
+      val rows = paraSummary(graft.operators.ParagraphDedup.dedupAgainstStore(
+        accepted, "doc_id", "text", paraUnits, " ", store)).collect()
+      s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_docs",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_units",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("n_dropped",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("sum_clean_chars",
+            org.apache.spark.sql.types.LongType))))
+    } finally accepted.unpersist(): Unit
+  }
+
   def q87full(s: SparkSession, d: String): DataFrame =
     paraSummary(graft.operators.ParagraphDedup.dedup(
       load(s, d, "documents"), "doc_id", "text", paraUnits, " "))
@@ -1273,6 +1306,7 @@ object Probe {
       "q96recrawl_fp" -> (q96recrawlFp _),
       "q87full" -> (q87full _),
       "q87store" -> (q87store _),
+      "q87pipe" -> (q87pipe _),
       "q95persist" -> (q95persist _),
       "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
         graft.Bench.extras("q05_join_agg_bucketed")(s, d)),
