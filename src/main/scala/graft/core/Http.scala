@@ -76,14 +76,23 @@ object Http {
     * whole-object byte-array PUT caps files at ~2 GB and holds every
     * in-flight part file in memory — s3a solves the same problem with a
     * disk spool / multipart).
+    *
+    * The timeout SCALES WITH THE FILE: a fixed cap would fail exactly
+    * the multi-GB uploads the disk spool exists for (5 GB over a
+    * 15 MB/s uplink is ~340 s — past the old fixed 300 s). The default
+    * allows 1 MiB/s — floor-of-modest-uplink, not a liveness bound —
+    * floored at `timeoutSeconds` for small files; callers with a real
+    * throughput model can still pass an explicit budget.
     */
   def putFile(
       url: String,
       file: java.nio.file.Path,
       headers: Map[String, String] = Map.empty,
       timeoutSeconds: Int = 300): Response = {
+    val sized = math.max(timeoutSeconds.toLong,
+      try java.nio.file.Files.size(file) >> 20 catch { case _: java.io.IOException => 0L })
     val b = HttpRequest.newBuilder(URI.create(encodeUrl(url)))
-      .timeout(Duration.ofSeconds(timeoutSeconds.toLong))
+      .timeout(Duration.ofSeconds(sized))
       .PUT(HttpRequest.BodyPublishers.ofFile(file))
     headers.foreach { case (k, v) => b.header(k, v) }
     val resp = client.send(b.build(), HttpResponse.BodyHandlers.ofByteArray())

@@ -942,7 +942,8 @@ object Dedup {
     * copy-backed — the same offline-op caveat applies as for any
     * rename-based layout maintenance there.
     */
-  def lshCompact(spark: SparkSession, path: String): Unit = {
+  def lshCompact(spark: SparkSession, path: String,
+                 keepAppendIds: Seq[String] = Nil): Unit = {
     val (fs, root) = indexFs(spark, path)
     IndexLifecycle.withWriterLock(fs, root, "lshCompact",
         IndexLifecycle.lockTtlMs(spark)) {
@@ -957,10 +958,22 @@ object Dedup {
       // happening anyway, so it lands bucketed on ref_id like a fresh
       // build's would
       val hb = if (nb > 0) nb else hashBucketsOf(meta)
-      val committed = committedAttempts(fs, root)
-      def visible(sub: String): DataFrame = visibleIndexRows(
-        spark.read.parquet(new HPath(root, sub).toString), committed)
-        .withColumn(AttemptCol, lit(null).cast("string"))
+      // appends named in keepAppendIds are carried through UNFOLDED —
+      // rows keep their attempt tag, markers their payload — so the
+      // streaming rewrite loops' replay-determinism hook
+      // (excludeAppendIds of a batch whose marker committed before the
+      // stream's checkpoint commit) survives a compact; see
+      // [[UnitStore.compact]] for the full rationale
+      val committed = committedAttempts(fs, root, keepAppendIds)
+      val keptAttempts = IndexLifecycle.committedAttemptsOf(fs, root, keepAppendIds)
+      def visible(sub: String): DataFrame = {
+        val raw = spark.read.parquet(new HPath(root, sub).toString)
+        val base = visibleIndexRows(raw, committed)
+          .withColumn(AttemptCol, lit(null).cast("string"))
+        if (keptAttempts.isEmpty || !raw.columns.contains(AttemptCol)) base
+        else base.unionByName(
+          raw.filter(col(AttemptCol).isin(keptAttempts: _*)))
+      }
       val bandsLive = new HPath(root, "bands")
       val bandsNew = new HPath(root, "bands.compact")
       val hashesLive = new HPath(root, "hashes")
@@ -1012,7 +1025,7 @@ object Dedup {
       // no-ops on it, while [[committedAttempts]] skips its (gone)
       // attempt id. A year of daily ingest retains 365 empty files —
       // the append log, negligible next to the data it describes.
-      IndexLifecycle.foldMarkers(fs, root)
+      IndexLifecycle.foldMarkers(fs, root, keep = keepAppendIds.toSet)
       // the standing catalog registrations' cached file listings are stale
       // after the swap — drop them; the next bucketed read re-registers
       registerLock.synchronized {

@@ -113,16 +113,39 @@ private[operators] object IndexLifecycle {
     }
   }
 
+  /** Attempt ids of the SPECIFIC committed appendIds named in `ids` —
+    * the complement of [[committedAttempts]]'s exclude list; used by
+    * compacts that must carry a named append through UNFOLDED (see
+    * `keepAppendIds` on [[graft.operators.UnitStore.compact]]).
+    */
+  def committedAttemptsOf(fs: FileSystem, root: HPath,
+                          ids: Seq[String]): Seq[String] = {
+    if (ids.isEmpty) return Nil
+    ids.flatMap { id =>
+      val p = markerPath(root, id)
+      if (!fs.exists(p)) None
+      else {
+        val s = scala.util.Using.resource(fs.open(p))(in =>
+          scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+        if (s.nonEmpty) Some(s) else None
+      }
+    }
+  }
+
   /** Truncate every marker to an empty tombstone (post-compact): the
     * appendId keeps no-op'ing on retry while its (folded) attempt id
-    * no longer gates any rows. Orphaned dot-temps are removed.
+    * no longer gates any rows. Orphaned dot-temps are removed. Markers
+    * named in `keep` are left INTACT (payload and all) — their appends
+    * were carried through the compact unfolded, so their attempt ids
+    * must keep gating their rows.
     */
-  def foldMarkers(fs: FileSystem, root: HPath): Unit = {
+  def foldMarkers(fs: FileSystem, root: HPath,
+                  keep: Set[String] = Set.empty): Unit = {
     val commits = new HPath(root, "_commits")
     if (fs.exists(commits)) fs.listStatus(commits).foreach { st =>
       if (st.getPath.getName.startsWith("."))
         fs.delete(st.getPath, false): Unit
-      else if (st.getLen > 0)
+      else if (st.getLen > 0 && !keep.contains(st.getPath.getName))
         fs.create(st.getPath, true).close()
     }
   }
@@ -201,10 +224,11 @@ private[operators] object IndexLifecycle {
     // HEARTBEAT: an op that outlives the TTL (a compact rewriting a big
     // index) must not lose a LIVE lease to a successor's staleness
     // break — refresh the lock's mtime at ttl/3 so staleness only ever
-    // means "holder is gone", not "holder is slow". Rewriting the same
-    // payload keeps ownership readable; stores that reject overwrites
-    // mid-op (or drop the write) degrade to the documented
-    // TTL-must-exceed-the-op contract, never to corruption.
+    // means "holder is gone", not "holder is slow". The refresh is
+    // [[refreshLease]]: it overwrites ONLY a lock that is provably still
+    // ours (see its doc for the residual TOCTOU window); stores that
+    // reject overwrites mid-op (or drop the write) degrade to the
+    // documented TTL-must-exceed-the-op contract, never to corruption.
     val beat = new java.util.concurrent.atomic.AtomicBoolean(true)
     val heart = new Thread(new Runnable {
       override def run(): Unit = {
@@ -212,13 +236,8 @@ private[operators] object IndexLifecycle {
           try Thread.sleep(math.max(ttlMs / 3, 1000L))
           catch { case _: InterruptedException => return }
           if (beat.get()) {
-            try {
-              if (holderOf() == owner) {
-                scala.util.Using.resource(fs.create(lock, true)) { out =>
-                  out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-                }
-              }
-            } catch { case _: Throwable => () }
+            try refreshLease(fs, lock, owner, ttlMs): Unit
+            catch { case _: Throwable => () }
           }
         }
       }
@@ -231,11 +250,49 @@ private[operators] object IndexLifecycle {
       // OWNERSHIP-CHECKED release: if the lease was (wrongly or rightly)
       // broken and re-acquired by someone else, deleting blindly would
       // admit a THIRD writer under the new holder's feet — only the
-      // current owner's lock is ours to remove.
+      // current owner's lock is ours to remove. A transient read error
+      // must not leak OUR lease until the TTL lapses (blocking every
+      // writer), so the ownership read retries once before giving up.
       try {
-        if (holderOf() == owner) fs.delete(lock, false): Unit
-      } catch { case _: java.io.IOException => () }
+        val h0 = holderOf()
+        val h = if (h0 == "<unknown>") { Thread.sleep(50); holderOf() } else h0
+        if (h == owner) fs.delete(lock, false): Unit
+      } catch { case _: java.io.IOException | _: InterruptedException => () }
     }
+  }
+
+  /** One heartbeat of the writer lease: re-create the lock file (same
+    * payload) so its MODIFICATION TIME advances, keeping a live holder's
+    * lease from ever reading as stale. Overwrites ONLY when the lock is
+    * provably still ours on BOTH axes — the payload names `owner` AND the
+    * mtime is fresher than `ttlMs`. The second check is what makes the
+    * check-then-act window practically safe on object stores (where
+    * `create(overwrite = true)` is unconditional): a contender only ever
+    * breaks a lock whose age EXCEEDS the TTL, so a fresh mtime means no
+    * legitimate break-and-reacquire can be racing this beat — the
+    * remaining window is "the lock crosses the TTL boundary between the
+    * status read and the create", which a beat period of ttl/3 keeps
+    * three beats away from, instead of the full beat-to-break race the
+    * unconditional overwrite had. A beat that finds the lock already
+    * stale DECLINES to refresh (returns false): the lease is already
+    * legitimately breakable, and overwriting could clobber a contender
+    * that just re-acquired it — the data stays safe either way via the
+    * commit markers; the holder simply reverts to the documented
+    * best-effort contract. Returns true iff the lock was refreshed.
+    */
+  private[operators] def refreshLease(fs: FileSystem, lock: HPath,
+                                      owner: String, ttlMs: Long): Boolean = {
+    val st = try fs.getFileStatus(lock) catch {
+      case _: java.io.FileNotFoundException => return false
+    }
+    if (System.currentTimeMillis() - st.getModificationTime > ttlMs) return false
+    val holder = scala.util.Using.resource(fs.open(lock))(in =>
+      scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+    if (holder != owner) return false
+    scala.util.Using.resource(fs.create(lock, true)) { out =>
+      out.write(owner.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    true
   }
 
   /** Swap a compacted side dir into place: live → `.old`, fresh →

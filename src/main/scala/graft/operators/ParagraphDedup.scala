@@ -107,8 +107,21 @@ object ParagraphDedup {
     // times is never inlined), so the kernel still runs once per row.
     val us = col("__us")
     val dropSafe = coalesce(col("__drop"), expr("CAST(array() AS array<int>)"))
-    val keptIdx = filter(sequence(lit(0), size(us) - lit(1)),
-      i => not(array_contains(dropSafe, i)))
+    // set-DIFFERENCE, not a per-element membership filter: array_except
+    // hashes the drop list once and streams the positions through it —
+    // O(units + drops) — where the previous
+    // `filter(seq, i => !array_contains(drop, i))` probe was
+    // O(units × drops), quadratic in a doc's own length exactly on the
+    // ~all-boilerplate docs a dedup pass exists for. Position order and
+    // distinctness are preserved (the sequence is strictly increasing).
+    // The size(us) > 0 guard covers CUSTOM unitizers that return an
+    // empty array: sequence(0, -1) is a DESCENDING [0, -1], and
+    // element_at(us, 0) would throw at runtime (built-in unitizers
+    // always emit ≥1 unit — split/windows of "" is [""]).
+    val keptIdx = array_except(
+      when(size(us) > 0, sequence(lit(0), size(us) - lit(1)))
+        .otherwise(expr("CAST(array() AS array<int>)")),
+      dropSafe)
     df.join(drops, df(idCol) === drops("__id"), "left")
       .withColumn("__us", unitize(col(textCol)))
       .select(col(idCol),

@@ -167,8 +167,20 @@ object UnitStore {
     * crashed-attempt garbage, tombstone the markers (a folded appendId
     * still no-ops on retry), recount the meta tally. Same offline-op /
     * single-writer / swap-recovery contract as the LSH compact.
+    *
+    * `keepAppendIds` names committed appends to carry through UNFOLDED —
+    * rows keep their attempt tag, markers keep their payload — so a
+    * later read excluding one of those ids still hides its rows. The
+    * streaming rewrite loops depend on this: they compact at the START
+    * of a batch, keeping the batch's OWN appendId, because a previous
+    * attempt of the same batch may have appended and committed its
+    * marker without reaching the stream's checkpoint commit — folding it
+    * would disarm the replay's `excludeAppendIds` hook and the replay
+    * would drop the batch against itself, overwriting correct output
+    * (the documented crash-anywhere/replay-identical contract).
     */
-  def compact(spark: SparkSession, path: String): Unit = {
+  def compact(spark: SparkSession, path: String,
+              keepAppendIds: Seq[String] = Nil): Unit = {
     val (fs, root) = IndexLifecycle.fsFor(spark, path)
     IndexLifecycle.withWriterLock(fs, root, "UnitStore.compact",
         IndexLifecycle.lockTtlMs(spark)) {
@@ -176,11 +188,16 @@ object UnitStore {
       IndexLifecycle.recoverSwap(fs, keysLive)
       val meta = spark.read.parquet(new HPath(root, "meta").toString).head()
       val kb = keyBucketsOf(meta)
-      val committed = IndexLifecycle.committedAttempts(fs, root)
-      val folded = IndexLifecycle.visibleRows(
-          spark.read.parquet(keysLive.toString), committed)
+      val committed = IndexLifecycle.committedAttempts(fs, root, keepAppendIds)
+      val keptAttempts = IndexLifecycle.committedAttemptsOf(fs, root, keepAppendIds)
+      val raw = spark.read.parquet(keysLive.toString)
+      val foldedBase = IndexLifecycle.visibleRows(raw, committed)
         .distinct()
         .withColumn(AttemptCol, lit(null).cast("string"))
+      val folded =
+        if (keptAttempts.isEmpty || !raw.columns.contains(AttemptCol)) foldedBase
+        else foldedBase.unionByName(
+          raw.filter(col(AttemptCol).isin(keptAttempts: _*)))
       val keysNew = new HPath(root, "keys.compact")
       fs.delete(keysNew, true): Unit
       if (kb > 0) {
@@ -190,7 +207,7 @@ object UnitStore {
         folded.write.parquet(keysNew.toString)
       }
       IndexLifecycle.swapDir(fs, keysLive, keysNew)
-      IndexLifecycle.foldMarkers(fs, root)
+      IndexLifecycle.foldMarkers(fs, root, keep = keepAppendIds.toSet)
       Dedup.registerLock.synchronized {
         spark.sql(
           s"DROP TABLE IF EXISTS ${Dedup.indexTableName(spark, path, "keys")}"): Unit

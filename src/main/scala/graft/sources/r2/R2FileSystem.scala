@@ -228,6 +228,11 @@ class R2FileSystem extends FileSystem {
     // answer, sized by local scratch instead of executor heap. The PUT
     // stays the single atomic publish point.
     val spool = java.nio.file.Files.createTempFile("r2spool", ".tmp")
+    // an ABANDONED stream (killed task, caller exception before close)
+    // never reaches the close()-side delete — register the spool for
+    // JVM-exit cleanup so task retries can't accumulate multi-GB
+    // orphans in local scratch for the life of the executor and beyond
+    spool.toFile.deleteOnExit()
     val fileOut = new java.io.BufferedOutputStream(
       java.nio.file.Files.newOutputStream(spool))
     val out = new java.io.OutputStream {

@@ -268,6 +268,23 @@ object DocsStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         val appendId = s"$queryName-b$batchId"
+        // DEFERRED COMPACTION — at the START of a batch, never inline
+        // after this batch's append: a compact between the append and
+        // the stream's checkpoint commit would fold the batch's marker,
+        // disarming the replay's excludeAppendIds hook (the replay would
+        // see its own keys as base rows and OVERWRITE correct output
+        // with an all-dropped rewrite). When batch N starts, batches
+        // < N are durably committed in the checkpoint and safe to fold;
+        // the batch's OWN appendId is kept unfolded because a crashed
+        // earlier attempt of this very batch may have committed its
+        // marker. Same trigger cadence as before (after every n-th
+        // batch), shifted past that batch's checkpoint commit; a
+        // drained stream's final window is compacted by the next run.
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0)
+            graft.operators.UnitStore.compact(spark, storePath,
+              keepAppendIds = Seq(appendId))
+        }
         val a = graft.operators.ParagraphDedup.storeAccept(
           batch.toDF(), idCol, textCol, unitize, joinSep, storePath,
           excludeAppendIds = Seq(appendId))
@@ -277,10 +294,6 @@ object DocsStream {
           graft.operators.UnitStore.append(a.novelKeys, "h", storePath,
             appendId = Some(appendId))
         } finally a.release()
-        compactEvery.foreach { n =>
-          if ((batchId + 1) % n == 0)
-            graft.operators.UnitStore.compact(spark, storePath)
-        }
         ()
       }
     val q = checkpointLocation
@@ -364,6 +377,18 @@ object DocsStream {
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
                        batchId: Long) =>
         val appendId = s"$queryName-b$batchId"
+        // deferred compaction, keeping the batch's own appendId unfolded
+        // — see runParagraphDedupLoopAsStream (same contract, both
+        // stores: folding a marker the checkpoint hasn't committed would
+        // disarm the replay's excludeAppendIds hook in EVERY stage)
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0) {
+            graft.operators.Dedup.lshCompact(spark, indexPath,
+              keepAppendIds = Seq(appendId))
+            graft.operators.UnitStore.compact(spark, storePath,
+              keepAppendIds = Seq(appendId))
+          }
+        }
         val accepted = graft.operators.Dedup
           .dedupAgainstIndexFingerprinted(batch.toDF(), indexPath,
             textCol, idCol, fpCol, excludeAppendIds = Seq(appendId))
@@ -381,12 +406,6 @@ object DocsStream {
               appendId = Some(appendId))
           } finally a.release()
         } finally accepted.unpersist()
-        compactEvery.foreach { n =>
-          if ((batchId + 1) % n == 0) {
-            graft.operators.Dedup.lshCompact(spark, indexPath)
-            graft.operators.UnitStore.compact(spark, storePath)
-          }
-        }
         ()
       }
     val q = checkpointLocation

@@ -620,6 +620,58 @@ class LshIndexLifecycleSpec extends AnyFunSuite {
     assert(IndexLifecycle.withWriterLock(fs, root, "next", ttlMs = 2000L)(1) == 1)
   }
 
+  test("lease heartbeat refresh is conditional: a broken-and-reacquired lock is never clobbered by the old holder's beat; a stale lease declines to refresh") {
+    val dir = tmpDir("lease_refresh")
+    val (fs, root) = IndexLifecycle.fsFor(spark, dir)
+    val lock = new org.apache.hadoop.fs.Path(root, "_lock")
+    def writeLock(owner: String): Unit =
+      scala.util.Using.resource(fs.create(lock, true))(
+        _.write(owner.getBytes("UTF-8")))
+    def holder(): String =
+      scala.util.Using.resource(fs.open(lock))(in =>
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+    // (a) our own fresh lock: refreshed, mtime advances
+    writeLock("me")
+    val m0 = fs.getFileStatus(lock).getModificationTime
+    Thread.sleep(1100) // local-FS mtime granularity can be a full second
+    assert(IndexLifecycle.refreshLease(fs, lock, "me", ttlMs = 60000L))
+    assert(fs.getFileStatus(lock).getModificationTime > m0)
+    assert(holder() == "me")
+    // (b) THE race the conditional refresh closes: a contender broke the
+    // lease and re-acquired — the old holder's beat must leave it alone
+    writeLock("contender")
+    assert(!IndexLifecycle.refreshLease(fs, lock, "me", ttlMs = 60000L))
+    assert(holder() == "contender", "old holder's beat clobbered the new lease")
+    // (c) our lock but already STALE: decline — a contender may be
+    // breaking it right now, and overwriting could resurrect a dead lease
+    writeLock("me")
+    assert(new java.io.File(dir, "_lock").setLastModified(
+      System.currentTimeMillis() - 5000))
+    assert(!IndexLifecycle.refreshLease(fs, lock, "me", ttlMs = 1000L))
+    // (d) missing lock (released/broken, not yet re-acquired): no create
+    fs.delete(lock, false)
+    assert(!IndexLifecycle.refreshLease(fs, lock, "me", ttlMs = 60000L))
+    assert(!fs.exists(lock), "refresh resurrected a deleted lock")
+    // (b) again on the OBJECT STORE the scenario is about: r2:// via the
+    // repo's own filesystem, where create(overwrite) is unconditional
+    val stub = graft.queries.Connectors.stub
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.set("fs.r2.impl", "graft.sources.r2.R2FileSystem")
+    hc.set("fs.r2.impl.disable.cache", "true")
+    hc.set("fs.r2.endpoint", stub.base)
+    hc.set("fs.r2.write.enabled", "true")
+    val (rfs, rroot) = IndexLifecycle.fsFor(spark, "r2://r2-lake/locks/a")
+    val rlock = new org.apache.hadoop.fs.Path(rroot, "_lock")
+    try {
+      scala.util.Using.resource(rfs.create(rlock, true))(
+        _.write("contender".getBytes("UTF-8")))
+      assert(!IndexLifecycle.refreshLease(rfs, rlock, "me", ttlMs = 60000L))
+      val h = scala.util.Using.resource(rfs.open(rlock))(in =>
+        scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+      assert(h == "contender", "old holder's beat clobbered the r2 lease")
+    } finally rfs.delete(rlock, false): Unit
+  }
+
   test("single-writer lease: a second concurrent writer fails loudly; committed replays pass; a stale lock breaks after TTL") {
     val idx = tmpDir("lsh_lock")
     Dedup.lshBuild(lake, "text", "doc_id", idx)

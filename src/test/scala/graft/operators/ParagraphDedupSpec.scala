@@ -163,6 +163,56 @@ class ParagraphDedupSpec extends AnyFunSuite {
       "compact lost d1's idempotency record")
   }
 
+  test("compact keepAppendIds: the named append survives unfolded — exclusion still hides it, its marker keeps its payload, a later plain compact folds it") {
+    val store = tmpDir("ustore_keep")
+    val lake = paraDocs.filter($"doc_id" <= 2)
+    ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store, buckets = 2)
+    val base = storeKeys(store)
+    UnitStore.append(Seq(101L).toDF("h"), "h", store, Some("old-batch"))
+    UnitStore.append(Seq(202L).toDF("h"), "h", store, Some("live-batch"))
+    // the rewrite loops' deferred compact: fold everything EXCEPT the
+    // batch whose checkpoint commit is not yet durable
+    UnitStore.compact(spark, store, keepAppendIds = Seq("live-batch"))
+    // all keys visible; the kept append's keys STILL hide under its
+    // exclusion (the replay-determinism hook the keep exists for),
+    // while the folded one's no longer can
+    assert(storeKeys(store) == base + 101L + 202L)
+    assert(!UnitStore.read(spark, store, excludeAppendIds = Seq("live-batch"))
+      .collect().map(_.getLong(0)).contains(202L),
+      "compact folded the kept append — replay exclusion disarmed")
+    assert(UnitStore.read(spark, store, excludeAppendIds = Seq("old-batch"))
+      .collect().map(_.getLong(0)).contains(101L),
+      "folded append unexpectedly still excludable (should be base now)")
+    // marker states: kept one has a payload, folded one is a tombstone
+    assert(new java.io.File(s"$store/_commits/live-batch").length() > 0)
+    assert(new java.io.File(s"$store/_commits/old-batch").length() == 0)
+    // both still no-op on replay
+    UnitStore.append(Seq(303L).toDF("h"), "h", store, Some("live-batch"))
+    UnitStore.append(Seq(404L).toDF("h"), "h", store, Some("old-batch"))
+    assert(storeKeys(store) == base + 101L + 202L)
+    assert(UnitStore.committedKeys(spark, store) == base.size + 2L)
+    // the next plain compact folds the kept append to base
+    UnitStore.compact(spark, store)
+    assert(storeKeys(store) == base + 101L + 202L)
+    assert(new java.io.File(s"$store/_commits/live-batch").length() == 0)
+  }
+
+  test("rewrite handles a custom unitizer that returns an EMPTY array (no sequence(0,-1) crash)") {
+    // the built-in unitizers never emit empty arrays, but dedup()
+    // accepts any Column function — an empty-when-blank unitizer used
+    // to build sequence(0, -1) = [0, -1] and crash element_at at runtime
+    val docs = Seq((0L, "alpha\nbeta"), (1L, ""), (2L, "alpha\ngamma"))
+      .toDF("doc_id", "text")
+    val unitize: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      t => when(length(t) === 0, expr("CAST(array() AS array<string>)"))
+        .otherwise(split(t, "\\n"))
+    val got = rowsOf(ParagraphDedup.dedup(docs, "doc_id", "text", unitize, "\n"))
+    assert(got(0L) == ((2L, 0L, "alpha\nbeta")))
+    assert(got(1L) == ((0L, 0L, "")))
+    assert(got(2L) == ((2L, 1L, "gamma")))
+  }
+
   test("a build with a wrong column leaves an existing store fully readable") {
     val store = tmpDir("ustore_guard")
     val lake = paraDocs.filter($"doc_id" <= 2)

@@ -362,6 +362,62 @@ class StreamingSpec extends AnyFunSuite {
       "without self-exclusion the replayed batch should drop against itself")
   }
 
+  test("paragraph loop compactEvery is DEFERRED: compaction folds only checkpoint-committed batches, and the newest batch replays to identical output after a compact") {
+    import graft.operators.{ParagraphDedup, UnitStore}
+    val lake = Seq((0L, "boilerplate banner\nlake only paragraph"))
+      .toDF("doc_id", "text")
+    val store = java.nio.file.Files.createTempDirectory("pplc_store").toString
+    ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store)
+    val in = java.nio.file.Files.createTempDirectory("pplc_in").toString
+    val rows = Seq(
+      (10L, "boilerplate banner\nshared middle\nunique ten"),
+      (11L, "shared middle\nunique eleven\nboilerplate banner"))
+    rows.foreach(r => Seq(r).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(in))
+    val out = java.nio.file.Files.createTempDirectory("pplc_out").toString
+    val summary = DocsStream.runParagraphDedupLoopAsStream(spark, in, store,
+        out, "pplc_loop_mem", ParagraphDedup.unitsBySeparator(_, "\\n"), "\n",
+        maxFilesPerTrigger = Some(1), compactEvery = Some(1))
+      .collect().head
+    // same accept semantics as the plain loop: 6 units in, 3 dropped
+    assert(summary.getAs[Long]("n_units") == 6L, summary.toString)
+    assert(summary.getAs[Long]("n_dropped") == 3L, summary.toString)
+    assert(UnitStore.keyCount(spark, store) == 5L)
+    // the compact at batch 1's start folded batch 0 (tombstone) but
+    // carried batch 1's own appendId policy — batch 1 appended AFTER the
+    // compact, so its marker has a payload and its rows are excludable
+    val commits = new java.io.File(store, "_commits")
+    assert(new java.io.File(commits, "pplc_loop_mem-b0").length() == 0,
+      "checkpoint-committed batch 0 was not folded")
+    assert(new java.io.File(commits, "pplc_loop_mem-b1").length() > 0,
+      "batch 1's append has no live marker")
+    // THE ADVICE SCENARIO: replay the newest batch (crash before its
+    // checkpoint commit, after append + any compaction) — the recompute
+    // with self-exclusion must equal the committed per-batch output.
+    // (Derive batch 1's input from its committed output — file→batch
+    // assignment order is the source's business, not the spec's.)
+    val ids1 = spark.read.parquet(s"$out/batch_id=1")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b1 = rows.filter(r => ids1.contains(r._1)).toDF("doc_id", "text")
+    val a = ParagraphDedup.storeAccept(b1, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), "\n", store,
+      excludeAppendIds = Seq("pplc_loop_mem-b1"))
+    val replay = a.cleaned.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    a.release()
+    val committed = spark.read.parquet(s"$out/batch_id=1").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_units"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(replay == committed,
+      s"replay after compact diverged: $replay vs $committed")
+    // and a deferred compact (the next run's batch window) folds batch 1
+    UnitStore.compact(spark, store)
+    assert(new java.io.File(commits, "pplc_loop_mem-b1").length() == 0)
+    assert(UnitStore.keyCount(spark, store) == 5L)
+  }
+
   test("index-dedup loop with compactEvery: per-batch compaction changes neither the accept set nor retry idempotency") {
     import graft.operators.Dedup
     val lake = Seq(
