@@ -836,6 +836,46 @@ object Probe {
     paraSummary(graft.operators.ParagraphDedup.dedup(
       load(s, d, "documents"), "doc_id", "text", paraUnits, " "))
 
+  /** VERDICT r18 probe #4: q87's keep-first aggregate, `min(struct)`
+    * (plans as a SORT aggregate — struct buffers aren't hash-agg
+    * mutable) vs a PACKED-LONG `min(id·2²¹ + pos)` that hash-aggregates.
+    * The packed form is an upper bound on the decomposition win: it is
+    * only valid when ids < 2⁴² and per-doc unit counts < 2²¹ (true of
+    * every bench fixture; NOT general — arbitrary long ids overflow),
+    * so it ships only if the A/B shows a real margin worth a guarded
+    * fallback. Same unit-keys exchange, same join-back/drops/rewrite.
+    */
+  def q87aggPacked(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.ParagraphDedup
+    val df = load(s, d, "documents")
+    val keyed = ParagraphDedup.unitKeys(df, "doc_id", "text", paraUnits)
+      .repartition(col("__h"))
+    val packed = col("__id") * lit(1L << 21) + col("__pos")
+    val firsts = keyed.groupBy(col("__h")).agg(min(packed).as("__firstp"))
+    val drops = keyed
+      .join(firsts.hint("SHUFFLE_HASH"), Seq("__h"))
+      .filter(packed =!= col("__firstp"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(col("__pos"))).as("__drop"))
+    paraSummary(ParagraphDedup.rewriteWithDrops(
+      df, "doc_id", "text", paraUnits, " ", drops))
+  }
+
+  /** VERDICT r18 probe #3: the MinHash signature pass — ScalaUDF vs the
+    * native [[graft.functions.MinHashSig]] expression — over the full
+    * documents table at q47's default family (numPerm=128, k=3). The
+    * arithmetic is identical; the delta is the UDF wrapper (catalyst↔
+    * Scala converters incl. 128 boxed longs per row on output, per-row
+    * closure dispatch). Ship bar: ≥15% under campaign methodology.
+    */
+  def q47sigUdf(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").select(
+      graft.operators.Dedup.signatureForProfile(128, 3)(col("text")).as("sig"))
+
+  def q47sigKern(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").select(
+      graft.functions.MinHashSig.sig(col("text"), 128, 3).as("sig"))
+
   def q87store(s: SparkSession, d: String): DataFrame = {
     val (batch, _) = q96split(s, d)
     val store = ensureProbeUnitStore(s, d)
@@ -1305,6 +1345,9 @@ object Probe {
       "q96recrawl_lsh" -> (q96recrawlLsh _),
       "q96recrawl_fp" -> (q96recrawlFp _),
       "q87full" -> (q87full _),
+      "q87agg_packed" -> (q87aggPacked _),
+      "q47sig_udf" -> (q47sigUdf _),
+      "q47sig_kern" -> (q47sigKern _),
       "q87store" -> (q87store _),
       "q87pipe" -> (q87pipe _),
       "q95persist" -> (q95persist _),

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnShim}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** text → MinHash signature as a native expression — the codegen'd form
+  * of [[graft.operators.Dedup]]'s signature UDF (VERDICT r17 probe #3).
+  * Hash family, shingling, and output are BIT-IDENTICAL to the UDF
+  * (same `Random(42)` permutation derivation, same murmur3 shingle
+  * hash, same `(a·x + b) mod p` fold over the same de-duplicated
+  * shingle set), so signatures written by either path band and verify
+  * interchangeably — parity is spec-pinned. What the expression removes
+  * is the `ScalaUDF` wrapper only: the catalyst↔Scala converters (the
+  * output converter boxes all `numPerm` longs per row into a
+  * `GenericArrayData`; this returns an `UnsafeArrayData` primitive
+  * copy), the per-row closure dispatch, and the codegen-boundary
+  * spill-to-local-variables around a fallback expression. The O(shingles
+  * × numPerm) arithmetic — the dominant term — is the same JIT'd loop in
+  * both, which is why this was ordered as a MEASURE-FIRST probe, not a
+  * rewrite.
+  */
+object MinHashSig {
+
+  /** The permutation family, derived exactly as the UDF derives it —
+    * one `Random(42)` stream, `as` drawn fully before `bs`. Holding it
+    * in one serializable object keeps the generated code to a single
+    * reference lookup.
+    */
+  final class Params(val k: Int, val as: Array[Long], val bs: Array[Long])
+      extends Serializable {
+    val numPerm: Int = as.length
+  }
+
+  def params(numPerm: Int, k: Int): Params = {
+    val rnd = new scala.util.Random(42)
+    val as = Array.fill(numPerm)(1L + rnd.nextInt(Int.MaxValue - 1).toLong)
+    val bs = Array.fill(numPerm)(rnd.nextInt(Int.MaxValue).toLong)
+    new Params(k, as, bs)
+  }
+
+  private val Prime = 4294967311L // > 2^32, the UDF's modulus
+
+  /** Kernel shared by interpreted eval and generated code. Returns null
+    * for sub-shingle-length documents (the UDF contract: such docs are
+    * invisible to LSH).
+    */
+  def eval(s: UTF8String, p: Params): ArrayData = {
+    val sh = graft.operators.Dedup.shingleStrings(s.toString, p.k)
+    if (sh.isEmpty) return null
+    val numPerm = p.numPerm
+    val as = p.as
+    val bs = p.bs
+    val sig = new Array[Long](numPerm)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var j = 0
+    while (j < sh.length) {
+      val x = scala.util.hashing.MurmurHash3.stringHash(sh(j), 42).toLong & 0xffffffffL
+      var i = 0
+      while (i < numPerm) {
+        val v = (as(i) * x + bs(i)) % Prime
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(sig)
+  }
+
+  /** Column API: `array<bigint>` MinHash signature (null when the text
+    * has fewer than `k` words).
+    */
+  def sig(text: Column, numPerm: Int, k: Int): Column = {
+    require(numPerm > 0 && k > 0, s"need numPerm > 0 and k > 0, got ($numPerm, $k)")
+    GraftColumnShim.column(
+      MinHashSigExpr(GraftColumnShim.expression(text), numPerm, k))
+  }
+}
+
+/** `array<bigint>` MinHash signature — see [[MinHashSig]]. `doGenCode`
+  * emits one static call so the signature projection stays inside
+  * whole-stage codegen; the result can be null (sub-shingle-length
+  * docs), so the generated block re-checks nullness after the call.
+  */
+case class MinHashSigExpr(child: Expression, numPerm: Int, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires a string argument, got ${other.simpleString}")
+    }
+  }
+
+  @transient private lazy val ps = MinHashSig.params(numPerm, k)
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.eval(input.asInstanceOf[UTF8String], ps)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashParams", ps,
+      classOf[MinHashSig.Params].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = graft.functions.MinHashSig.eval($c, $ref);
+      |${ev.isNull} = ${ev.value} == null;
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigExpr =
+    copy(child = newChild)
+}

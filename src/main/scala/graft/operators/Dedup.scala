@@ -198,7 +198,7 @@ object Dedup {
     * executor-local Scala (shared by signature and verify paths so both
     * see identical sets).
     */
-  private def shingleStrings(text: String, k: Int): Array[String] = {
+  private[graft] def shingleStrings(text: String, k: Int): Array[String] = {
     if (text == null) return Array.empty
     val words = text.trim.toLowerCase.split("\\s+")
     if (words.length < k) return Array.empty

@@ -631,6 +631,139 @@ object Curation {
              |   WHERE unit NOT IN (SELECT unit FROM lakeu)) AS n_store_keys
              |FROM perdoc""".stripMargin)),
 
+    QueryDef("qs12_stream_ingest_to_shards",
+      (s, d) => {
+        // THE COMPLETE CRAWL-TO-TRAINING PIPELINE THROUGH SHARDS: qs11's
+        // three dedup stages (exact fp → LSH near-dup → paragraph
+        // rewrite, all reads self-excluding) PLUS the per-batch curation
+        // tail — the assembled q86 chain (exact dedup on the CLEANED
+        // text → benchmark decontamination → quality floor →
+        // deterministic sample → per-source mix → per-language packing)
+        // — landing as sorted language-partitioned training shards. The
+        // gate reads the SHARD FILES back (the qs06 precedent: the
+        // file-commit path is gated, not just the computation) and holds
+        // them to ONE SQL statement recomputing the entire chain.
+        // Fixture and planted rows as in qs11; benchmark = the % 31
+        // slice of the corpus (q86's convention), params = q86's.
+        val docs = load(s, d, "documents")
+        def tmp(prefix: String): String = graft.core.TempDirs.deleteOnExit(
+          java.nio.file.Files.createTempDirectory(prefix).toString)
+        val lake = docs.filter(col("doc_id") < 250)
+        val idx = tmp("qs12idx")
+        graft.operators.Dedup.lshBuild(lake, "text", "doc_id", idx)
+        graft.operators.Dedup.lshWriteFingerprints(lake, "text", idx)
+        val store = tmp("qs12store")
+        graft.operators.ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+          graft.operators.ParagraphDedup.unitsByWordWindow(_, 16), store)
+        val attrs = Seq(col("text"), col("lang"), col("source"))
+        val batch = docs.filter(col("doc_id") >= 250)
+          .select(col("doc_id") +: attrs: _*)
+          .unionByName(docs.filter(col("doc_id") < 3)
+            .select((col("doc_id") + 10000).as("doc_id") +: attrs: _*))
+          .unionByName(docs.filter(col("doc_id").between(250, 252))
+            .select((col("doc_id") + 20000).as("doc_id") +: attrs: _*))
+          .withColumn("fp", xxhash64(col("text")))
+        val in = tmp("qs12in")
+        batch.coalesce(1).write.mode("append").parquet(in)
+        graft.streaming.DocsStream.runIngestPipelineToShardsAsStream(
+          s, in, idx, store, tmp("qs12out"), tmp("qs12shards"),
+          "qs12_loop_mem",
+          graft.operators.ParagraphDedup.unitsByWordWindow(_, 16), " ",
+          benchmark = docs.filter(col("doc_id") % 31 === 0),
+          minWords = 20, minUniqRatio = 0.25, sampleNumerator = 128,
+          weights = Map("src0" -> 2.0, "src1" -> 0.5), packBudget = 2000L,
+          checkpointLocation = Some(tmp("qs12ckpt")))
+          .orderBy(col("lang"), col("bin"))
+      },
+      Some("""WITH lake AS (SELECT doc_id, text FROM documents WHERE doc_id < 250),
+             |batch AS (
+             |  SELECT doc_id, text FROM documents WHERE doc_id >= 250
+             |  UNION ALL SELECT doc_id + 10000, text FROM documents
+             |    WHERE doc_id < 3
+             |  UNION ALL SELECT doc_id + 20000, text FROM documents
+             |    WHERE doc_id BETWEEN 250 AND 252),
+             |within AS (
+             |  SELECT * FROM (SELECT *, min(doc_id) OVER (PARTITION BY text) AS keeper
+             |                 FROM batch) WHERE doc_id = keeper),
+             |ex AS (SELECT * FROM within WHERE text NOT IN (SELECT text FROM lake)),
+             |tl AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM lake)),
+             |tb AS (
+             |  SELECT doc_id, list_distinct([array_to_string(w[i:i+2], ' ')
+             |         for i in range(1, greatest(len(w)-2,0)+1)]) AS sh
+             |  FROM (SELECT doc_id, string_split(lower(trim(text)), ' ') AS w FROM ex)),
+             |nd AS (
+             |  SELECT DISTINCT n.doc_id FROM tb n JOIN tl r
+             |    ON CAST(len(list_intersect(n.sh, r.sh)) AS DOUBLE) /
+             |       len(list_distinct(list_concat(n.sh, r.sh))) >= 0.8),
+             |acc AS (SELECT doc_id, text FROM ex
+             |        WHERE doc_id NOT IN (SELECT doc_id FROM nd)),
+             |lakeu AS (
+             |  SELECT DISTINCT array_to_string(w[(i*16+1):(i*16+16)], ' ') AS unit
+             |  FROM (SELECT string_split(text, ' ') AS w FROM lake),
+             |       unnest(generate_series(0,
+             |         CAST(ceil(len(w)/16.0) AS BIGINT) - 1)) AS t(i)),
+             |bu AS (
+             |  SELECT doc_id, i AS pos,
+             |    array_to_string(w[(i*16+1):(i*16+16)], ' ') AS unit
+             |  FROM (SELECT doc_id, string_split(text, ' ') AS w FROM acc),
+             |       unnest(generate_series(0,
+             |         CAST(ceil(len(w)/16.0) AS BIGINT) - 1)) AS t(i)),
+             |marked AS (
+             |  SELECT doc_id, pos, unit,
+             |    (unit IN (SELECT unit FROM lakeu)) AS seen,
+             |    row_number() OVER (PARTITION BY unit ORDER BY doc_id, pos) AS rn
+             |  FROM bu),
+             |perdoc AS (
+             |  SELECT doc_id,
+             |    coalesce(string_agg(CASE WHEN NOT (seen OR rn > 1) THEN unit END,
+             |      ' ' ORDER BY pos), '') AS clean_text
+             |  FROM marked GROUP BY doc_id),
+             |cleaned AS (
+             |  SELECT p.doc_id, d.lang, d.source, p.clean_text
+             |  FROM perdoc p JOIN documents d ON p.doc_id = d.doc_id),
+             |cdd AS (SELECT * FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY md5(clean_text) ORDER BY doc_id) AS rn
+             |    FROM cleaned) WHERE rn = 1),
+             |ngr AS (SELECT doc_id, list_distinct([array_to_string(ws[i:i+2], ' ')
+             |          for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs
+             |        FROM (SELECT doc_id, regexp_split_to_array(lower(trim(clean_text)), '\s+') AS ws FROM cdd)),
+             |bench AS (SELECT DISTINCT unnest(gs) AS g FROM (
+             |    SELECT list_distinct([array_to_string(ws[i:i+2], ' ')
+             |      for i in range(1, greatest(len(ws)-2, 0)+1)]) AS gs
+             |    FROM (SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+             |          FROM documents WHERE doc_id % 31 = 0))),
+             |hits AS (SELECT c.doc_id, count(*) AS n_hits
+             |         FROM (SELECT doc_id, unnest(gs) AS g FROM ngr) c
+             |         JOIN bench b ON c.g = b.g GROUP BY 1),
+             |decon AS (SELECT d.* FROM cdd d LEFT JOIN hits h ON d.doc_id = h.doc_id
+             |          WHERE coalesce(h.n_hits, 0) < 2),
+             |q AS (SELECT *, CAST(len(string_split(clean_text, ' ')) AS INT) AS words,
+             |        CAST(len(list_distinct(string_split(clean_text, ' '))) AS DOUBLE) AS uniq
+             |      FROM decon),
+             |qf AS (SELECT * FROM q WHERE words >= 20 AND uniq / words >= 0.25),
+             |samp AS (SELECT * FROM qf
+             |         WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80'),
+             |wt AS (SELECT *, CASE source WHEN 'src0' THEN 2.0 WHEN 'src1' THEN 0.5
+             |         ELSE 1.0 END AS wgt FROM samp),
+             |cp AS (SELECT *, CAST(floor(wgt) AS BIGINT) +
+             |         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+             |           printf('%04x', CAST(floor((wgt - floor(wgt)) * 65536) AS BIGINT))
+             |         THEN 1 ELSE 0 END AS n_copies FROM wt),
+             |mix AS (SELECT lang, doc_id, words,
+             |          unnest(generate_series(0, n_copies - 1)) AS replica
+             |        FROM cp WHERE n_copies > 0),
+             |bins AS (SELECT lang, words, CAST(floor(coalesce(sum(words) OVER (
+             |           PARTITION BY lang ORDER BY doc_id * 8 + replica
+             |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)
+             |           AS BIGINT) AS bin
+             |         FROM mix)
+             |SELECT lang, bin, count(*) AS n_docs,
+             |  CAST(sum(words) AS BIGINT) AS sum_tokens
+             |FROM bins GROUP BY lang, bin ORDER BY lang, bin""".stripMargin)),
+
     QueryDef("qs06_stream_to_shards",
       (s, d) => {
         // STREAMING SINK gate: the curated stream lands as

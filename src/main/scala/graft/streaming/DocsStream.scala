@@ -426,6 +426,129 @@ object DocsStream {
         col("n_dropped_units"), col("sum_clean_chars"), col("n_store_keys"))
   }
 
+  /** THE FULL CRAWL-TO-TRAINING PIPELINE, dedup THROUGH TRAINING SHARDS —
+    * [[runIngestPipelineAsStream]]'s three dedup/rewrite stages plus the
+    * per-batch CURATION TAIL a production pipeline runs on the cleaned
+    * docs before they become training data: the assembled
+    * [[graft.operators.Curate]] chain (exact dedup on the cleaned text →
+    * benchmark decontamination → quality floor → deterministic sample →
+    * per-source mixing → per-language sequence packing), landed as
+    * sorted, language-partitioned shards ([[graft.operators.ShardWriter]])
+    * under `shardsDir/batch_id=<id>`. The cleaned docs still land under
+    * `outDir/batch_id=<id>` (the lake product); the shards are the
+    * training-ready tail.
+    *
+    * Stage order per micro-batch: exact (stored fp) → LSH near-dup →
+    * paragraph rewrite → curation tail. The tail consumes the REWRITTEN
+    * text (quality/packing should judge the text a training run would
+    * see, boilerplate already gone) joined back to the batch's
+    * lang/source attributes; the benchmark side is a STATIC frame
+    * broadcast per batch (eval suites are KBs — the corpus side never
+    * shuffles for it).
+    *
+    * REPLAY DETERMINISM extends through the tail for free: every stage
+    * of the [[graft.operators.Curate]] chain is a pure function of its
+    * input (hash coins, stable tie-breaks — the q86 bit-reproducibility
+    * contract), so with the dedup stages' reads self-excluding the
+    * batch's own appendId, a replayed micro-batch recomputes IDENTICAL
+    * cleaned docs, hence identical curated rows, and both landings are
+    * per-batch overwrites. The pack stage needs no persisted-state
+    * exclusion of its own: bins are computed within the batch (prefix
+    * sums in `(id, replica)` order), not against a store.
+    *
+    * Returns one summary row set after the stream drains, aggregated
+    * from the SHARD FILES read back off disk (gating the file-commit
+    * path, the qs06 precedent): `(langCol, bin, n_docs, sum_tokens)`.
+    */
+  def runIngestPipelineToShardsAsStream(spark: SparkSession, inputDir: String,
+                                        indexPath: String, storePath: String,
+                                        outDir: String, shardsDir: String,
+                                        queryName: String,
+                                        unitize: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+                                        joinSep: String,
+                                        benchmark: org.apache.spark.sql.DataFrame,
+                                        minWords: Int, minUniqRatio: Double,
+                                        sampleNumerator: Int,
+                                        weights: Map[String, Double],
+                                        packBudget: Long,
+                                        fpCol: String = "fp",
+                                        idCol: String = "doc_id",
+                                        textCol: String = "text",
+                                        langCol: String = "lang",
+                                        sourceCol: String = "source",
+                                        maxFilesPerTrigger: Option[Int] = None,
+                                        checkpointLocation: Option[String] = None,
+                                        compactEvery: Option[Int] = None): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    Seq(fpCol, idCol, textCol, langCol, sourceCol).foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"input at $inputDir carries no '$c' column — the shard tail needs " +
+          s"($idCol, $textCol, $fpCol, $langCol, $sourceCol)"))
+    graft.operators.Dedup.lshFingerprints(spark, indexPath) // fail fast
+    // the decontamination reference, renamed to the tail's text column
+    // once at plan time (Curate passes one textCol name to both sides)
+    val bench = benchmark.select(col(textCol).as("clean_text"))
+    val reader = spark.readStream.schema(schema)
+    val stream = maxFilesPerTrigger
+      .fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(inputDir)
+    val writer0 = stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        val appendId = s"$queryName-b$batchId"
+        // deferred compaction — see runParagraphDedupLoopAsStream
+        compactEvery.foreach { n =>
+          if (batchId > 0 && batchId % n == 0) {
+            graft.operators.Dedup.lshCompact(spark, indexPath,
+              keepAppendIds = Seq(appendId))
+            graft.operators.UnitStore.compact(spark, storePath,
+              keepAppendIds = Seq(appendId))
+          }
+        }
+        val accepted = graft.operators.Dedup
+          .dedupAgainstIndexFingerprinted(batch.toDF(), indexPath,
+            textCol, idCol, fpCol, excludeAppendIds = Seq(appendId))
+          .persist()
+        try {
+          graft.operators.Dedup.lshAppend(accepted, textCol, idCol,
+            indexPath, appendId = Some(appendId))
+          val a = graft.operators.ParagraphDedup.storeAccept(
+            accepted, idCol, textCol, unitize, joinSep, storePath,
+            excludeAppendIds = Seq(appendId))
+          try {
+            a.cleaned.write.mode("overwrite")
+              .parquet(s"$outDir/batch_id=$batchId")
+            graft.operators.UnitStore.append(a.novelKeys, "h", storePath,
+              appendId = Some(appendId))
+            // the curation tail on the cleaned text, batch-proportional:
+            // read the rewrite BACK off the batch's just-landed files
+            // (already materialized — re-consuming a.cleaned would run
+            // the rewrite join twice); attributes join back from the
+            // persisted accepted frame
+            val curInput = spark.read.parquet(s"$outDir/batch_id=$batchId")
+              .join(accepted.select(col(idCol), col(langCol), col(sourceCol)),
+                idCol)
+            val curated = graft.operators.Curate.curate(
+              curInput, bench, idCol, "clean_text", langCol, sourceCol,
+              minWords, minUniqRatio, sampleNumerator, weights, packBudget)
+            graft.operators.ShardWriter.writeShards(curated,
+              s"$shardsDir/batch_id=$batchId", langCol,
+              Seq("bin", idCol, "replica")): Unit
+          } finally a.release()
+        } finally accepted.unpersist()
+        ()
+      }
+    val q = checkpointLocation
+      .fold(writer0)(c => writer0.option("checkpointLocation", c))
+      .start()
+    q.processAllAvailable()
+    q.stop()
+    spark.read.parquet(shardsDir)
+      .groupBy(col(langCol), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("tokens")).cast("long").as("sum_tokens"))
+  }
+
   /** STREAMING ANN INGEST: each micro-batch of embeddings is appended to
     * a persisted IVF index ([[graft.operators.SimilaritySearch.ivfAppend]])
     * — the ANN counterpart of [[runIndexDedupLoopAsStream]], riding the

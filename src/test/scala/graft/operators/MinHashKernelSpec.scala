@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Parity pin for the [[graft.functions.MinHashSig]] expression against
+  * the UDF it would replace: signatures must be BIT-identical on every
+  * row (same permutation family, same shingle hash, same null contract),
+  * or indexes written by one path would silently stop banding against
+  * batches signed by the other.
+  */
+class MinHashKernelSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  test("kernel ≡ UDF on the corpus and on edge rows (null / empty / sub-shingle-length / multi-byte / whitespace runs)") {
+    val edge = Seq(
+      (9001L, null.asInstanceOf[String]),
+      (9002L, ""),
+      (9003L, "two words"), // < k=3 words → null signature
+      (9004L, "exactly three words"),
+      (9005L, "  leading and trailing   whitespace\truns\nsplit identically  "),
+      (9006L, "ünïcode worté pâr dérivation — mūltibyte shingles"),
+      (9007L, "repeat repeat repeat repeat repeat")) // dedup'd shingles
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val both = docs.select(col("doc_id"),
+      Dedup.signatureForProfile(128, 3)(col("text")).as("u"),
+      graft.functions.MinHashSig.sig(col("text"), 128, 3).as("k"))
+    // a mismatch row: exactly one side null, or element-wise difference
+    val bad = both.filter(
+      (col("u").isNull =!= col("k").isNull) ||
+        (col("u").isNotNull && col("u") =!= col("k")))
+    assert(bad.count() == 0L, bad.limit(5).collect().mkString("\n"))
+    // the null contract fires where expected
+    val nulls = both.filter(col("k").isNull).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(Set(9001L, 9002L, 9003L).subsetOf(nulls), nulls.toString)
+    assert(!nulls.contains(9004L))
+    // and a different family is actually different (guards against a
+    // params cache accidentally keyed on nothing)
+    val fam = docs.filter(col("doc_id") === 9004L).select(
+      graft.functions.MinHashSig.sig(col("text"), 64, 3).as("k64"),
+      graft.functions.MinHashSig.sig(col("text"), 128, 3).as("k128"))
+      .head()
+    assert(fam.getSeq[Long](0).length == 64 && fam.getSeq[Long](1).length == 128)
+    // (no prefix relation is expected: the 64-family's bs draws overlap
+    // the 128-family's as draws in the shared Random(42) stream)
+  }
+}

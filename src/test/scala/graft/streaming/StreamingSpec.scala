@@ -362,6 +362,61 @@ class StreamingSpec extends AnyFunSuite {
       "without self-exclusion the replayed batch should drop against itself")
   }
 
+  test("ingest-to-shards pipeline: the curation tail lands per-batch shards, cross-batch dedup reaches them, quality drops are tail-only, and a checkpointed re-run is a no-op") {
+    import graft.operators.{Dedup, ParagraphDedup}
+    def words(prefix: String, n: Int): String =
+      (1 to n).map(i => s"$prefix$i").mkString(" ")
+    val lakeText = words("lake", 25)
+    val lake = Seq((0L, lakeText)).toDF("doc_id", "text")
+    val idx = java.nio.file.Files.createTempDirectory("shards_idx").toString
+    Dedup.lshBuild(lake, "text", "doc_id", idx)
+    Dedup.lshWriteFingerprints(lake, "text", idx)
+    val store = java.nio.file.Files.createTempDirectory("shards_store").toString
+    ParagraphDedup.unitStoreBuild(lake, "doc_id", "text",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), store)
+    val docA = words("novel", 24)
+    val in = java.nio.file.Files.createTempDirectory("shards_in").toString
+    def stamp(rows: Seq[(Long, String, String)]): Unit =
+      rows.toDF("doc_id", "text", "source")
+        .withColumn("lang", lit("en"))
+        .withColumn("fp", xxhash64(col("text")))
+        .coalesce(1).write.mode("append").parquet(in)
+    // batch 0: doc 10 novel (kept, src0 → mixed to 2 replicas)
+    stamp(Seq((10L, docA, "src0")))
+    // batch 1: 11 near-dups batch 0's ACCEPTED doc (LSH drop, cross-
+    // batch), 12 passes every dedup stage but fails the QUALITY floor
+    // (tail-only drop), 13 is a byte-identical lake refetch (fp drop)
+    stamp(Seq((11L, docA + " extra", "src1"),
+      (12L, "short doc", "src1"), (13L, lakeText, "src1")))
+    val out = java.nio.file.Files.createTempDirectory("shards_out").toString
+    val shards = java.nio.file.Files.createTempDirectory("shards_sh").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("shards_ck").toString
+    def run() = DocsStream.runIngestPipelineToShardsAsStream(spark, in, idx,
+      store, out, shards, "shards_mem",
+      ParagraphDedup.unitsBySeparator(_, "\\n"), "\n",
+      benchmark = Seq((999L, words("bench", 25))).toDF("doc_id", "text"),
+      minWords = 20, minUniqRatio = 0.25, sampleNumerator = 256,
+      weights = Map("src0" -> 2.0), packBudget = 10000L,
+      maxFilesPerTrigger = Some(1), checkpointLocation = Some(ckpt))
+    val summary = run().collect().map(_.toSeq).toSet
+    // one (lang, bin) cell: doc 10 × 2 replicas, 24 tokens each
+    assert(summary == Set(Seq("en", 0L, 2L, 48L)), summary.toString)
+    // the shard files: replica-expanded doc 10 only — 11 never passed
+    // dedup, 13 never passed the fp stage, 12 passed dedup (it IS in
+    // the cleaned lake product) but failed the tail's quality floor
+    val shardRows = spark.read.parquet(shards)
+      .select(col("doc_id"), col("replica")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(shardRows == Set((10L, 0L), (10L, 1L)), shardRows.toString)
+    val cleanedIds = spark.read.parquet(out)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(cleanedIds == Set(10L, 12L), cleanedIds.toString)
+    // checkpointed re-run: processes nothing, shards unchanged
+    assert(run().collect().map(_.toSeq).toSet == Set(Seq("en", 0L, 2L, 48L)))
+    assert(spark.read.parquet(shards).count() == 2L)
+    assert(Dedup.lshIndexDocCount(spark, idx) == 3L) // lake + 10 + 12
+  }
+
   test("paragraph loop compactEvery is DEFERRED: compaction folds only checkpoint-committed batches, and the newest batch replays to identical output after a compact") {
     import graft.operators.{ParagraphDedup, UnitStore}
     val lake = Seq((0L, "boilerplate banner\nlake only paragraph"))

@@ -24,7 +24,8 @@ headline = ["q01_pricing_summary","q02_global_agg","q03_filter_topn","q05_join_a
   "q33_events_hourly","q34_events_sessions","q36_events_funnel","q40_doc_tokens",
   "q44_dedup_exact","q46_ngram_jaccard","q47_minhash_lsh_neardup","q50_cosine_topk",
   "q52_embedding_near_dup","q53_multimodal_decode","q57_quality_signals",
-  "q77_vocab_topk","q78_kmeans_step","q80_dup_ngram_spans","q81_bm25_search"]
+  "q77_vocab_topk","q78_kmeans_step","q80_dup_ngram_spans","q81_bm25_search",
+  "q87_paragraph_dedup"]
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem",
           "events","documents","embeddings"]:
