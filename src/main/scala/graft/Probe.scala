@@ -861,6 +861,36 @@ object Probe {
       df, "doc_id", "text", paraUnits, " ", drops))
   }
 
+  /** VERDICT r18 #7 A/B: the rewrite's drop-list membership on a
+    * HIGH-DROP fixture — the old per-element `array_contains` probe
+    * (O(units × drops) per doc) vs the shipped `array_except`
+    * set-difference (O(units + drops)). Synthetic worst case: every doc
+    * ~all boilerplate (2000 units, 87.5% dropped) — the shape the old
+    * code went quadratic on. Ignores `d`.
+    */
+  private def q87rwFixture(s: SparkSession): DataFrame =
+    s.range(200).select(col("id"),
+      expr("transform(sequence(0, 1999), i -> concat('unit_', CAST(i % 7 AS STRING)))").as("__us"),
+      expr("filter(sequence(0, 1999), i -> i % 8 != 0)").as("__drop"))
+
+  private def q87rwTail(df: DataFrame, keptIdx: org.apache.spark.sql.Column): DataFrame =
+    df.select(col("id"),
+      length(array_join(transform(keptIdx,
+        i => element_at(col("__us"), i + lit(1))), " ")).as("n"))
+      .agg(sum(col("n")).as("sum_chars"))
+
+  def q87rwLinear(s: SparkSession, d: String): DataFrame = {
+    val kept = filter(sequence(lit(0), size(col("__us")) - lit(1)),
+      i => not(array_contains(col("__drop"), i)))
+    q87rwTail(q87rwFixture(s), kept)
+  }
+
+  def q87rwExcept(s: SparkSession, d: String): DataFrame = {
+    val kept = array_except(
+      sequence(lit(0), size(col("__us")) - lit(1)), col("__drop"))
+    q87rwTail(q87rwFixture(s), kept)
+  }
+
   /** VERDICT r18 probe #3: the MinHash signature pass — ScalaUDF vs the
     * native [[graft.functions.MinHashSig]] expression — over the full
     * documents table at q47's default family (numPerm=128, k=3). The
@@ -1346,6 +1376,8 @@ object Probe {
       "q96recrawl_fp" -> (q96recrawlFp _),
       "q87full" -> (q87full _),
       "q87agg_packed" -> (q87aggPacked _),
+      "q87rw_linear" -> (q87rwLinear _),
+      "q87rw_except" -> (q87rwExcept _),
       "q47sig_udf" -> (q47sigUdf _),
       "q47sig_kern" -> (q47sigKern _),
       "q87store" -> (q87store _),

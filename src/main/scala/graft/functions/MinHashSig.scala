@@ -91,6 +91,9 @@ case class MinHashSigExpr(child: Expression, numPerm: Int, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def nullIntolerant: Boolean = true
+  // keep the UDF's display name: the plan pins that count signature
+  // evaluations (index path signs the batch only) match on it
+  override def prettyName: String = "minhash_sig"
 
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
