@@ -906,6 +906,17 @@ object Probe {
     load(s, d, "documents").select(
       graft.functions.MinHashSig.sig(col("text"), 128, 3).as("sig"))
 
+  /** Same A/B for the VERIFY-HASH pass (sorted distinct 64-bit shingle
+    * hashes) — the other per-doc UDF of the LSH family.
+    */
+  def q47hashUdf(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").select(
+      graft.operators.Dedup.shingleHashesForProfile(3)(col("text")).as("sh"))
+
+  def q47hashKern(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").select(
+      graft.functions.MinHashSig.shingleHashes(col("text"), 3).as("sh"))
+
   def q87store(s: SparkSession, d: String): DataFrame = {
     val (batch, _) = q96split(s, d)
     val store = ensureProbeUnitStore(s, d)
@@ -1380,6 +1391,8 @@ object Probe {
       "q87rw_except" -> (q87rwExcept _),
       "q47sig_udf" -> (q47sigUdf _),
       "q47sig_kern" -> (q47sigKern _),
+      "q47hash_udf" -> (q47hashUdf _),
+      "q47hash_kern" -> (q47hashKern _),
       "q87store" -> (q87store _),
       "q87pipe" -> (q87pipe _),
       "q95persist" -> (q95persist _),

@@ -48,4 +48,25 @@ class MinHashKernelSpec extends AnyFunSuite {
     // (no prefix relation is expected: the 64-family's bs draws overlap
     // the 128-family's as draws in the shared Random(42) stream)
   }
+
+  test("verify-hash kernel ≡ UDF (sorted distinct 64-bit shingle hashes) on the corpus and edge rows") {
+    val edge = Seq(
+      (9001L, null.asInstanceOf[String]),
+      (9002L, ""),
+      (9003L, "two words"),
+      (9005L, "  leading and trailing   whitespace\truns\nsplit identically  "),
+      (9006L, "ünïcode worté pâr dérivation — mūltibyte shingles"),
+      (9007L, "repeat repeat repeat repeat repeat"))
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val both = docs.select(col("doc_id"),
+      Dedup.shingleHashesForProfile(3)(col("text")).as("u"),
+      graft.functions.MinHashSig.shingleHashes(col("text"), 3).as("k"))
+    val bad = both.filter(
+      (col("u").isNull =!= col("k").isNull) ||
+        (col("u").isNotNull && col("u") =!= col("k")))
+    assert(bad.count() == 0L, bad.limit(5).collect().mkString("\n"))
+    assert(both.filter(col("k").isNull).count() >= 3L) // the edge nulls
+  }
 }
