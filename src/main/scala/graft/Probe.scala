@@ -917,6 +917,18 @@ object Probe {
     load(s, d, "documents").select(
       graft.functions.MinHashSig.shingleHashes(col("text"), 3).as("sh"))
 
+  /** Same A/B for the SIMHASH fold (q49's signature pass): the UDF
+    * chain (Spark split → array→Seq conversion → fold) vs the kernel
+    * (one Java split + fold, long out).
+    */
+  def q49sigUdf(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").select(
+      graft.operators.Dedup.simhashUdfForParity(col("text")).as("sig"))
+
+  def q49sigKern(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").select(
+      graft.functions.MinHashSig.simhash64(lower(trim(col("text")))).as("sig"))
+
   def q87store(s: SparkSession, d: String): DataFrame = {
     val (batch, _) = q96split(s, d)
     val store = ensureProbeUnitStore(s, d)
@@ -1393,6 +1405,8 @@ object Probe {
       "q47sig_kern" -> (q47sigKern _),
       "q47hash_udf" -> (q47hashUdf _),
       "q47hash_kern" -> (q47hashKern _),
+      "q49sig_udf" -> (q49sigUdf _),
+      "q49sig_kern" -> (q49sigKern _),
       "q87store" -> (q87store _),
       "q87pipe" -> (q87pipe _),
       "q95persist" -> (q95persist _),

@@ -115,6 +115,75 @@ object MinHashSig {
     GraftColumnShim.column(
       ShingleHashes64Expr(GraftColumnShim.expression(text), k))
   }
+
+  private val Whitespace = java.util.regex.Pattern.compile("\\s+")
+
+  /** Kernel for the SIMHASH fold — the native form of
+    * [[graft.operators.Dedup]]'s `simhash` UDF chain. The UDF receives a
+    * Spark-side `split(lower(trim(text)), "\\s+")` ARRAY and converts it
+    * element-by-element to a boxed `Seq[String]`; this kernel takes the
+    * lowered/trimmed STRING (the same Spark expressions feed it, so
+    * normalization semantics are Catalyst's, not Java's) and splits once
+    * with the identical Java regex — `UTF8String.split` delegates to
+    * `Pattern.split(toString, -1)`, so word boundaries are bit-identical
+    * (parity spec-pinned). Fold: two seeded murmur3 hashes per word,
+    * ±1 over 64 bit counters, sign bits packed to one long.
+    */
+  def evalSimhash(s: UTF8String): Long = {
+    val words = Whitespace.split(s.toString, -1)
+    val acc = new Array[Int](64)
+    var j = 0
+    while (j < words.length) {
+      val w = words(j)
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(w, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(w, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) acc(i) += 1 else acc(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) { if (acc(i) > 0) sig |= (1L << i); i += 1 }
+    sig
+  }
+
+  /** Column API: 64-bit SimHash of an ALREADY lowered/trimmed string
+    * (callers compose `lower(trim(text))` in Catalyst so normalization
+    * can never drift from the UDF chain's).
+    */
+  def simhash64(loweredTrimmed: Column): Column =
+    GraftColumnShim.column(
+      SimHash64Expr(GraftColumnShim.expression(loweredTrimmed)))
+}
+
+/** 64-bit SimHash fold — see [[MinHashSig.evalSimhash]]. */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 requires a string argument, got ${other.simpleString}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.evalSimhash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashSig.evalSimhash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
 }
 
 /** Sorted distinct 64-bit shingle hashes — see

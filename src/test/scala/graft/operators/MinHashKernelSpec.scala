@@ -69,4 +69,27 @@ class MinHashKernelSpec extends AnyFunSuite {
     assert(bad.count() == 0L, bad.limit(5).collect().mkString("\n"))
     assert(both.filter(col("k").isNull).count() >= 3L) // the edge nulls
   }
+
+  test("simhash kernel ≡ UDF chain on the corpus and edge rows") {
+    // null text excluded: the UDF chain NPEs on it (never fed one by the
+    // operators); the kernel's null contract is the expression default
+    val edge = Seq(
+      (9002L, ""),
+      (9005L, "  leading and trailing   whitespace\truns\nsplit identically  "),
+      (9006L, "ünïcode worté pâr dérivation — mūltibyte simhash"),
+      (9007L, "repeat repeat repeat repeat repeat"),
+      (9008L, "\tword")) // post-trim leading \s+ -> leading "" token, both sides
+      .toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionByName(edge)
+    val both = docs.select(col("doc_id"),
+      Dedup.simhashUdfForParity(col("text")).as("u"),
+      graft.functions.MinHashSig.simhash64(lower(trim(col("text")))).as("k"))
+    val bad = both.filter(col("u") =!= col("k"))
+    assert(bad.count() == 0L, bad.limit(5).collect().mkString("\n"))
+    // null text → null signature (expression default), no NPE
+    assert(Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(graft.functions.MinHashSig.simhash64(lower(trim(col("t")))))
+      .head().isNullAt(0))
+  }
 }
