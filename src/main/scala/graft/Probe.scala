@@ -929,6 +929,23 @@ object Probe {
     load(s, d, "documents").select(
       graft.functions.MinHashSig.simhash64(lower(trim(col("text")))).as("sig"))
 
+  /** Same A/B for the embedding-LSH signature pass (q59's): one boxed
+    * UDF per table vs the all-tables kernel in one primitive pass.
+    */
+  def q59sigUdf(s: SparkSession, d: String): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    val sigCols = (0 until 4).map(t => graft.operators.SimilaritySearch
+      .signatureUdfForParity(12, 64, 7L + t)(v).as(s"sig_$t"))
+    load(s, d, "embeddings").select(col("vec_id").as("id") +: sigCols: _*)
+  }
+
+  def q59sigKern(s: SparkSession, d: String): DataFrame = {
+    val planes = graft.operators.SimilaritySearch.hyperplanesFor(12, 4, 64, 7L)
+    load(s, d, "embeddings").select(col("vec_id").as("id"),
+      graft.functions.VectorExpressions.hyperplaneSigs(
+        col("embedding").cast("array<double>"), planes).as("sigs"))
+  }
+
   def q87store(s: SparkSession, d: String): DataFrame = {
     val (batch, _) = q96split(s, d)
     val store = ensureProbeUnitStore(s, d)
@@ -1407,6 +1424,8 @@ object Probe {
       "q47hash_kern" -> (q47hashKern _),
       "q49sig_udf" -> (q49sigUdf _),
       "q49sig_kern" -> (q49sigKern _),
+      "q59sig_udf" -> (q59sigUdf _),
+      "q59sig_kern" -> (q59sigKern _),
       "q87store" -> (q87store _),
       "q87pipe" -> (q87pipe _),
       "q95persist" -> (q95persist _),

@@ -230,11 +230,90 @@ case class ArgmaxCosineExpr(child: Expression, cids: Array[Long],
     copy(child = newChild)
 }
 
+/** All `nTables` random-hyperplane LSH signatures of an embedding in ONE
+  * generated pass — the native form of
+  * [[graft.operators.SimilaritySearch]]'s per-table signature UDF
+  * (round 18, same measure-first discipline as the MinHash/SimHash
+  * kernels). The UDF form pays the catalyst→Scala conversion (a boxed
+  * `Seq[Double]` per row) once PER TABLE; this expression reads the
+  * `ArrayData` primitives directly and emits all table signatures as one
+  * `array<int>`, so `posexplode` consumes it without the intermediate
+  * `array(sig_0 … sig_T)` projection. Bit parity with the UDF: identical
+  * seeded plane derivation (caller passes the same `hyperplanes` output),
+  * identical prefix-`min(dim, |v|)` dot products in the same order, sign
+  * rule `s > 0`. One divergence, strictly more defined: a null ELEMENT
+  * reads as whatever the array slot holds (the UDF NPEs); embeddings are
+  * non-null-element by schema everywhere this runs.
+  */
+case class HyperplaneSigsExpr(child: Expression,
+                              planes: Array[Array[Array[Double]]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(planes.nonEmpty && planes.forall(_.nonEmpty), "need ≥1 table, ≥1 bit")
+
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "hyperplane_sigs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_sigs requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    HyperplaneSigsExpr.eval(a.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planes,
+      "double[][][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.HyperplaneSigsExpr.eval($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSigsExpr =
+    copy(child = newChild)
+}
+
+object HyperplaneSigsExpr {
+  def eval(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+    val nv = v.numElements()
+    val sigs = new Array[Int](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table = planes(t)
+      var sig = 0
+      var i = 0
+      while (i < table.length) {
+        val p = table(i)
+        var s = 0.0
+        val n = math.min(p.length, nv)
+        var j = 0
+        while (j < n) { s += p(j) * v.getDouble(j); j += 1 }
+        if (s > 0) sig |= (1 << i)
+        i += 1
+      }
+      sigs(t) = sig
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(sigs)
+  }
+}
+
 object VectorExpressions {
   /** Cosine similarity of two `array<double>` columns, codegen'd. */
   def cosineSim(a: Column, b: Column): Column =
     GraftColumnShim.column(CosineSimExpr(
       GraftColumnShim.expression(a), GraftColumnShim.expression(b)))
+
+  /** All-tables hyperplane LSH signatures, one pass — see
+    * [[HyperplaneSigsExpr]].
+    */
+  def hyperplaneSigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
+    GraftColumnShim.column(HyperplaneSigsExpr(
+      GraftColumnShim.expression(v), planes))
 
   /** Nearest-centroid assignment as one fused codegen'd loop:
     * `struct(cluster, cent_sim)` over a driver-side centroid matrix

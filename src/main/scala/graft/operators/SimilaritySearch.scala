@@ -60,18 +60,30 @@ object SimilaritySearch {
       sig
     })
 
+  /** Parity/profiling accessors for the hyperplane-signature kernel
+    * ([[graft.functions.HyperplaneSigsExpr]]) — the UDF is the kernel's
+    * spec-pinned reference, as with the MinHash/SimHash kernels.
+    */
+  private[graft] def signatureUdfForParity(nBits: Int, dim: Int, seed: Long) =
+    signatureUdf(hyperplanes(nBits, dim, seed))
+  private[graft] def hyperplanesFor(nBits: Int, nTables: Int, dim: Int,
+                                    seed: Long): Array[Array[Array[Double]]] =
+    (0 until nTables).map(t => hyperplanes(nBits, dim, seed + t)).toArray
+
   /** Add `nTables` LSH bucket columns (exploded long form: one row per
-    * (id, table, sig)).
+    * (id, table, sig)). Signatures come from the native all-tables
+    * kernel — one pass over the raw array primitives instead of one
+    * boxed-Seq UDF call per table (bit parity spec-pinned; 2.19→0.24 s
+    * at sf1 and 12.81→0.92 s at sf10 per corpus pass — 9–14×, the
+    * per-table Seq[Double] conversions dominated; SCALE.md round 18).
     */
   def lshBuckets(df: DataFrame, embCol: String, idCol: String,
                  nBits: Int = 12, nTables: Int = 4, dim: Int = 64,
                  seed: Long = 7L): DataFrame = {
-    val sigUdfs = (0 until nTables).map(t => signatureUdf(hyperplanes(nBits, dim, seed + t)))
+    val planes = hyperplanesFor(nBits, nTables, dim, seed)
     val v = col(embCol).cast("array<double>")
-    val sigCols = sigUdfs.zipWithIndex.map { case (u, t) => u(v).as(s"sig_$t") }
-    val wide = df.select((col(idCol).as("id") +: v.as("v") +: sigCols): _*)
-    wide.select(col("id"), col("v"),
-      posexplode(array((0 until nTables).map(t => col(s"sig_$t")): _*)))
+    df.select(col(idCol).as("id"), v.as("v"),
+        posexplode(graft.functions.VectorExpressions.hyperplaneSigs(v, planes)))
       .withColumnRenamed("pos", "table").withColumnRenamed("col", "sig")
   }
 

@@ -92,4 +92,29 @@ class MinHashKernelSpec extends AnyFunSuite {
       .select(graft.functions.MinHashSig.simhash64(lower(trim(col("t")))))
       .head().isNullAt(0))
   }
+
+  test("hyperplane-signature kernel ≡ per-table UDFs on the embeddings corpus (incl. short and empty vectors)") {
+    import graft.operators.SimilaritySearch
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .unionByName(Seq(
+        (900001L, Seq(0.5, -0.25)),             // shorter than dim: prefix dot
+        (900002L, Seq.empty[Double])            // empty: every dot 0 → sig 0
+      ).toDF("vec_id", "v"))
+    val planes = SimilaritySearch.hyperplanesFor(12, 4, 64, 7L)
+    val udfCols = (0 until 4).map(t =>
+      SimilaritySearch.signatureUdfForParity(12, 64, 7L + t)(col("v")).as(s"u_$t"))
+    val both = emb.select(
+      (col("vec_id") +:
+        graft.functions.VectorExpressions.hyperplaneSigs(col("v"), planes).as("k") +:
+        udfCols): _*)
+    val bad = both.filter(
+      (0 until 4).map(t => element_at(col("k"), t + 1) =!= col(s"u_$t"))
+        .reduce(_ || _))
+    assert(bad.count() == 0L, bad.limit(5).collect().mkString("\n"))
+    // and an empty vector signs to all-zero in every table
+    val empty = both.filter(col("vec_id") === 900002L).select("k")
+      .head().getSeq[Int](0)
+    assert(empty == Seq(0, 0, 0, 0), empty.toString)
+  }
 }
