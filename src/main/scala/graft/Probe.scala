@@ -946,6 +946,25 @@ object Probe {
         col("embedding").cast("array<double>"), planes).as("sigs"))
   }
 
+  /** Same A/B for the IVF cell-assignment pass (q82's build/append and
+    * qs08's per-batch term): the boxed-Seq assignment UDF vs the fused
+    * argmax kernel. Both sides share one deterministic quantizer sample
+    * (deployment nlist=16) so the A/B isolates the per-row pass.
+    */
+  private def ivfProbeCents(s: SparkSession, d: String): Array[Array[Double]] =
+    graft.operators.SimilaritySearch.sampleCentroids(
+      load(s, d, "embeddings"), "embedding", "vec_id", 16)
+
+  def q82assignUdf(s: SparkSession, d: String): DataFrame =
+    graft.operators.SimilaritySearch.assignWithUdf(
+      load(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", ivfProbeCents(s, d)).select(col("vec_id"), col("cluster"))
+
+  def q82assignKern(s: SparkSession, d: String): DataFrame =
+    graft.operators.SimilaritySearch.assignWithKernel(
+      load(s, d, "embeddings").select(col("vec_id"), col("embedding")),
+      "embedding", ivfProbeCents(s, d)).select(col("vec_id"), col("cluster"))
+
   def q87store(s: SparkSession, d: String): DataFrame = {
     val (batch, _) = q96split(s, d)
     val store = ensureProbeUnitStore(s, d)
@@ -1426,6 +1445,8 @@ object Probe {
       "q49sig_kern" -> (q49sigKern _),
       "q59sig_udf" -> (q59sigUdf _),
       "q59sig_kern" -> (q59sigKern _),
+      "q82assign_udf" -> (q82assignUdf _),
+      "q82assign_kern" -> (q82assignKern _),
       "q87store" -> (q87store _),
       "q87pipe" -> (q87pipe _),
       "q95persist" -> (q95persist _),

@@ -263,13 +263,19 @@ case class HyperplaneSigsExpr(child: Expression,
   }
 
   override def nullSafeEval(a: Any): Any =
-    HyperplaneSigsExpr.eval(a.asInstanceOf[ArrayData], planes)
+    HyperplaneSigsExpr.evalSigs(a.asInstanceOf[ArrayData], planes)
 
+  // the companion method must NOT be named `eval`: scalac skips the
+  // static forwarder when the case class inherits a member of the same
+  // name (Expression.eval), and Janino then resolves the generated call
+  // to the INSTANCE eval(InternalRow) and fails — which silently demoted
+  // the whole projection to interpreter mode (found round 18; the
+  // round-18 9–14× A/B was measured WITH that fallback)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("planes", planes,
       "double[][][]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.HyperplaneSigsExpr.eval($c, $ref)")
+      s"graft.functions.HyperplaneSigsExpr.evalSigs($c, $ref)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): HyperplaneSigsExpr =
@@ -277,7 +283,7 @@ case class HyperplaneSigsExpr(child: Expression,
 }
 
 object HyperplaneSigsExpr {
-  def eval(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
+  def evalSigs(v: ArrayData, planes: Array[Array[Array[Double]]]): ArrayData = {
     val nv = v.numElements()
     val sigs = new Array[Int](planes.length)
     var t = 0
@@ -302,6 +308,77 @@ object HyperplaneSigsExpr {
   }
 }
 
+/** IVF nearest-centroid assignment in one generated pass — the native
+  * form of [[graft.operators.SimilaritySearch]]'s per-row assignment UDF
+  * (round 18, same measure-first discipline as the signature kernels).
+  * NOT [[ArgmaxCosineExpr]]: the IVF contract differs in exactly the
+  * places SemDeDup's must not — a wrong-DIMENSION vector THROWS the
+  * named `IVF dimension mismatch` error (the spec-pinned append/query
+  * contract; Argmax returns a null-sim struct), ties and NaN follow the
+  * UDF's `sim > bestSim` over a `Double.MinValue` seed (first index
+  * wins ties; an all-NaN zero-norm vector lands in cell 0), and the
+  * output is the bare int cell id. Null input → null (null-intolerant).
+  * One divergence, strictly more defined, same as [[HyperplaneSigsExpr]]:
+  * a null ELEMENT reads as the slot's raw 0.0 where the UDF's boxed
+  * `Seq[Double]` also unboxes null to 0.0 — identical results;
+  * embeddings are non-null-element by schema everywhere this runs.
+  */
+case class NearestCentroidExpr(child: Expression, cents: Array[Array[Double]])
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(cents.nonEmpty && cents.forall(_.length == cents.head.length),
+    "need ≥1 centroid, one shared dimensionality")
+
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "nearest_centroid"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"nearest_centroid requires array<double>, got ${other.simpleString}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    NearestCentroidExpr.evalNearest(a.asInstanceOf[ArrayData], cents)
+
+  // named evalNearest, not eval — see the forwarder note on
+  // [[HyperplaneSigsExpr.doGenCode]]
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.NearestCentroidExpr.evalNearest($c, $ref)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
+    copy(child = newChild)
+}
+
+object NearestCentroidExpr {
+  def evalNearest(v: ArrayData, cents: Array[Array[Double]]): Int = {
+    val dim = cents(0).length
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        graft.operators.SimilaritySearch.dimError(v.numElements(), dim))
+    var best = 0; var bestSim = Double.MinValue
+    var c = 0
+    while (c < cents.length) {
+      val p = cents(c)
+      var s = 0.0; var pn = 0.0; var vn = 0.0
+      var j = 0
+      while (j < dim) {
+        val xv = v.getDouble(j)
+        s += p(j) * xv; pn += p(j) * p(j); vn += xv * xv
+        j += 1
+      }
+      val sim = s / (math.sqrt(pn) * math.sqrt(vn))
+      if (sim > bestSim) { bestSim = sim; best = c }
+      c += 1
+    }
+    best
+  }
+}
+
 object VectorExpressions {
   /** Cosine similarity of two `array<double>` columns, codegen'd. */
   def cosineSim(a: Column, b: Column): Column =
@@ -314,6 +391,13 @@ object VectorExpressions {
   def hyperplaneSigs(v: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftColumnShim.column(HyperplaneSigsExpr(
       GraftColumnShim.expression(v), planes))
+
+  /** IVF cell assignment (bare int id, UDF-parity contract incl. the
+    * named dimension throw) — see [[NearestCentroidExpr]].
+    */
+  def nearestCentroid(v: Column, cents: Array[Array[Double]]): Column =
+    GraftColumnShim.column(NearestCentroidExpr(
+      GraftColumnShim.expression(v), cents))
 
   /** Nearest-centroid assignment as one fused codegen'd loop:
     * `struct(cluster, cent_sim)` over a driver-side centroid matrix

@@ -193,8 +193,8 @@ object SimilaritySearch {
     * small factor on real embedding corpora). O(nlist·d) driver metadata —
     * like the query vector, not data.
     */
-  private def sampleCentroids(df: DataFrame, embCol: String, idCol: String,
-                              nlist: Int): Array[Array[Double]] = {
+  private[graft] def sampleCentroids(df: DataFrame, embCol: String, idCol: String,
+                                     nlist: Int): Array[Array[Double]] = {
     val cents = df.select(col(embCol).cast("array<double>").as("v"),
         hash(col(idCol)).as("h"))
       .orderBy(col("h"), col("v")(0))
@@ -213,7 +213,7 @@ object SimilaritySearch {
   /** Error text shared by the assign UDF and the driver-side probe guard
     * — the named signal the dimension contract throws on violation.
     */
-  private def dimError(got: Int, want: Int): String =
+  private[graft] def dimError(got: Int, want: Int): String =
     s"IVF dimension mismatch: vector has $got dims, the quantizer has " +
       s"$want — batches and queries must match the build's embedding " +
       "dimension (rebuild the index to change it)"
@@ -247,8 +247,22 @@ object SimilaritySearch {
 
   private def assignWith(df: DataFrame, embCol: String,
                          cents: Array[Array[Double]]): DataFrame =
+    assignWithKernel(df, embCol, cents)
+
+  // UDF and kernel spellings kept side by side for the A/B (Probe
+  // q82assign_*) and the parity spec; assignWith above picks the
+  // shipped one — the kernel, after a 9× measured win at sf1/sf10
+  // (UDF boxing + the restored static-forwarder codegen; SCALE.md
+  // round 18). The UDF stays as the spec-pinned parity reference.
+  private[graft] def assignWithUdf(df: DataFrame, embCol: String,
+                                   cents: Array[Array[Double]]): DataFrame =
     df.withColumn("cluster",
       nearestCentroidUdf(cents)(col(embCol).cast("array<double>")))
+
+  private[graft] def assignWithKernel(df: DataFrame, embCol: String,
+                                      cents: Array[Array[Double]]): DataFrame =
+    df.withColumn("cluster", graft.functions.VectorExpressions
+      .nearestCentroid(col(embCol).cast("array<double>"), cents))
 
   /** Assign every vector to its nearest coarse centroid (cosine). The
     * returned frame adds a `cluster` column — write the corpus

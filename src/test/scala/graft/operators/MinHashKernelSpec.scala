@@ -117,4 +117,40 @@ class MinHashKernelSpec extends AnyFunSuite {
       .head().getSeq[Int](0)
     assert(empty == Seq(0, 0, 0, 0), empty.toString)
   }
+
+  test("IVF nearest-centroid kernel ≡ assignment UDF (corpus, null, zero-norm, tie) and keeps the named dimension throw") {
+    import graft.operators.SimilaritySearch
+    val base = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val cents = SimilaritySearch.sampleCentroids(base, "embedding", "vec_id", 16)
+    val dim = cents(0).length
+    val edge = Seq(
+      (800001L, null.asInstanceOf[Seq[Double]]),        // null → null cell
+      (800002L, Seq.fill(dim)(0.0)),                    // zero-norm: all sims NaN → cell 0
+      (800003L, cents(7).toSeq.map(_ * 2.0))            // exact direction of cell 7 (ties broken identically)
+    ).toDF("vec_id", "embedding")
+    // run both paths as full frames and join on vec_id
+    val u = SimilaritySearch.assignWithUdf(base.unionByName(edge), "embedding", cents)
+      .select(col("vec_id"), col("cluster").as("u"))
+    val k = SimilaritySearch.assignWithKernel(base.unionByName(edge), "embedding", cents)
+      .select(col("vec_id"), col("cluster").as("k"))
+    val j = u.join(k, "vec_id")
+    val bad = j.filter((col("u").isNull =!= col("k").isNull) ||
+      (col("u").isNotNull && col("u") =!= col("k")))
+    assert(bad.count() == 0L, bad.limit(5).collect().mkString("\n"))
+    assert(j.filter(col("vec_id") === 800001L).head().isNullAt(1))
+    assert(j.filter(col("vec_id") === 800002L).head().getInt(2) == 0)
+    // wrong dimension: BOTH spellings throw the same named error
+    val wrong = Seq((800009L, Seq(1.0, 2.0))).toDF("vec_id", "embedding")
+    for (f <- Seq(SimilaritySearch.assignWithUdf _, SimilaritySearch.assignWithKernel _)) {
+      val e = intercept[Exception] {
+        f(wrong, "embedding", cents).collect()
+      }
+      def rootMsg(t: Throwable): String =
+        (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+          .map(x => Option(x.getMessage).getOrElse(""))
+          .find(_.contains("IVF dimension mismatch"))).getOrElse("")
+      assert(rootMsg(e).contains("IVF dimension mismatch"), e.toString)
+    }
+  }
 }
