@@ -831,6 +831,24 @@ object Curation {
              |  FROM aug
              |  WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14')
              |SELECT lang, count(*) AS n, CAST(sum(length(redacted)) AS BIGINT) AS sum_chars
-             |FROM red GROUP BY lang ORDER BY lang""".stripMargin))
+             |FROM red GROUP BY lang ORDER BY lang""".stripMargin)),
+
+    QueryDef("q100_train_order",
+      (s, d) => {
+        // Seed-stable global training-order shuffle with contiguous
+        // positions. Gated on the PORTABLE md5 key so the oracle
+        // recomputes the exact permutation (both engines hash the same
+        // "<seed>:<id>" string to the same lowercase hex); the xxhash64
+        // deployment key is pinned by TrainOrderSpec (bijection,
+        // determinism, partitioning independence, seed sensitivity).
+        graft.operators.TrainOrder.withPosition(
+            load(s, d, "documents"), "doc_id",
+            graft.operators.TrainOrder.md5Key(42L) _, "train_pos")
+          .select(col("doc_id"), col("train_pos"))
+          .orderBy(col("train_pos"))
+      },
+      Some("""SELECT doc_id,
+             |  row_number() OVER (ORDER BY md5(concat('42:', CAST(doc_id AS VARCHAR))), doc_id) - 1 AS train_pos
+             |FROM documents ORDER BY train_pos""".stripMargin))
   )
 }

@@ -10,9 +10,9 @@ import org.apache.spark.sql.SparkSession
 class GraftSurfaceSpec extends AnyFunSuite {
   lazy val spark: SparkSession = graft.TestSpark.spark
 
-  test("gate inventory: 138 queries, every one oracled, names well-formed") {
+  test("gate inventory: 139 queries, every one oracled, names well-formed") {
     val qs = SparkEntry.queries
-    assert(qs.size == 138, s"gate count drifted: ${qs.size}")
+    assert(qs.size == 139, s"gate count drifted: ${qs.size}")
     // every gate carries a DuckDB oracle — a dropped oracle silently
     // downgrades the driver's check to rows-only; fail loudly instead
     assert(SparkEntry.oracleSql.keySet == qs.keySet,

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Pins the xxhash64 DEPLOYMENT key of [[TrainOrder]] (the q100 gate
+  * oracle-checks the portable md5 spelling; these tests cover what the
+  * oracle can't): contiguous bijective positions, determinism across
+  * runs AND input partitionings, seed sensitivity, and the plan shape
+  * (range exchange, never a single-partition global window).
+  */
+class TrainOrderSpec extends AnyFunSuite {
+  lazy val spark = graft.TestSpark.spark
+  import spark.implicits._
+
+  private def docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("withPosition emits a contiguous 0-based bijection over the corpus") {
+    val out = TrainOrder.withPosition(docs, "doc_id", seed = 7L)
+    val n = docs.count()
+    assert(out.count() == n)
+    // positions are exactly 0..n-1, each once
+    val stats = out.agg(
+      countDistinct(col("train_pos")).as("d"),
+      min(col("train_pos")).as("lo"),
+      max(col("train_pos")).as("hi")).head()
+    assert(stats.getLong(0) == n && stats.getLong(1) == 0L &&
+      stats.getLong(2) == n - 1)
+    // and every id appears exactly once
+    assert(out.select("doc_id").distinct().count() == n)
+  }
+
+  test("the permutation is a pure function of (seed, ids): same across runs and input partitionings, different across seeds") {
+    def order(df: org.apache.spark.sql.DataFrame, seed: Long): Seq[Long] =
+      TrainOrder.withPosition(df, "doc_id", seed)
+        .orderBy(col("train_pos")).select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+    val a = order(docs, 7L)
+    val b = order(docs, 7L)                  // re-run
+    val c = order(docs.repartition(7), 7L)   // different input partitioning
+    assert(a == b)
+    assert(a == c)
+    val other = order(docs, 8L)
+    assert(a != other, "different seeds must permute differently")
+    // and it is a shuffle, not the natural id order
+    assert(a != a.sorted, "seeded order should not equal id order")
+  }
+
+  test("permute orders identically to withPosition and keeps the plan window-free with a range exchange") {
+    val p = TrainOrder.permute(docs, "doc_id", 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val w = TrainOrder.withPosition(docs, "doc_id", 7L)
+      .orderBy(col("train_pos")).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(p == w)
+    val plan = TrainOrder.permute(docs, "doc_id", 7L)
+      .queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("rangepartitioning"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.toLowerCase.contains("singlepartition"), plan)
+  }
+}
