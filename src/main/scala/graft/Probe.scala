@@ -965,6 +965,17 @@ object Probe {
       load(s, d, "embeddings").select(col("vec_id"), col("embedding")),
       "embedding", ivfProbeCents(s, d)).select(col("vec_id"), col("cluster"))
 
+  /** TrainOrder scaling: the full-row range-sort permutation (what a
+    * shard rewrite pays) vs the positions-only projection (id + 8-byte
+    * key through the exchange — the audit/resume query's shape).
+    */
+  def q100full(s: SparkSession, d: String): DataFrame =
+    graft.operators.TrainOrder.permute(load(s, d, "documents"), "doc_id", 7L)
+
+  def q100pos(s: SparkSession, d: String): DataFrame =
+    graft.operators.TrainOrder.withPosition(
+      load(s, d, "documents").select("doc_id"), "doc_id", 7L)
+
   def q87store(s: SparkSession, d: String): DataFrame = {
     val (batch, _) = q96split(s, d)
     val store = ensureProbeUnitStore(s, d)
@@ -1447,6 +1458,8 @@ object Probe {
       "q59sig_kern" -> (q59sigKern _),
       "q82assign_udf" -> (q82assignUdf _),
       "q82assign_kern" -> (q82assignKern _),
+      "q100full" -> (q100full _),
+      "q100pos" -> (q100pos _),
       "q87store" -> (q87store _),
       "q87pipe" -> (q87pipe _),
       "q95persist" -> (q95persist _),
