@@ -57,6 +57,8 @@ object TrainOrder {
 
   private def sortedByKey(df: DataFrame, idCol: String,
                           keyFn: Column => Column): DataFrame = {
+    require(!df.columns.contains("__tk"),
+      "input already carries the internal sort-key column __tk")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     df.withColumn("__tk", keyFn(col(idCol)))
       .repartitionByRange(parts, col("__tk"), col(idCol))
@@ -83,6 +85,8 @@ object TrainOrder {
 
   def withPosition(df: DataFrame, idCol: String, keyFn: Column => Column,
                    posCol: String): DataFrame = {
+    require(!df.columns.contains(posCol),
+      s"input already carries a '$posCol' column — pass a different posCol")
     val s = sortedByKey(df, idCol, keyFn)
     val schema = s.schema.add(posCol, LongType, nullable = false)
     // zipWithIndex = per-partition counts (one job) + offset map on ONE
