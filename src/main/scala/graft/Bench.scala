@@ -42,9 +42,9 @@ object Bench {
     "q50_cosine_topk", "q52_embedding_near_dup", "q59_embedding_lsh_neardup",
     "q53_multimodal_decode", "q56_rolling_hash", "q57_quality_signals",
     "q77_vocab_topk", "q78_kmeans_step", "q80_dup_ngram_spans", "q81_bm25_search",
-    // round 17: the paragraph-dedup rewrite (not in bench/duckdb_sf0.1.json,
-    // so it rides the TOTAL but stays out of the committed comparable set —
-    // the 5-pass campaign predates it; engine pairs at sf1/sf10 in SCALE.md)
+    // round 18: the paragraph-dedup rewrite joined the comparable set —
+    // bench/duckdb_sf0.1.json and the committed sf0.1/1/10/30 campaign
+    // artifacts all carry its DuckDB pair (q87 wins from sf10 up)
     "q87_paragraph_dedup",
     "q06_join_5way_bucketed", "q08_semi_join_bucketed",
     "q05_join_agg_bucketed", "q28_in_subquery_bucketed",
