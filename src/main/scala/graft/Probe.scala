@@ -976,6 +976,46 @@ object Probe {
     graft.operators.TrainOrder.withPosition(
       load(s, d, "documents").select("doc_id"), "doc_id", 7L)
 
+  /** Kernel≡UDF parity SWEEPS, runnable at any SF (the unit specs pin
+    * the same contracts on sf0.001 + adversarial edges; these recheck
+    * them over full replicated corpora — expected output: one row,
+    * every mismatch count 0).
+    */
+  def parityKernels(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
+    val sig = docs.select(
+      graft.operators.Dedup.signatureForProfile(128, 3)(col("text")).as("u"),
+      graft.functions.MinHashSig.sig(col("text"), 128, 3).as("k"))
+      .filter((col("u").isNull =!= col("k").isNull) ||
+        (col("u").isNotNull && col("u") =!= col("k"))).count()
+    val sim = docs.select(
+      graft.operators.Dedup.simhashUdfForParity(col("text")).as("u"),
+      graft.functions.MinHashSig.simhash64(lower(trim(col("text")))).as("k"))
+      .filter(col("u") =!= col("k")).count()
+    val emb = load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val cents = graft.operators.SimilaritySearch.sampleCentroids(
+      emb.withColumnRenamed("v", "embedding"), "embedding", "vec_id", 16)
+    val ivf = graft.operators.SimilaritySearch
+      .assignWithUdf(emb, "v", cents).withColumnRenamed("cluster", "u")
+      .join(graft.operators.SimilaritySearch.assignWithKernel(emb, "v", cents)
+        .withColumnRenamed("cluster", "k").select("vec_id", "k"), "vec_id")
+      .filter(col("u") =!= col("k")).count()
+    val planes = graft.operators.SimilaritySearch.hyperplanesFor(12, 4, 64, 7L)
+    val hyp = emb.select(
+      (graft.functions.VectorExpressions.hyperplaneSigs(col("v"), planes).as("k") +:
+        (0 until 4).map(t => graft.operators.SimilaritySearch
+          .signatureUdfForParity(12, 64, 7L + t)(col("v")).as(s"u_$t"))): _*)
+      .filter((0 until 4).map(t =>
+        element_at(col("k"), t + 1) =!= col(s"u_$t")).reduce(_ || _)).count()
+    import s.implicits._
+    System.err.println(s"[parity] minhash_sig=$sig simhash=$sim " +
+      s"ivf_assign=$ivf hyperplane=$hyp (all must be 0)")
+    Seq((sig, sim, ivf, hyp)).toDF(
+      "minhash_sig_mismatch", "simhash_mismatch",
+      "ivf_assign_mismatch", "hyperplane_mismatch")
+  }
+
   def q87store(s: SparkSession, d: String): DataFrame = {
     val (batch, _) = q96split(s, d)
     val store = ensureProbeUnitStore(s, d)
@@ -1460,6 +1500,7 @@ object Probe {
       "q82assign_kern" -> (q82assignKern _),
       "q100full" -> (q100full _),
       "q100pos" -> (q100pos _),
+      "parity_kernels" -> (parityKernels _),
       "q87store" -> (q87store _),
       "q87pipe" -> (q87pipe _),
       "q95persist" -> (q95persist _),
