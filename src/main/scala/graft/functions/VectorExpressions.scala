@@ -339,15 +339,24 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Array[Double]])
       s"nearest_centroid requires array<double>, got ${other.simpleString}")
   }
 
+  // per-centroid norms hoisted out of the row loop (ADVICE r19): sqrt(pn)
+  // is a constant per centroid — recomputing it per row was k×dim
+  // redundant multiply-adds, ~a third of the inner-loop FLOPs. Bit parity
+  // preserved: the norm accumulates in the same index order with the
+  // same sqrt, so sim = dot / (norm * sqrt(vn)) multiplies the exact
+  // doubles the fused form produced (spec-pinned kernel ≡ UDF).
+  @transient private lazy val centNorms = NearestCentroidExpr.norms(cents)
+
   override def nullSafeEval(a: Any): Any =
-    NearestCentroidExpr.evalNearest(a.asInstanceOf[ArrayData], cents)
+    NearestCentroidExpr.evalNearest(a.asInstanceOf[ArrayData], cents, centNorms)
 
   // named evalNearest, not eval — see the forwarder note on
   // [[HyperplaneSigsExpr.doGenCode]]
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("cents", cents, "double[][]")
+    val normsRef = ctx.addReferenceObj("centNorms", centNorms, "double[]")
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.NearestCentroidExpr.evalNearest($c, $ref)")
+      s"graft.functions.NearestCentroidExpr.evalNearest($c, $ref, $normsRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): NearestCentroidExpr =
@@ -355,23 +364,44 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Array[Double]])
 }
 
 object NearestCentroidExpr {
-  def evalNearest(v: ArrayData, cents: Array[Array[Double]]): Int = {
+  /** Per-centroid L2 norms, accumulated in the same index order (and
+    * through the same sqrt) as the fused per-row loop did — so hoisting
+    * them changes zero result bits.
+    */
+  def norms(cents: Array[Array[Double]]): Array[Double] = {
+    val out = new Array[Double](cents.length)
+    var c = 0
+    while (c < cents.length) {
+      val p = cents(c)
+      var pn = 0.0
+      var j = 0
+      while (j < p.length) { pn += p(j) * p(j); j += 1 }
+      out(c) = math.sqrt(pn)
+      c += 1
+    }
+    out
+  }
+
+  def evalNearest(v: ArrayData, cents: Array[Array[Double]],
+                  centNorms: Array[Double]): Int = {
     val dim = cents(0).length
     if (v.numElements() != dim)
       throw new IllegalArgumentException(
         graft.operators.SimilaritySearch.dimError(v.numElements(), dim))
+    // the input norm is constant across centroids too — hoisted on the
+    // same bit-parity argument (identical accumulation order + sqrt)
+    var vn = 0.0
+    var j = 0
+    while (j < dim) { val xv = v.getDouble(j); vn += xv * xv; j += 1 }
+    val vnorm = math.sqrt(vn)
     var best = 0; var bestSim = Double.MinValue
     var c = 0
     while (c < cents.length) {
       val p = cents(c)
-      var s = 0.0; var pn = 0.0; var vn = 0.0
-      var j = 0
-      while (j < dim) {
-        val xv = v.getDouble(j)
-        s += p(j) * xv; pn += p(j) * p(j); vn += xv * xv
-        j += 1
-      }
-      val sim = s / (math.sqrt(pn) * math.sqrt(vn))
+      var s = 0.0
+      var i = 0
+      while (i < dim) { s += p(i) * v.getDouble(i); i += 1 }
+      val sim = s / (centNorms(c) * vnorm)
       if (sim > bestSim) { bestSim = sim; best = c }
       c += 1
     }

@@ -60,14 +60,25 @@ object TrainOrder {
     require(!df.columns.contains("__tk"),
       "input already carries the internal sort-key column __tk")
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    df.withColumn("__tk", keyFn(col(idCol)))
+    // ids must be unique AND NON-NULL (ADVICE r18): a null id nulls the
+    // md5 key (Spark's concat is null-propagating where DuckDB's skips
+    // nulls — the oracle would diverge) and leaves the tie-break column
+    // null too, so the permutation stops being total. Fail loudly per
+    // offending row instead of emitting a nondeterministic order; the
+    // branch is codegen'd and costs one null check next to the hash.
+    val id = col(idCol)
+    val key = when(id.isNull, raise_error(lit(
+      s"TrainOrder: null $idCol — the seed-stable permutation requires " +
+        "unique, non-null ids"))).otherwise(keyFn(id))
+    df.withColumn("__tk", key)
       .repartitionByRange(parts, col("__tk"), col(idCol))
       .sortWithinPartitions(col("__tk"), col(idCol))
   }
 
   /** The corpus in seed-stable shuffled order (ties on the hash broken
-    * by `idCol`, so the permutation is total for unique ids). Plan: one
-    * range exchange + local sort; stays in whole-stage codegen.
+    * by `idCol`, so the permutation is total for unique, NON-NULL ids —
+    * a null id raises at runtime rather than untying the order). Plan:
+    * one range exchange + local sort; stays in whole-stage codegen.
     */
   def permute(df: DataFrame, idCol: String, seed: Long): DataFrame =
     permute(df, idCol, defaultKey(seed) _)
@@ -82,6 +93,51 @@ object TrainOrder {
   def withPosition(df: DataFrame, idCol: String, seed: Long,
                    posCol: String = "train_pos"): DataFrame =
     withPosition(df, idCol, defaultKey(seed) _, posCol)
+
+  /** Order-implicit shard index for [[permuteToShards]]: the TOP
+    * log2(nShards) bits of the permutation key, shifted into [0,
+    * nShards). Because it is a RANGE split of the key space (not a hash
+    * of it), ascending shard index refines ascending key — which is what
+    * makes `(shard, in-file position)` a spelling of the training order.
+    * `nShards` must be a power of two ≥ 2 so the split is exact integer
+    * bit arithmetic (no 2⁶⁴ division); uniform by construction since the
+    * key is a 64-bit hash.
+    */
+  def shardIndex(idCol: Column, seed: Long, nShards: Int): Column = {
+    require(nShards >= 2 && (nShards & (nShards - 1)) == 0,
+      s"nShards must be a power of two >= 2, got $nShards")
+    val bits = java.lang.Integer.numberOfTrailingZeros(nShards)
+    // arithmetic shift keeps key order: [-n/2, n/2) ascending in the
+    // signed key; +n/2 maps to [0, n)
+    (shiftright(defaultKey(seed)(idCol), 64 - bits) + lit(nShards / 2))
+      .cast("int").as("shard")
+  }
+
+  /** The 100 TB deployment composition, first-class: land the permuted
+    * corpus as ORDER-IMPLICIT training shards — `shard index + in-file
+    * position IS the training order`, so no per-row position column (and
+    * no [[withPosition]] RDD hop) is ever materialized. One
+    * [[ShardWriter]] pass: shard by the key's top bits (range split —
+    * see [[shardIndex]]), sort each file by `(key, id)`; a loader that
+    * reads shard directories in index order and files in row order
+    * replays exactly [[withPosition]]'s permutation (spec-gated in
+    * TrainOrderSpec). Scale shape: one hash exchange on the shard column
+    * + in-partition sort — no global sort, no single-reducer stage; the
+    * `__tk` key column persists in the shard files as the loader's
+    * resume cursor. Returns the shard count read back off the layout.
+    */
+  def permuteToShards(df: DataFrame, idCol: String, seed: Long,
+                      path: String, nShards: Int): Long = {
+    require(!df.columns.contains("__tk"),
+      "input already carries the internal sort-key column __tk")
+    val id = col(idCol)
+    val key = when(id.isNull, raise_error(lit(
+      s"TrainOrder: null $idCol — the seed-stable permutation requires " +
+        "unique, non-null ids"))).otherwise(defaultKey(seed)(id))
+    val keyed = df.withColumn("__tk", key)
+      .withColumn("shard", shardIndex(id, seed, nShards))
+    ShardWriter.writeShards(keyed, path, "shard", Seq("__tk", idCol))
+  }
 
   def withPosition(df: DataFrame, idCol: String, keyFn: Column => Column,
                    posCol: String): DataFrame = {

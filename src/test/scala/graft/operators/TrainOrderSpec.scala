@@ -60,4 +60,46 @@ class TrainOrderSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), plan)
     assert(!plan.toLowerCase.contains("singlepartition"), plan)
   }
+
+  test("permuteToShards lands order-implicit shards: shard index + in-file position IS withPosition's training order (round 19, VERDICT r18 #5)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_train_shards")
+      .toString
+    val input = docs.select("doc_id", "text")
+    val nShards = TrainOrder.permuteToShards(input, "doc_id", seed = 7L,
+      dir, nShards = 8)
+    assert(nShards == 8L) // 500 uniform hash draws over 8 range buckets
+    // the positions spelling of the same permutation (the deployment
+    // claim: the shard layout encodes train_pos without materializing it)
+    val expected = TrainOrder.withPosition(input, "doc_id", seed = 7L)
+      .orderBy(col("train_pos")).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // read the layout the way a training loader would: shard directories
+    // in index order, one file per shard, rows in file order — no
+    // position column anywhere
+    val shardDirs = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("shard="))
+      .sortBy(_.getName.stripPrefix("shard=").toInt)
+    val actual = shardDirs.flatMap { sd =>
+      val parts = sd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"hash repartition must land ONE file per shard, got ${parts.length} in ${sd.getName}")
+      spark.read.parquet(parts.head.getAbsolutePath)
+        .select("doc_id").collect().map(_.getLong(0))
+    }.toSeq
+    assert(actual == expected,
+      "shard-order read-back must replay the exact training permutation")
+    graft.core.TempDirs.deleteOnExit(dir): Unit
+  }
+
+  test("a null id fails loudly instead of untying the permutation (ADVICE r18)") {
+    val withNull = docs.select(col("doc_id"), col("text")).unionByName(
+      Seq((null.asInstanceOf[java.lang.Long], "null-id row"))
+        .toDF("doc_id", "text"))
+    val e = intercept[Exception] {
+      TrainOrder.permute(withNull, "doc_id", seed = 7L).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("TrainOrder: null doc_id"), msgs)
+  }
 }
