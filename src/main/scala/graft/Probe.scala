@@ -714,9 +714,18 @@ object Probe {
     * LSH-only loop (signs ALL of it) vs the fingerprint loop's exact
     * stages + LSH on survivors (signs the novel tail only).
     */
-  private def recrawlBatch(s: SparkSession, d: String): DataFrame = {
+  private def recrawlBatch(s: SparkSession, d: String): DataFrame =
+    recrawlBatchCols(s, d, Seq("doc_id", "text"))
+
+  /** The same recrawl shape with a caller-chosen projection — qs12pipe
+    * needs (lang, source) for the curation tail; recrawlBatch keeps its
+    * historical 2-column scan so the committed q96recrawl_* numbers stay
+    * comparable.
+    */
+  private def recrawlBatchCols(s: SparkSession, d: String,
+                               cols: Seq[String]): DataFrame = {
     val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2").toInt
-    val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
+    val docs = load(s, d, "documents").select(cols.map(col): _*)
     val novel = docs.filter(col("doc_id") % (5 * m) === 1)
     val refetch = docs.filter(col("doc_id") % m =!= 1 && col("doc_id") % 9 === 2)
       .withColumn("doc_id", col("doc_id") + lit(2000000000L))
@@ -835,6 +844,125 @@ object Probe {
   def q87full(s: SparkSession, d: String): DataFrame =
     paraSummary(graft.operators.ParagraphDedup.dedup(
       load(s, d, "documents"), "doc_id", "text", paraUnits, " "))
+
+  // ---- qs12 composition pricing (round 19, VERDICT r18 #3) -----------
+  // The shards pipeline's per-batch cost was argued from its stages'
+  // prices but never measured as a composition. qs12tail prices the
+  // CURATION TAIL alone (q86 chain on a pre-landed cleaned batch →
+  // sorted language-partitioned shards); qs12pipe prices the whole
+  // per-batch cycle (fp-exact → LSH-vs-index → paragraph rewrite →
+  // cleaned files → tail), exactly the foreachBatch body of
+  // runIngestPipelineToShardsAsStream minus the two store APPENDS
+  // (batch-proportional writes priced by their own loops — the q87pipe
+  // precedent). Composition claim to check: qs12pipe ≈ q96recrawl_fp +
+  // q87store + qs12tail + the accept-set persist barrier.
+
+  /** q86 params exactly as the qs12 gate wires them. */
+  private def qs12Bench(s: SparkSession, d: String): DataFrame =
+    load(s, d, "documents").filter(col("doc_id") % 31 === 0)
+      .select(col("text").as("clean_text"))
+
+  private def qs12Tail(s: SparkSession, d: String, cleaned: DataFrame,
+                       attrs: DataFrame, shardsDir: String): Unit = {
+    val curInput = cleaned.join(attrs, "doc_id")
+    val curated = graft.operators.Curate.curate(
+      curInput, qs12Bench(s, d), "doc_id", "clean_text", "lang", "source",
+      minWords = 20, minUniqRatio = 0.25, sampleNumerator = 128,
+      weights = Map("src0" -> 2.0, "src1" -> 0.5), packBudget = 2000L)
+    graft.operators.ShardWriter.writeShards(curated, shardsDir, "lang",
+      Seq("bin", "doc_id", "replica")): Unit
+  }
+
+  /** One-time landing of the paragraph stage's output for the tail-only
+    * probe: cleaned files + the accepted rows' (lang, source) attributes
+    * — the tail's two inputs, stamped like the other probe fixtures.
+    */
+  private def ensureProbeCleanBatch(s: SparkSession, d: String): String = {
+    val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2")
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_probe_clean_batch_${new java.io.File(d).getName}_m$m")
+      .getAbsolutePath
+    val dAbs = new java.io.File(d).getAbsolutePath
+    def expected: String = probeStampCache.computeIfAbsent(dAbs,
+      _ => s"sfDir=$dAbs;docs=${load(s, d, "documents").count()}")
+    val stampFile = new java.io.File(base, "_GRAFT_PROVENANCE")
+    val stamp = scala.util.Try(scala.util.Using.resource(
+      scala.io.Source.fromFile(stampFile))(_.mkString.trim)).toOption
+    if (new java.io.File(s"$base/cleaned/_SUCCESS").exists() &&
+        stamp.isDefined && stamp.contains(expected)) base
+    else {
+      val idx = ensureProbeFps(s, d)
+      val store = ensureProbeUnitStore(s, d)
+      val t0 = System.nanoTime()
+      val batch = recrawlBatchCols(s, d,
+        Seq("doc_id", "text", "lang", "source"))
+        .withColumn("fp", xxhash64(col("text")))
+      val accepted = graft.operators.Dedup.dedupAgainstIndexFingerprinted(
+        batch, idx, "text", "doc_id", "fp").persist()
+      try {
+        graft.operators.ParagraphDedup.dedupAgainstStore(
+            accepted, "doc_id", "text", paraUnits, " ", store)
+          .write.mode("overwrite").parquet(s"$base/cleaned")
+        accepted.select(col("doc_id"), col("lang"), col("source"))
+          .write.mode("overwrite").parquet(s"$base/attrs")
+      } finally accepted.unpersist(): Unit
+      println(f"PROBE qs12_clean_batch_build      ${(System.nanoTime() - t0) / 1e9}%6.2fs -> $base")
+      val w = new java.io.PrintWriter(stampFile)
+      try w.print(expected) finally w.close()
+      base
+    }
+  }
+
+  /** One-row shard summary, collected eagerly so `time`'s noop write
+    * re-runs nothing (the q87pipe return pattern).
+    */
+  private def shardSummary(s: SparkSession, shardsDir: String): DataFrame = {
+    val rows = s.read.parquet(shardsDir)
+      .agg(count(lit(1)).as("n_packed"),
+        sum(col("tokens")).cast("long").as("sum_tokens")).collect()
+    s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("n_packed",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sum_tokens",
+          org.apache.spark.sql.types.LongType))))
+  }
+
+  def qs12tail(s: SparkSession, d: String): DataFrame = {
+    val base = ensureProbeCleanBatch(s, d)
+    val shards = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_probe_qs12tail_shards").getAbsolutePath
+    qs12Tail(s, d, s.read.parquet(s"$base/cleaned"),
+      s.read.parquet(s"$base/attrs"), shards)
+    shardSummary(s, shards)
+  }
+
+  def qs12pipe(s: SparkSession, d: String): DataFrame = {
+    val idx = ensureProbeFps(s, d)
+    val store = ensureProbeUnitStore(s, d)
+    val batch = recrawlBatchCols(s, d, Seq("doc_id", "text", "lang", "source"))
+      .withColumn("fp", xxhash64(col("text")))
+    // one full per-batch cycle eagerly, exactly as the loop runs it:
+    // accepted persisted across its three consumers (LSH stage output →
+    // paragraph stage → attribute join-back), cleaned landed to files
+    // and the tail reading them BACK (the pipeline's own shape — no
+    // recompute of the rewrite join)
+    val accepted = graft.operators.Dedup.dedupAgainstIndexFingerprinted(
+      batch, idx, "text", "doc_id", "fp").persist()
+    try {
+      val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_probe_qs12pipe_cleaned").getAbsolutePath
+      graft.operators.ParagraphDedup.dedupAgainstStore(
+          accepted, "doc_id", "text", paraUnits, " ", store)
+        .write.mode("overwrite").parquet(out)
+      val shards = new java.io.File(System.getProperty("java.io.tmpdir"),
+        "graft_probe_qs12pipe_shards").getAbsolutePath
+      qs12Tail(s, d, s.read.parquet(out),
+        accepted.select(col("doc_id"), col("lang"), col("source")), shards)
+      shardSummary(s, shards)
+    } finally accepted.unpersist(): Unit
+  }
 
   /** VERDICT r18 probe #4: q87's keep-first aggregate, `min(struct)`
     * (plans as a SORT aggregate — struct buffers aren't hash-agg
@@ -1503,6 +1631,8 @@ object Probe {
       "parity_kernels" -> (parityKernels _),
       "q87store" -> (q87store _),
       "q87pipe" -> (q87pipe _),
+      "qs12tail" -> (qs12tail _),
+      "qs12pipe" -> (qs12pipe _),
       "q95persist" -> (q95persist _),
       "q05_join_agg_bucketed" -> ((s: SparkSession, d: String) =>
         graft.Bench.extras("q05_join_agg_bucketed")(s, d)),

@@ -32,12 +32,41 @@ ORACLE=${ORACLE_JSON:-/tmp/vout/oracle_sql.json}
 mkdir -p bench/passes/sf${SF}
 
 for i in $(seq 1 $PASSES); do
-  SPARK_GRAFT_SF_DIR=$SFDIR SPARK_GRAFT_BENCH_SKIP=$SPARK_SKIP \
-    sbt -batch "runMain graft.Bench" > /tmp/bench_sf${SF}_spark_p$i.log 2>&1
+  # CANARY-GATED pass (round 19): graft.Bench runs the fixed canary pair
+  # (q06 shuffle-heavy + q57 scan control) against the committed curve
+  # BEFORE measuring; inside a degradation window it prints a
+  # {"canary":"FAIL",...} line and records nothing. Wait out the window
+  # and retry (the documented windows are multi-minute); a campaign that
+  # cannot find a clean window within the retry budget aborts rather
+  # than committing poisoned passes.
+  ok=0
+  for attempt in $(seq 1 ${CANARY_RETRIES:-8}); do
+    SPARK_GRAFT_SF_DIR=$SFDIR SPARK_GRAFT_BENCH_SKIP=$SPARK_SKIP \
+      SPARK_GRAFT_CANARY=1 \
+      sbt -batch "runMain graft.Bench" > /tmp/bench_sf${SF}_spark_p$i.log 2>&1 || true
+    if grep -q '"canary":"FAIL"' /tmp/bench_sf${SF}_spark_p$i.log; then
+      echo "pass $i attempt $attempt: canary refused (degradation window):" >&2
+      grep -o '"canary":"FAIL".*' /tmp/bench_sf${SF}_spark_p$i.log | tail -1 >&2
+      sleep ${CANARY_WAIT:-120}
+      continue
+    fi
+    # any other failure is a real error — surface the log tail and stop
+    if ! grep -q '"metric":"total"' /tmp/bench_sf${SF}_spark_p$i.log; then
+      echo "pass $i failed (not a canary refusal):" >&2
+      tail -20 /tmp/bench_sf${SF}_spark_p$i.log >&2
+      exit 1
+    fi
+    ok=1; break
+  done
+  if [ $ok -ne 1 ]; then
+    echo "pass $i: canary never cleared after ${CANARY_RETRIES:-8} attempts — aborting campaign" >&2
+    exit 3
+  fi
   # capture the FILE artifact, not the compact stdout line: the file
-  # carries the skip list, cold runs, and bucket-setup time — the
-  # compact line omits "skipped" (driver-tail size budget), which left
-  # merged artifacts recording skipped queries as silently absent.
+  # carries the skip list, cold runs, bucket-setup time, and the canary
+  # readings proving the pass was taken in a clean window — the compact
+  # line omits "skipped" (driver-tail size budget), which left merged
+  # artifacts recording skipped queries as silently absent.
   cp bench/last_run_sf${SF}.json bench/passes/sf${SF}/spark_pass$i.json
 done
 for i in $(seq 1 $PASSES); do
