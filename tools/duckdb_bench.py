@@ -10,6 +10,9 @@ bench/duckdb_sf0.1.json (and the duckdb half of bench/sf1.json).
 Usage: duckdb_bench.py <sf_dir> <oracle_sql.json> [runs=3]
   DUCKDB_BENCH_SKIP=q47_...  comma-separated queries to skip (q47's exact
   all-pairs oracle runs for hours at sf>=0.1).
+  DUCKDB_BENCH_ONLY=q87_...  restrict to these queries (the duckdb half of
+  a same-day ONLY-run re-measure pair — mirrors SPARK_GRAFT_BENCH_ONLY);
+  recorded in the output's "only" field so a subset run is self-labeled.
 """
 import json, os, statistics, sys, time
 import duckdb
@@ -18,6 +21,7 @@ sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 oracle = json.load(open(sys.argv[2] if len(sys.argv) > 2 else "/tmp/vout/oracle_sql.json"))
 runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3
 skip = set(filter(None, os.environ.get("DUCKDB_BENCH_SKIP", "").split(",")))
+only = set(filter(None, os.environ.get("DUCKDB_BENCH_ONLY", "").split(",")))
 headline = ["q01_pricing_summary","q02_global_agg","q03_filter_topn","q05_join_agg",
   "q06_join_5way","q08_semi_join","q12_distinct_on","q16_window_topk_per_group",
   "q17_window_running_sum","q19_rollup","q25_date_parts","q28_in_subquery",
@@ -34,6 +38,8 @@ total = 0.0
 out = {}
 for q in headline:
     if q not in oracle:
+        continue
+    if only and q not in only:
         continue
     if q in skip:
         out[q] = None
@@ -55,6 +61,7 @@ sf = os.path.basename(sf_dir.rstrip("/")).lstrip("sf") or sf_dir
 print(json.dumps({
     "engine": "duckdb", "version": duckdb.__version__, "sf": sf,
     "warm_runs": runs, "warm_stat": "median",
+    **({"only": sorted(only)} if only else {}),
     "skipped": sorted(skip & set(headline)),
     "recipe": f"python3 tools/duckdb_bench.py {sf_dir} <oracle_sql.json> {runs}",
     "total": round(total, 2), "queries": out}))
