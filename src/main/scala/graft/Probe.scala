@@ -608,6 +608,66 @@ object Probe {
       .orderBy(col("r_name"))
   }
 
+  /** The customer→region dim chain collapsed to one narrow broadcastable
+    * map: customer(c_custkey, c_nationkey) ⋈ nation ⋈ region →
+    * (c_custkey, r_name). |customer| rows × (long, short string).
+    */
+  private def custRegionMap(s: SparkSession, d: String): DataFrame = {
+    val c = load(s, d, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val n = broadcast(load(s, d, "nation"))
+    val r = broadcast(load(s, d, "region"))
+    c.join(n, c("c_nationkey") === n("n_nationkey"))
+      .join(r, n("n_regionkey") === r("r_regionkey"))
+      .select(col("c_custkey"), col("r_name"))
+  }
+
+  /** q06 bucketed, DIM CHAIN BROADCAST AS ONE MAP (round 19, VERDICT r18
+    * #4 audit): the colocated li⋈o hash join flows through a broadcast
+    * (c_custkey → r_name) lookup straight into the 5-group aggregate —
+    * ZERO exchanges end to end (no 600M-row custkey exchange, no perCust
+    * hash aggregate, no customer-side exchange; the 5-group agg is
+    * map-side-combined to ≤5 rows/partition). Price: one broadcast build
+    * of |customer| entries (15M × two narrow columns at sf100) — the
+    * standard dim-broadcast a 1000-executor cluster makes when the dim
+    * fits executor memory; per-executor cost is the same hash table the
+    * shuffled join would build, minus the exchange.
+    */
+  def q06bBcastMap(s: SparkSession, d: String): DataFrame = {
+    val li = s.table("bench_lineitem_bo")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = s.table("bench_orders_bo").select(col("o_orderkey"), col("o_custkey"))
+    val cr = custRegionMap(s, d)
+    li.join(o.hint("shuffle_hash"), col("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(cr), col("o_custkey") === cr("c_custkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
+  /** Decomposition control for [[q06bBcastMap]]: KEEP the per-custkey
+    * aggregate (the shipped shape's 600M→15M exchange) but broadcast the
+    * dim map for the second hop — isolates whether the gap is the
+    * custkey exchange+aggregate or the customer-side join.
+    */
+  def q06bAggBcast(s: SparkSession, d: String): DataFrame = {
+    val li = s.table("bench_lineitem_bo")
+      .select(col("l_orderkey"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val o = s.table("bench_orders_bo").select(col("o_orderkey"), col("o_custkey"))
+    val cr = custRegionMap(s, d)
+    val perCust = li
+      .join(o.hint("shuffle_hash"), col("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(sum(col("rev")).as("rev"), count(lit(1)).as("n_lines"))
+    perCust.join(broadcast(cr), perCust("o_custkey") === cr("c_custkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("rev")), 2).as("revenue"),
+        sum(col("n_lines")).as("n_lines"))
+      .orderBy(col("r_name"))
+  }
+
   /** Cross-corpus MinHash dedup at bench scale: split documents odd/even
     * on doc_id (new batch vs reference) and count verified cross pairs —
     * the at-scale timing point for q96's kernel (the gate runs at
@@ -873,9 +933,15 @@ object Probe {
       Seq("bin", "doc_id", "replica")): Unit
   }
 
-  /** One-time landing of the paragraph stage's output for the tail-only
-    * probe: cleaned files + the accepted rows' (lang, source) attributes
-    * — the tail's two inputs, stamped like the other probe fixtures.
+  /** One-time landing of a paragraph-stage output for the tail-only
+    * probe: cleaned files + (lang, source) attributes — the tail's two
+    * inputs, stamped like the other probe fixtures. Input is the
+    * q96split BATCH HALF through the store rewrite (q87store's exact
+    * stage), NOT the recrawl batch: at replicated SFs the recrawl
+    * batch's LSH accept set collapses to ~nothing (every novel doc
+    * near-dups its lake replicas — the disclosed replica-density
+    * artifact), and a tail priced on an empty set measures only
+    * machinery. The batch half stays batch-proportional at every SF.
     */
   private def ensureProbeCleanBatch(s: SparkSession, d: String): String = {
     val m = sys.env.getOrElse("SPARK_GRAFT_PROBE_Q96_SPLIT", "2")
@@ -891,21 +957,17 @@ object Probe {
     if (new java.io.File(s"$base/cleaned/_SUCCESS").exists() &&
         stamp.isDefined && stamp.contains(expected)) base
     else {
-      val idx = ensureProbeFps(s, d)
       val store = ensureProbeUnitStore(s, d)
       val t0 = System.nanoTime()
-      val batch = recrawlBatchCols(s, d,
-        Seq("doc_id", "text", "lang", "source"))
-        .withColumn("fp", xxhash64(col("text")))
-      val accepted = graft.operators.Dedup.dedupAgainstIndexFingerprinted(
-        batch, idx, "text", "doc_id", "fp").persist()
-      try {
-        graft.operators.ParagraphDedup.dedupAgainstStore(
-            accepted, "doc_id", "text", paraUnits, " ", store)
-          .write.mode("overwrite").parquet(s"$base/cleaned")
-        accepted.select(col("doc_id"), col("lang"), col("source"))
-          .write.mode("overwrite").parquet(s"$base/attrs")
-      } finally accepted.unpersist(): Unit
+      val mInt = m.toInt
+      val batch = load(s, d, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"))
+        .filter(col("doc_id") % mInt === 1)
+      graft.operators.ParagraphDedup.dedupAgainstStore(
+          batch, "doc_id", "text", paraUnits, " ", store)
+        .write.mode("overwrite").parquet(s"$base/cleaned")
+      batch.select(col("doc_id"), col("lang"), col("source"))
+        .write.mode("overwrite").parquet(s"$base/attrs")
       println(f"PROBE qs12_clean_batch_build      ${(System.nanoTime() - t0) / 1e9}%6.2fs -> $base")
       val w = new java.io.PrintWriter(stampFile)
       try w.print(expected) finally w.close()
@@ -914,10 +976,14 @@ object Probe {
   }
 
   /** One-row shard summary, collected eagerly so `time`'s noop write
-    * re-runs nothing (the q87pipe return pattern).
+    * re-runs nothing (the q87pipe return pattern). Schema is explicit so
+    * an EMPTY shard landing (the recrawl batch's accept set at
+    * replicated SFs) reads as zero rows instead of failing inference.
     */
   private def shardSummary(s: SparkSession, shardsDir: String): DataFrame = {
-    val rows = s.read.parquet(shardsDir)
+    val rows = s.read
+      .schema("bin LONG, tokens INT") // Curate: bin=floor() long, tokens=size() int
+      .parquet(shardsDir)
       .agg(count(lit(1)).as("n_packed"),
         sum(col("tokens")).cast("long").as("sum_tokens")).collect()
     s.createDataFrame(
@@ -958,7 +1024,12 @@ object Probe {
         .write.mode("overwrite").parquet(out)
       val shards = new java.io.File(System.getProperty("java.io.tmpdir"),
         "graft_probe_qs12pipe_shards").getAbsolutePath
-      qs12Tail(s, d, s.read.parquet(out),
+      // schema-explicit read: at replicated SFs the recrawl batch's
+      // accept set is ~empty (replica-density artifact, disclosed) and
+      // an empty landing must measure as zero rows, not fail inference
+      qs12Tail(s, d, s.read
+          .schema("doc_id LONG, n_units LONG, n_dropped LONG, clean_text STRING")
+          .parquet(out),
         accepted.select(col("doc_id"), col("lang"), col("source")), shards)
       shardSummary(s, shards)
     } finally accepted.unpersist(): Unit
@@ -1608,6 +1679,7 @@ object Probe {
       "q06b_scan" -> (q06bScan _), "q06b_perorder" -> (q06bPerOrder _),
       "q06b_join" -> (q06bJoin _), "q06b_full" -> (q06bFull _),
       "q06b_smj" -> (q06bSmj _), "q06b_joinfirst" -> (q06bJoinFirst _),
+      "q06b_bcastmap" -> (q06bBcastMap _), "q06b_aggbcast" -> (q06bAggBcast _),
       "q96scale" -> (q96scale _),
       "q96index" -> (q96index _),
       "q96recrawl_lsh" -> (q96recrawlLsh _),
