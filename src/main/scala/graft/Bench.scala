@@ -437,10 +437,21 @@ object Bench {
     // artifact on success, so every committed pass carries the proof it
     // was taken in a clean window. First campaign at a new SF has no
     // curve — gate skips those queries (readings still recorded).
+    // SPARK_GRAFT_CANARY_EXTRA: comma-separated additional canary
+    // queries (must have committed curves). The q47@sf10 r19 re-measure
+    // proved the default pair necessary but NOT sufficient: 3-second
+    // shuffles were at baseline while q47's sustained (tens-of-seconds,
+    // disk-spilling) shuffles were still 40% degraded. A campaign whose
+    // heaviest queries spill should name one of them here so the gate
+    // tests the volume regime it is about to measure.
+    val canaryExtra = sys.env.get("SPARK_GRAFT_CANARY_EXTRA")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
     val canaryJson: Option[String] =
       if (!sys.env.get("SPARK_GRAFT_CANARY").contains("1")) None
       else {
-        val readings = Seq("q06_join_5way", "q57_quality_signals").map { name =>
+        val readings = (Seq("q06_join_5way", "q57_quality_signals") ++
+          canaryExtra).distinct.filter(SparkEntry.queries.contains).map { name =>
           def run(): Double = {
             val t0 = System.nanoTime()
             exec(SparkEntry.queries(name)(spark, sfDir))
