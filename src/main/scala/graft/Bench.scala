@@ -447,6 +447,19 @@ object Bench {
     val canaryExtra = sys.env.get("SPARK_GRAFT_CANARY_EXTRA")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // SPARK_GRAFT_CANARY_BAND="ratio,absSec" tightens the refusal band.
+    // The default (2x AND +0.3 s) catches the hard windows, but the r18
+    // sf0.1 campaign was poisoned by a MILD window — a 0.95-1.55x
+    // gradient across all queries — that a 2x band passes. Small-SF
+    // campaigns (sub-second canary times, min-of-2-warm noise ~10-20%)
+    // can afford 1.5x/+0.15 s; the default stays loose so ONLY-mode
+    // re-measures at big SFs don't false-refuse on cold-cache variance.
+    val (bandRatio, bandAbs) = sys.env.get("SPARK_GRAFT_CANARY_BAND")
+      .map(_.split(",") match {
+        case Array(r, a) => (r.trim.toDouble, a.trim.toDouble)
+        case other => sys.error(
+          s"SPARK_GRAFT_CANARY_BAND expects 'ratio,absSec', got: ${other.mkString(",")}")
+      }).getOrElse((2.0, 0.3))
     val canaryJson: Option[String] =
       if (!sys.env.get("SPARK_GRAFT_CANARY").contains("1")) None
       else {
@@ -465,7 +478,7 @@ object Bench {
             f""""min_warm":$m%.3f}"""
         }.mkString("{", ",", "}")
         val stalled = readings.filter { case (_, t, m) =>
-          t.exists(v => m > v * 2 && m > v + 0.3)
+          t.exists(v => m > v * bandRatio && m > v + bandAbs)
         }
         if (stalled.nonEmpty) {
           System.err.println(s"[bench] canary gate REFUSED the pass: " +
