@@ -670,13 +670,18 @@ object Bench {
     // (e.g. 2.96 committed vs ~3.2 single-pass at sf0.1). Emitting both
     // in the tail keeps BENCH_rN.json from misleading on its own.
     val sameSfRef = loadRef(s"bench/sf$sf.json")
-    val comparable = duckRef.map { ref =>
+    val comparable = duckRef.flatMap { ref =>
       val qs = ref.path("queries")
       val names = results.filter(_._2 >= 0).map(_._1).filterNot(nonComparable)
         .filter(n => qs.has(n) && qs.get(n).isNumber && qs.get(n).asDouble() > 0)
       val s = names.map(n => results.find(_._1 == n).get._2).sum
       val d = names.map(n => qs.get(n).asDouble()).sum
-      f"""{"n":${names.size},"spark_sec":$s%.2f,"duckdb_sec":$d%.2f,"ratio":${s / d}%.2f}"""
+      // A canary-only probe (ONLY set matching nothing) measures zero
+      // comparable queries; 0/0 = NaN is not JSON and crashed the compact
+      // ratio parse — skip the block instead.
+      if (names.isEmpty) None
+      else Some(
+        f"""{"n":${names.size},"spark_sec":$s%.2f,"duckdb_sec":$d%.2f,"ratio":${s / d}%.2f}""")
     }
     // Reference blobs print FIRST, one JSON line each, so a tail-capture
     // of stdout always keeps the fresh measurement (the r4 artifact
