@@ -7,7 +7,10 @@
 # Usage:
 #   tools/bench_sf.sh <sfDir> <sfLabel> "<note>" [sparkSkip] [duckSkip]
 # Env: PASSES=2; SPARK_GRAFT_SKIP_BUCKETS=1 to skip bucketed variants;
-#      ORACLE_JSON for the duckdb side's oracle SQL.
+#      ORACLE_JSON for the duckdb side's oracle SQL;
+#      PASS_OFFSET=N to EXTEND an existing campaign (pass files are
+#      written at indices N+1..N+PASSES instead of overwriting 1..PASSES;
+#      the final merge globs ALL pass files either way).
 set -e
 cd "$(dirname "$0")/.."
 SFDIR=$1; SF=$2; NOTE=$3
@@ -31,7 +34,8 @@ PASSES=${PASSES:-2}
 ORACLE=${ORACLE_JSON:-/tmp/vout/oracle_sql.json}
 mkdir -p bench/passes/sf${SF}
 
-for i in $(seq 1 $PASSES); do
+for n in $(seq 1 $PASSES); do
+  i=$((n + ${PASS_OFFSET:-0}))
   # CANARY-GATED pass (round 19): graft.Bench runs the fixed canary pair
   # (q06 shuffle-heavy + q57 scan control) against the committed curve
   # BEFORE measuring; inside a degradation window it prints a
@@ -69,7 +73,8 @@ for i in $(seq 1 $PASSES); do
   # artifacts recording skipped queries as silently absent.
   cp bench/last_run_sf${SF}.json bench/passes/sf${SF}/spark_pass$i.json
 done
-for i in $(seq 1 $PASSES); do
+for n in $(seq 1 $PASSES); do
+  i=$((n + ${PASS_OFFSET:-0}))
   DUCKDB_BENCH_SKIP=$DUCK_SKIP python3 tools/duckdb_bench.py "$SFDIR" "$ORACLE" 3 \
     > bench/passes/sf${SF}/duck_pass$i.json 2>/tmp/bench_sf${SF}_duck_p$i.err
 done
