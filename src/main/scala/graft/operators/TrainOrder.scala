@@ -130,6 +130,12 @@ object TrainOrder {
                       path: String, nShards: Int): Long = {
     require(!df.columns.contains("__tk"),
       "input already carries the internal sort-key column __tk")
+    // withColumn would silently REPLACE a caller's "shard" column (and
+    // its data would be lost in the landed layout) — same loud-failure
+    // contract as __tk/posCol
+    require(!df.columns.contains("shard"),
+      "input already carries a 'shard' column — rename it before " +
+        "permuteToShards (the layout's partition column uses that name)")
     val id = col(idCol)
     val key = when(id.isNull, raise_error(lit(
       s"TrainOrder: null $idCol — the seed-stable permutation requires " +

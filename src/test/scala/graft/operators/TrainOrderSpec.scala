@@ -91,6 +91,17 @@ class TrainOrderSpec extends AnyFunSuite {
     graft.core.TempDirs.deleteOnExit(dir): Unit
   }
 
+  test("permuteToShards refuses an input that already carries a 'shard' column") {
+    val clash = docs.select(col("doc_id"), col("text"),
+      lit(99).as("shard"))
+    val e = intercept[IllegalArgumentException] {
+      TrainOrder.permuteToShards(clash, "doc_id", seed = 7L,
+        java.nio.file.Files.createTempDirectory("graft_shard_clash").toString,
+        nShards = 8)
+    }
+    assert(e.getMessage.contains("'shard' column"), e.getMessage)
+  }
+
   test("a null id fails loudly instead of untying the permutation (ADVICE r18)") {
     val withNull = docs.select(col("doc_id"), col("text")).unionByName(
       Seq((null.asInstanceOf[java.lang.Long], "null-id row"))
