@@ -1128,6 +1128,209 @@ object Probe {
     load(s, d, "documents").select(
       graft.functions.MinHashSig.simhash64(lower(trim(col("text")))).as("sig"))
 
+  /** r19 plan-fix A/B (filter-pushdown kernel duplication): the
+    * rounds-1..18 bandRows spelling — an explicit filter(sig.isNotNull)
+    * that the optimizer pushes below the repartition exchange as
+    * `isnotnull(minhash_sig(text))`, (a) running the signature kernel
+    * TWICE per doc and (b) splitting the corpus scan into two
+    * un-reusable text exchanges (the verify branch's scan filter no
+    * longer matches). The shipped shape (q47pairs_new) guards the band
+    * explode with `when(sig.isNotNull, …)` instead — posexplode of a
+    * null array emits nothing, so band rows are byte-identical with no
+    * pushable predicate. Interleave old/new in one JVM.
+    */
+  def q47pairsOld(s: SparkSession, d: String): DataFrame = {
+    val par = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val src = load(s, d, "documents")
+    val base = src.select(col("doc_id").as("id"), col("text").as("__text"))
+      .repartition(math.max(par, src.rdd.getNumPartitions))
+    val banded = base
+      .withColumn("sig", graft.functions.MinHashSig.sig(col("__text"), 128, 3))
+      .filter(col("sig").isNotNull)
+      .select(col("id"), posexplode(transform(sequence(lit(0), lit(15)),
+        b => hash(slice(col("sig"), b * lit(8) + 1, lit(8)), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = left.join(right.hint("MERGE"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    val hashed = base.select(col("id"),
+      graft.operators.Dedup.shingleHashesForProfile(3)(col("__text")).as("__sh"))
+    val ta = hashed.select(col("id").as("id_a"), col("__sh").as("__sh_a"))
+    val tb = hashed.select(col("id").as("id_b"), col("__sh").as("__sh_b"))
+    candidates.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.JaccardExpressions.sortedJaccard(
+          col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  def q47pairsNew(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.minhashLshPairs(
+      load(s, d, "documents"), "text", "doc_id", 0.8)
+
+  /** r19 plan-fix A/B for q49: the old spelling had no explicit null
+    * filter, but the hamming filter's isnotnull(sig) constraint was
+    * INFERRED and pushed below the repartition as
+    * `isnotnull(simhash64(...))` — kernel twice per doc. The shipped
+    * shape filters text.isNotNull explicitly (cheap, parquet-pushed)
+    * and declares the signature KnownNotNull, so nothing is inferred.
+    */
+  def q49pairsOld(s: SparkSession, d: String): DataFrame = {
+    val par = s.conf.get("spark.sql.shuffle.partitions").toInt
+    val df = load(s, d, "documents")
+    graft.operators.Dedup.simhashPairsOnSigs(
+      df.repartition(math.max(par, df.rdd.getNumPartitions))
+        .select(col("doc_id").as("id"),
+          graft.operators.Dedup.simhash(col("text")).as("sig")),
+      maxDistance = 3, pieces = 8)
+  }
+
+  def q49pairsNew(s: SparkSession, d: String): DataFrame =
+    graft.operators.Dedup.simhashPairs(
+      load(s, d, "documents"), "text", "doc_id", maxDistance = 3, pieces = 8)
+
+  /** r19 plan-fix A/B for q81: the old filter referenced __tfs once per
+    * term (OR-chain), and pushdown through the projection substituted
+    * the term_hits kernel into every reference — 5 kernel evals per doc
+    * at 4 terms. The shipped filter is `exists(__tfs, _ > 0)` — one
+    * reference, one pushed eval.
+    */
+  def q81bm25Old(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TermHits
+    val terms = Seq("spark", "vector", "hash", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val docs = load(s, d, "documents").select(col("doc_id"),
+      TermHits.termHits(lower(col("text")), terms).as("__h"))
+      .select(col("doc_id"), col("__h.dl").cast("double").as("__dl"),
+        col("__h.tfs").as("__tfs"))
+    val dfCols = terms.indices.map(i => sum(when(col("__tfs")(i) > 0, 1)
+      .otherwise(0)).cast("double").as(s"__df$i"))
+    val stats = docs.agg(count(lit(1)).cast("double").as("__n"),
+      (avg(col("__dl")).as("__avgdl") +: dfCols): _*)
+    val score: org.apache.spark.sql.Column = terms.indices.map { i =>
+      val tf = col("__tfs")(i).cast("double")
+      val idf = log(lit(1.0) +
+        (col("__n") - col(s"__df$i") + 0.5) / (col(s"__df$i") + 0.5))
+      when(col("__tfs")(i) > 0,
+        idf * tf * lit(k1 + 1.0) / (tf + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
+        .otherwise(lit(0.0))
+    }.reduce(_ + _)
+    docs.filter(terms.indices.map(i => col("__tfs")(i) > 0).reduce(_ || _))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), round(score, 3).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  def q81bm25New(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bm25.topK(load(s, d, "documents"),
+      "doc_id", "text", Seq("spark", "vector", "hash", "stream"), k = 20)
+
+  /** r19 exchange-sharing probe for q80: the census branch (per-gram
+    * doc-count) prunes to [gram] only, so its extraction subtree cannot
+    * reuse the join branch's repartition exchange — the gram-extraction
+    * kernel runs twice and the corpus crosses two exchanges. Variant:
+    * count `struct(__id, __cnt)` instead of `lit(1)` — identical count
+    * (a struct is never null), but the aggregate now references every
+    * column of the shared projection, pruning matches, and the second
+    * subtree becomes a ReusedExchange of the first: ONE extraction, ONE
+    * gram exchange for the whole census.
+    */
+  def q80reuse(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val n = 16
+    val gramCounts = docs.filter(length(col("text")) >= n)
+      .select(col("doc_id").as("__id"),
+        explode(graft.functions.GramHash.gramHashCounts(col("text"), n, 4))
+          .as("__g"))
+      .select(col("__id"), col("__g.gram").as("gram"), col("__g.cnt").as("__cnt"))
+      .repartition(col("gram"))
+    val dupGrams = gramCounts.groupBy(col("gram"))
+      .agg(count(struct(col("__id"), col("__cnt"))).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("gram"), lit(1).as("__dup"))
+    gramCounts.join(dupGrams.hint("SHUFFLE_HASH"), Seq("gram"), "left")
+      .groupBy(col("__id").as("doc_id"))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        sum(when(col("__dup").isNotNull, col("__cnt")).otherwise(lit(0L)))
+          .cast("long").as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 4))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_dup")).cast("long").as("total_dup"),
+        round(avg(col("dup_frac")), 4).as("avg_dup_frac"))
+      .orderBy(col("lang"))
+  }
+
+  /** The shipped q80 shape (whatever dupSpanStats currently plans) for
+    * same-JVM interleave against q80reuse.
+    */
+  def q80cur(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    graft.operators.SubstringDup
+      .dupSpanStats(docs, "doc_id", "text", n = 16, stride = 4,
+        hashGrams = true)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_dup")).cast("long").as("total_dup"),
+        round(avg(col("dup_frac")), 4).as("avg_dup_frac"))
+      .orderBy(col("lang"))
+  }
+
+  /** r19 shuffle-removal probe (guide §2.4): skip the round-robin
+    * parallelism repartition when the parquet scan already has >= the
+    * session's shuffle partitions — at sf10 the documents scan fans out
+    * to ~70 byte-balanced splits on 32 cores, so the full-text exchange
+    * buys nothing the scan doesn't already provide. Trade under test
+    * for q47: the repartition exchange is REUSED by the bands and
+    * verify branches (one scan + one text shuffle + two shuffle reads)
+    * vs no-repartition's two parquet scans (page-cached locally;
+    * remote-but-compressed on a lake). q49 has a single consumer below
+    * the exchange, so skipping is a pure removal there.
+    */
+  def q47norr(s: SparkSession, d: String): DataFrame = {
+    val src = load(s, d, "documents")
+    val base = src.select(col("doc_id").as("id"), col("text").as("__text"))
+    val banded = base
+      .withColumn("sig", graft.functions.MinHashSig.sig(col("__text"), 128, 3))
+      .select(col("id"), posexplode(when(col("sig").isNotNull,
+        transform(sequence(lit(0), lit(15)),
+          b => hash(slice(col("sig"), b * lit(8) + 1, lit(8)), b)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val left = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val right = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val candidates = left.join(right.hint("MERGE"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).dropDuplicates("id_a", "id_b")
+    val hashed = base.select(col("id"),
+      graft.operators.Dedup.shingleHashesForProfile(3)(col("__text")).as("__sh"))
+    val ta = hashed.select(col("id").as("id_a"), col("__sh").as("__sh_a"))
+    val tb = hashed.select(col("id").as("id_b"), col("__sh").as("__sh_b"))
+    candidates.join(ta, "id_a").join(tb, "id_b")
+      .select(col("id_a"), col("id_b"),
+        graft.functions.JaccardExpressions.sortedJaccard(
+          col("__sh_a"), col("__sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+  }
+
+  def q49norr(s: SparkSession, d: String): DataFrame = {
+    val df = load(s, d, "documents")
+    graft.operators.Dedup.simhashPairsOnSigs(
+      df.filter(col("text").isNotNull)
+        .select(col("doc_id").as("id"),
+          org.apache.spark.sql.GraftColumnShim.column(
+            org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+              org.apache.spark.sql.GraftColumnShim.expression(
+                graft.operators.Dedup.simhash(col("text"))))).as("sig")),
+      maxDistance = 3, pieces = 8)
+  }
+
   /** Same A/B for the embedding-LSH signature pass (q59's): one boxed
     * UDF per table vs the all-tables kernel in one primitive pass.
     */
@@ -1688,6 +1891,16 @@ object Probe {
       "q87agg_packed" -> (q87aggPacked _),
       "q87rw_linear" -> (q87rwLinear _),
       "q87rw_except" -> (q87rwExcept _),
+      "q80cur" -> (q80cur _),
+      "q80reuse" -> (q80reuse _),
+      "q47norr" -> (q47norr _),
+      "q49norr" -> (q49norr _),
+      "q47pairs_old" -> (q47pairsOld _),
+      "q47pairs_new" -> (q47pairsNew _),
+      "q49pairs_old" -> (q49pairsOld _),
+      "q49pairs_new" -> (q49pairsNew _),
+      "q81bm25_old" -> (q81bm25Old _),
+      "q81bm25_new" -> (q81bm25New _),
       "q47sig_udf" -> (q47sigUdf _),
       "q47sig_kern" -> (q47sigKern _),
       "q47hash_udf" -> (q47hashUdf _),

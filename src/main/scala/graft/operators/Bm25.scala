@@ -62,7 +62,15 @@ object Bm25 {
           (lit(1.0 - b) + lit(b) * col("__dl") / col("__avgdl"))))
         .otherwise(lit(0.0))
     }.reduce(_ + _)
-    docs.filter(terms.indices.map(i => col("__tfs")(i) > 0).reduce(_ || _))
+    // ONE reference to __tfs in the filter: the per-index OR-chain
+    // referenced it `terms.size` times, and predicate pushdown through
+    // the projection substituted the term_hits kernel into EVERY
+    // reference — at 4 terms the kernel ran 5x per doc (4 filter + 1
+    // project; r19 plan audit, plans/r19/q81_bm25_search_before.txt).
+    // `exists` is the same predicate with a single reference, so the
+    // pushed filter evaluates the kernel once. Null-text docs: __tfs is
+    // null, exists(null) is null — filtered, exactly as the OR-chain.
+    docs.filter(exists(col("__tfs"), t => t > 0))
       .crossJoin(broadcast(stats))
       .select(col(idCol), round(score, scale).as("score"))
       .orderBy(col("score").desc, col(idCol))

@@ -340,10 +340,19 @@ object Dedup {
       // 128 boxed longs per row on output) was the delta; the UDF stays
       // as the parity reference
       .withColumn("sig", graft.functions.MinHashSig.sig(col("__text"), numPerm, shingleK))
-      .filter(col("sig").isNotNull)
+      // Null sigs (sub-shingle docs) are dropped by the null-propagating
+      // `when` guard: posexplode of a null array generates no rows —
+      // byte-identical band rows to an explicit filter(sig.isNotNull).
+      // An explicit filter was the round-1..18 spelling, and it planned
+      // BADLY: the optimizer pushed `isnotnull(minhash_sig(text))` below
+      // the repartition exchange, evaluating the signature kernel TWICE
+      // per doc (scan-side filter + post-exchange projection) and — the
+      // differing scan filters — splitting the corpus scan into two
+      // un-reusable exchanges (r19 plan audit, plans/r19/q47_*_before).
       .select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b))))
+        posexplode(when(col("sig").isNotNull,
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)), b)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
@@ -1319,9 +1328,22 @@ object Dedup {
     // spread the signature UDF over the session parallelism (see
     // minhashLshPairs — same few-input-partitions hazard)
     val par = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // Null texts are dropped EXPLICITLY (cheap isnotnull(text), pushed
+    // to the parquet scan) and the signature is declared non-null via
+    // KnownNotNull — simhash of a non-null text is total. Without this,
+    // the hamming filter's isnotnull(sig) constraint was inferred and
+    // pushed below the repartition as `isnotnull(simhash64(...))`,
+    // running the signature kernel TWICE per doc (r19 plan audit,
+    // plans/r19/q49_simhash_wide_before.txt). Same rows out: a null
+    // text's sig is null and can never pass the hamming filter.
     simhashPairsOnSigs(
-      df.repartition(math.max(par, df.rdd.getNumPartitions))
-        .select(col(idCol).as("id"), simhash(col(textCol)).as("sig")),
+      df.filter(col(textCol).isNotNull)
+        .repartition(math.max(par, df.rdd.getNumPartitions))
+        .select(col(idCol).as("id"),
+          org.apache.spark.sql.GraftColumnShim.column(
+            org.apache.spark.sql.catalyst.expressions.KnownNotNull(
+              org.apache.spark.sql.GraftColumnShim.expression(
+                simhash(col(textCol))))).as("sig")),
       maxDistance, pieces)
   }
 
