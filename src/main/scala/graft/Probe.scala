@@ -1267,9 +1267,40 @@ object Probe {
       .orderBy(col("lang"))
   }
 
-  /** The shipped q80 shape (whatever dupSpanStats currently plans) for
-    * same-JVM interleave against q80reuse.
+  /** The rounds-8..18 q80 shape, inlined so the A/B survives shipping
+    * the reuse fix: dupGrams counts `lit(1)`, pruning its branch to
+    * [gram] — the extraction subtree diverges from the join branch's
+    * and the kernel+exchange run twice.
     */
+  def q80old(s: SparkSession, d: String): DataFrame = {
+    val docs = load(s, d, "documents")
+    val n = 16
+    val gramCounts = docs.filter(length(col("text")) >= n)
+      .select(col("doc_id").as("__id"),
+        explode(graft.functions.GramHash.gramHashCounts(col("text"), n, 4))
+          .as("__g"))
+      .select(col("__id"), col("__g.gram").as("gram"), col("__g.cnt").as("__cnt"))
+      .repartition(col("gram"))
+    val dupGrams = gramCounts.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__nd"))
+      .filter(col("__nd") >= 2)
+      .select(col("gram"), lit(1).as("__dup"))
+    gramCounts.join(dupGrams.hint("SHUFFLE_HASH"), Seq("gram"), "left")
+      .groupBy(col("__id").as("doc_id"))
+      .agg(sum(col("__cnt")).as("n_grams"),
+        sum(when(col("__dup").isNotNull, col("__cnt")).otherwise(lit(0L)))
+          .cast("long").as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_grams"), 4))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_dup")).cast("long").as("total_dup"),
+        round(avg(col("dup_frac")), 4).as("avg_dup_frac"))
+      .orderBy(col("lang"))
+  }
+
+  /** The shipped q80 shape (whatever dupSpanStats currently plans). */
   def q80cur(s: SparkSession, d: String): DataFrame = {
     val docs = load(s, d, "documents")
     graft.operators.SubstringDup
@@ -1329,6 +1360,39 @@ object Probe {
               org.apache.spark.sql.GraftColumnShim.expression(
                 graft.operators.Dedup.simhash(col("text"))))).as("sig")),
       maxDistance = 3, pieces = 8)
+  }
+
+  /** r19 plan-fix A/B for q95: the shadow anti-join's `===` on cluster
+    * inferred isnotnull(cluster) and pushed it through the assignment
+    * projection as isnotnull(argmax_cosine(...).cluster) — the fused
+    * argmax kernel ran twice per shadow row. The shipped operator keys
+    * the join on `<=>` (no inference, same kept set). This variant
+    * inlines the old `===` spelling.
+    */
+  def q95dupOld(s: SparkSession, d: String): DataFrame = {
+    import graft.operators.{KMeans, SemDeDup}
+    val emb = load(s, d, "embeddings")
+    val cents = KMeans.initCentroids(emb, "embedding", "vec_id", 8)
+    val assigned = SemDeDup.assignWithSim(emb, "embedding", cents)
+    val xv = col("embedding").cast("array<double>")
+    val shadow = assigned.select(
+      col("cluster").as("y_cluster"), xv.as("y_v"),
+      col("cent_sim").as("y_cs"), col("vec_id").cast("long").as("y_id"))
+    assigned.join(shadow,
+      col("cluster") === col("y_cluster") &&
+        (col("y_cs") < col("cent_sim") ||
+          (col("y_cs") === col("cent_sim") &&
+            col("y_id") < col("vec_id").cast("long"))) &&
+        nanvl(graft.functions.VectorExpressions.cosineSim(xv, col("y_v")),
+          lit(-1.0)) >= lit(0.35),
+      "left_anti")
+      .agg(count(lit(1)).as("n_kept"))
+  }
+
+  def q95dupNew(s: SparkSession, d: String): DataFrame = {
+    val emb = load(s, d, "embeddings")
+    graft.operators.SemDeDup.semDedup(emb, "embedding", "vec_id", 8, 0.35)
+      .agg(count(lit(1)).as("n_kept"))
   }
 
   /** Same A/B for the embedding-LSH signature pass (q59's): one boxed
@@ -1891,6 +1955,9 @@ object Probe {
       "q87agg_packed" -> (q87aggPacked _),
       "q87rw_linear" -> (q87rwLinear _),
       "q87rw_except" -> (q87rwExcept _),
+      "q95dup_old" -> (q95dupOld _),
+      "q95dup_new" -> (q95dupNew _),
+      "q80old" -> (q80old _),
       "q80cur" -> (q80cur _),
       "q80reuse" -> (q80reuse _),
       "q47norr" -> (q47norr _),

@@ -101,8 +101,18 @@ object SemDeDup {
     // anti-joined away as a duplicate of whatever shares its cluster.
     // Mapping NaN to -1 keeps zero-norm rows (they are semantically
     // similar to NOTHING) and stops them shadowing others.
+    // `<=>` (null-safe equality), not `===`, and deliberately: `===` is
+    // null-intolerant, so the optimizer inferred isnotnull(cluster) on
+    // the shadow leg and pushed it through the assignment projection as
+    // `isnotnull(argmax_cosine(...).cluster)` — the fused k×dim argmax
+    // kernel ran TWICE per shadow row (scan filter + projection; r19
+    // plan audit, plans/r19audit/q95_semdedup_before.txt). `<=>` infers
+    // nothing. Join semantics are unchanged: a null cluster (null
+    // embedding) now MATCHES another null cluster on this conjunct, but
+    // the priority and cosine conjuncts evaluate null for such rows, so
+    // the anti-join still never drops them — same kept set.
     assigned.join(shadow,
-      col("cluster") === col("y_cluster") &&
+      (col("cluster") <=> col("y_cluster")) &&
         (col("y_cs") < col("cent_sim") ||
           (col("y_cs") === col("cent_sim") &&
             col("y_id") < col(idCol).cast("long"))) &&

@@ -34,6 +34,12 @@ object SubstringDup {
   def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
                    n: Int, stride: Int, hashGrams: Boolean = false): DataFrame = {
     require(n > 0 && stride > 0, s"n and stride must be > 0, got n=$n stride=$stride")
+    // Non-null ids required (the dedup family's id contract, explicit
+    // here as in TrainOrder): the filter also pins BOTH extraction
+    // branches to the same scan predicates — without it the rollup
+    // join's inferred isnotnull(id) lands on one branch only and the
+    // exchange-reuse below (see dupGrams) can never match.
+    val src = df.filter(col(idCol).isNotNull)
     // ONE gram-keyed exchange for the whole census, map-side-combined
     // BEFORE it: the extraction kernel (GramHashCountsExpr) collapses
     // each document's sampled positions to distinct (gram, count) pairs
@@ -51,7 +57,7 @@ object SubstringDup {
     // way: AQE cannot split a window partition.
     val gramCounts =
       if (hashGrams)
-        df.filter(length(col(textCol)) >= n)
+        src.filter(length(col(textCol)) >= n)
           .select(col(idCol).as("__id"),
             explode(graft.functions.GramHash.gramHashCounts(col(textCol), n, stride))
               .as("__g"))
@@ -64,7 +70,7 @@ object SubstringDup {
         // collapses (gram, id) AFTER the exchange, so it lacks the
         // hashed path's docs-bounded hot-gram guarantee — the 100 TB
         // deployment shape is hashGrams=true.
-        df.filter(length(col(textCol)) >= n)
+        src.filter(length(col(textCol)) >= n)
           .select(col(idCol).as("__id"), col(textCol).as("__t"),
             explode(expr(s"sequence(1, length($textCol) - ${n - 1}, $stride)"))
               .as("__i"))
@@ -73,8 +79,24 @@ object SubstringDup {
           .groupBy(col("gram"), col("__id"))
           .agg(count(lit(1)).as("__cnt"))
       }
+    // The census count REFERENCES both payload columns on purpose:
+    // with a bare count(*) column pruning narrows this branch's
+    // pre-exchange projection to [gram], the subtree no longer matches
+    // the join branch's, and the gram-extraction kernel + gram exchange
+    // run TWICE (r19 plan audit). Referencing (__id, __cnt) keeps the
+    // projections identical, so this branch plans as a ReusedExchange
+    // of the join branch — one extraction, one exchange for the whole
+    // census. The spelling must survive the optimizer: count(struct(…))
+    // is rewritten to count(*) (struct non-nullable), dummy first()
+    // aggregates are pruned, and nullability-only predicates constant-
+    // fold (the kernel's struct fields are non-null); a VALUE-level
+    // guard does not. count(when(__cnt >= 1, __id)) counts exactly the
+    // per-(doc, gram) rows: __cnt >= 1 is the extraction kernel's
+    // contract (it emits positive counts), and ids are non-null per the
+    // dedup family's id contract — same count as count(*) on any such
+    // corpus, verified by the unchanged q80 oracle gate.
     val dupGrams = gramCounts.groupBy(col("gram"))
-      .agg(count(lit(1)).as("__nd"))
+      .agg(count(when(col("__cnt") >= 1, col("__id"))).as("__nd"))
       .filter(col("__nd") >= 2)
       .select(col("gram"), lit(1).as("__dup"))
     // colocated join; hash-build the shared-gram side (no per-partition
